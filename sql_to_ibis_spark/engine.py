@@ -1,0 +1,86 @@
+"""Public engine facade.
+
+Same three-call surface as the reference (``sql_to_ibis/__init__.py:6`` —
+``register_temp_table`` / ``remove_temp_table`` / ``query``) but
+instance-scoped: an :class:`SqlEngine` owns its catalog, so independent
+engines never share state (the reference's class-level ``TableInfo`` globals
+required deepcopies and reset hooks — ``sql_select_query.py:131-136``).
+
+``query()`` returns a *lazy* :class:`pyspark.sql.DataFrame` — the logical
+plan enters Catalyst and nothing executes until an action, exactly like the
+reference returning an unexecuted ibis ``TableExpr``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sql_to_ibis_spark.catalog import Catalog
+from sql_to_ibis_spark.plans.compiler import Compiler
+from sql_to_ibis_spark.plans.parser import parse
+
+
+class SqlEngine:
+    def __init__(self, spark: SparkSession | None = None):
+        self.spark = spark or SparkSession.builder.getOrCreate()
+        self.catalog = Catalog()
+
+    # -- catalog ------------------------------------------------------------
+
+    def register_temp_table(self, df: DataFrame, table_name: str) -> None:
+        """Register a DataFrame under a case-insensitive name."""
+        self.catalog.register(table_name, df)
+
+    def remove_temp_table(self, table_name: str) -> None:
+        self.catalog.remove(table_name)
+
+    def register_parquet(self, table_name: str, path: str) -> DataFrame:
+        """Convenience: register a parquet-backed table (columnar scan with
+        predicate pushdown / column pruning for free)."""
+        from sql_to_ibis_spark.sources.readers import read_parquet
+
+        df = read_parquet(self.spark, path)
+        self.catalog.register(table_name, df)
+        return df
+
+    def register_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
+        """Register every ``<name>.parquet`` in a directory (the layout of
+        /root/testdata/sf*)."""
+        from sql_to_ibis_spark.sources.readers import read_table_dir
+
+        for name, df in read_table_dir(self.spark, sf_dir, tables).items():
+            self.catalog.register(name, df)
+
+    # -- query --------------------------------------------------------------
+
+    def query(self, sql: str) -> DataFrame:
+        """Compile SQL to a lazy DataFrame (logical plan into Catalyst)."""
+        node = parse(sql)
+        return Compiler(self.catalog, self.spark).compile(node)
+
+
+# ---------------------------------------------------------------------------
+# Module-level convenience API mirroring the reference's exact signatures
+# (``sql_to_ibis.register_temp_table(table, table_name)`` etc.) for drop-in
+# migration. Backed by one default engine instance.
+
+_default_engine: SqlEngine | None = None
+
+
+def _engine() -> SqlEngine:
+    global _default_engine
+    if _default_engine is None:
+        _default_engine = SqlEngine()
+    return _default_engine
+
+
+def register_temp_table(table: DataFrame, table_name: str) -> None:
+    _engine().register_temp_table(table, table_name)
+
+
+def remove_temp_table(table_name: str) -> None:
+    _engine().remove_temp_table(table_name)
+
+
+def query(sql: str) -> DataFrame:
+    return _engine().query(sql)

@@ -1,0 +1,233 @@
+"""Logical-plan AST nodes.
+
+The parser (``plans/parser.py``) produces these; the compiler
+(``plans/compiler.py``) lowers them to PySpark DataFrame operations where
+Catalyst performs all optimization and physical planning.
+
+Node inventory corresponds to the reference's value-object layer
+(``sql_to_ibis/sql/sql_value_objects.py``) but is a fresh design: plain
+dataclasses forming an immutable tree, no engine state inside nodes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+class Node:
+    """Base for all AST nodes."""
+
+
+# ---------------------------------------------------------------- expressions
+
+
+class Expr(Node):
+    pass
+
+
+@dataclass
+class ColumnRef(Expr):
+    name: str
+    table: str | None = None  # qualifier: table name or alias
+
+
+@dataclass
+class Star(Expr):
+    """``*`` or ``table.*`` in a select list."""
+
+    table: str | None = None
+
+
+@dataclass
+class NumberLit(Expr):
+    value: int | float
+
+
+@dataclass
+class StringLit(Expr):
+    value: str
+
+
+@dataclass
+class BoolLit(Expr):
+    value: bool
+
+
+@dataclass
+class NullLit(Expr):
+    pass
+
+
+@dataclass
+class IntervalLit(Expr):
+    """``INTERVAL n unit`` (extension; not in reference grammar)."""
+
+    value: float
+    unit: str  # second/minute/hour/day/week/month/year
+
+
+@dataclass
+class BinaryOp(Expr):
+    op: str  # + - * / % || = != < <= > >= <=> and or
+    left: Expr
+    right: Expr
+
+
+@dataclass
+class UnaryOp(Expr):
+    op: str  # - + not
+    operand: Expr
+
+
+@dataclass
+class IsNull(Expr):
+    operand: Expr
+    negated: bool = False
+
+
+@dataclass
+class Between(Expr):
+    operand: Expr
+    low: Expr
+    high: Expr
+    negated: bool = False
+
+
+@dataclass
+class InList(Expr):
+    operand: Expr
+    items: list[Expr] = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class InSubquery(Expr):
+    operand: Expr
+    subquery: "SelectNode | SetOpNode" = None
+    negated: bool = False
+
+
+@dataclass
+class ExistsSubquery(Expr):
+    """EXISTS (subquery) — extension beyond the reference surface."""
+
+    subquery: "SelectNode | SetOpNode" = None
+    negated: bool = False
+
+
+@dataclass
+class Like(Expr):
+    """LIKE / ILIKE / RLIKE — extension beyond the reference surface."""
+
+    operand: Expr
+    pattern: Expr
+    negated: bool = False
+    case_insensitive: bool = False
+    regexp: bool = False
+
+
+@dataclass
+class Case(Expr):
+    whens: list[tuple[Expr, Expr]] = field(default_factory=list)
+    else_: Expr | None = None
+
+
+@dataclass
+class Cast(Expr):
+    operand: Expr
+    type_name: str  # normalized lowercase SQL type name
+
+
+@dataclass
+class FuncCall(Expr):
+    name: str  # lowercase
+    args: list[Expr] = field(default_factory=list)
+    distinct: bool = False
+    is_star: bool = False  # count(*)
+
+
+@dataclass
+class FrameBound(Node):
+    kind: str  # 'unbounded_preceding' | 'unbounded_following' | 'current_row' | 'offset'
+    offset: int = 0  # signed: negative = preceding, positive = following
+
+
+@dataclass
+class WindowSpec(Node):
+    partition_by: list[Expr] = field(default_factory=list)
+    order_by: list["OrderItem"] = field(default_factory=list)
+    frame_type: str | None = None  # 'rows' | 'range' | None (→ reference default)
+    frame_start: FrameBound | None = None
+    frame_end: FrameBound | None = None
+
+
+@dataclass
+class WindowFunc(Expr):
+    func: FuncCall
+    window: WindowSpec
+
+
+# ------------------------------------------------------------------ relations
+
+
+class Relation(Node):
+    pass
+
+
+@dataclass
+class TableRef(Relation):
+    name: str
+    alias: str | None = None
+
+
+@dataclass
+class SubqueryRef(Relation):
+    query: "SelectNode | SetOpNode"
+    alias: str
+
+
+@dataclass
+class Join(Relation):
+    left: Relation
+    right: Relation
+    kind: str  # inner | left | right | full | cross
+    condition: Expr | None = None  # None for cross
+
+
+# -------------------------------------------------------------------- queries
+
+
+@dataclass
+class SelectItem(Node):
+    expr: Expr
+    alias: str | None = None
+
+
+@dataclass
+class OrderItem(Node):
+    expr: Expr
+    ascending: bool = True
+    nulls_first: bool | None = None  # None = engine default
+
+
+@dataclass
+class SelectNode(Node):
+    items: list[SelectItem] = field(default_factory=list)
+    relations: list[Relation] = field(default_factory=list)  # comma list → cross join
+    where: Expr | None = None
+    group_by: list[Expr] = field(default_factory=list)
+    having: Expr | None = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None
+    distinct: bool = False
+
+
+@dataclass
+class SetOpNode(Node):
+    op: str  # union | union_all | intersect | except | except_all
+    left: "SelectNode | SetOpNode" = None
+    right: "SelectNode | SetOpNode" = None
+    order_by: list[OrderItem] = field(default_factory=list)
+    limit: int | None = None
+    offset: int | None = None

@@ -1,0 +1,867 @@
+"""AST → PySpark DataFrame compiler.
+
+This is the engine core: it lowers the logical AST (``plans/ast.py``) into a
+*declarative* chain of DataFrame operations — ``filter → select → groupBy/agg
+→ distinct → orderBy → offset/limit`` with joins and set ops — and lets
+Catalyst do all optimization (predicate pushdown, column pruning, join
+selection, partial aggregation, whole-stage codegen, AQE). No RDDs, no
+collect(), no Python UDFs anywhere in this path: every expression compiles to
+``pyspark.sql.Column`` trees that execute JVM-side.
+
+Semantics replicated from the reference (citations are to files under
+``/root/reference/sql_to_ibis``):
+
+* case-insensitive table/column resolution with query-written output casing
+  (``parsing/transformers.py:167-193``; ``tests/.../test_select.py:104-111``
+  pins that ``select rh`` relabels column ``RH`` → ``rh``)
+* ``_colN`` / ``_literalN`` auto-names for unaliased expressions/literals
+  (``sql/sql_value_objects.py:214-221,277-291``), instance-scoped per query
+* WHERE evaluated against the pre-projection relation
+  (``parsing/sql_parser.py:730-735``)
+* GROUP BY without aggregates → DISTINCT (``parsing/sql_parser.py:444-450``)
+* group keys not in SELECT are dropped post-aggregation; selecting a
+  non-grouped non-aggregated column raises (``sql_parser.py:461-467,710-717``)
+* duplicate column renaming ``<table>.<col>`` on star-joins
+  (``sql/sql_value_objects.py:430-443``, ``sql_parser.py:513-547``)
+* IN (subquery) → left-semi join (``parsing/transformers.py:716-729``);
+  NOT IN additionally gets SQL-correct NULL semantics (the reference's pandas
+  backend glosses over them)
+* window default frame = RANGE UNBOUNDED PRECEDING → CURRENT ROW, whole
+  partition when no ORDER BY (``sql/sql_clause_objects.py:53-72``)
+
+Deliberate fixes over the reference: OFFSET works, boolean literals work,
+EXCEPT follows standard set semantics (validated against the DuckDB oracle).
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, WindowSpec
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from sql_to_ibis_spark.catalog import Catalog
+from sql_to_ibis_spark.errors import (
+    AmbiguousColumnException,
+    ColumnNotFoundError,
+    InvalidQueryException,
+    NeedsAggOrGroupQueryException,
+    UnsupportedColumnOperation,
+)
+from sql_to_ibis_spark.functions.registry import (
+    AGGREGATE_FUNCTIONS,
+    NUMERIC_ONLY_AGGREGATES,
+    RANKING_FUNCTIONS,
+    SCALAR_FUNCTIONS,
+    spark_type_for,
+)
+from sql_to_ibis_spark.plans import ast
+
+
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for use in F.col strings."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+@dataclass
+class RelationInfo:
+    """One FROM-clause relation in scope."""
+
+    qualifier: str           # unique Spark alias (used in df.alias / F.col)
+    display: str             # user-visible name: alias or table name
+    columns: list[str]       # true column names, schema order
+    types: dict[str, T.DataType] = field(default_factory=dict)
+
+    def __post_init__(self) -> None:
+        self.colmap = {c.lower(): c for c in self.columns}
+
+    def col(self, true_name: str) -> Column:
+        return F.col(f"{_bq(self.qualifier)}.{_bq(true_name)}")
+
+
+class Scope:
+    """Column/table resolution over the FROM-clause relations of one SELECT."""
+
+    def __init__(self, relations: list[RelationInfo]):
+        self.relations = relations
+
+    def resolve(self, name: str, qualifier: str | None = None) -> tuple[RelationInfo, str]:
+        low = name.lower()
+        if qualifier is not None:
+            qlow = qualifier.lower()
+            for rel in self.relations:
+                if rel.display.lower() == qlow or rel.qualifier.lower() == qlow:
+                    if low in rel.colmap:
+                        return rel, rel.colmap[low]
+                    raise ColumnNotFoundError(name, [rel.display])
+            raise ColumnNotFoundError(f"{qualifier}.{name}",
+                                      [r.display for r in self.relations])
+        owners = [(rel, rel.colmap[low]) for rel in self.relations if low in rel.colmap]
+        if not owners:
+            raise ColumnNotFoundError(name, [r.display for r in self.relations])
+        if len(owners) > 1:
+            raise AmbiguousColumnException(name, {r.display for r, _ in owners})
+        return owners[0]
+
+    def duplicated_names(self) -> set[str]:
+        """Lowercase column names owned by more than one relation in scope."""
+        seen: dict[str, int] = {}
+        for rel in self.relations:
+            for low in rel.colmap:
+                seen[low] = seen.get(low, 0) + 1
+        return {low for low, cnt in seen.items() if cnt > 1}
+
+
+class Compiler:
+    """Compiles one parsed statement; instance-scoped naming counters
+    (the reference used class-level globals with reset hooks —
+    ``parsing/sql_parser.py:818-826`` — we deliberately don't)."""
+
+    def __init__(self, catalog: Catalog, spark: SparkSession):
+        self.catalog = catalog
+        self.spark = spark
+        self._col_counter = itertools.count()
+        self._literal_counter = itertools.count()
+        self._rel_counter = itertools.count()
+        self._tmp_counter = itertools.count()
+
+    # ------------------------------------------------------------- top level
+
+    def compile(self, node: ast.SelectNode | ast.SetOpNode) -> DataFrame:
+        if isinstance(node, ast.SetOpNode):
+            return self._compile_setop(node)
+        return self._compile_select(node)
+
+    def _compile_setop(self, node: ast.SetOpNode) -> DataFrame:
+        left = self.compile(node.left)
+        right = self.compile(node.right)
+        if len(left.columns) != len(right.columns):
+            raise InvalidQueryException(
+                f"Set operation requires equal column counts "
+                f"({len(left.columns)} vs {len(right.columns)})"
+            )
+        if node.op == "union_all":
+            df = left.union(right)
+        elif node.op == "union":
+            df = left.union(right).distinct()
+        elif node.op == "intersect":
+            df = left.intersect(right)
+        elif node.op == "intersect_all":
+            df = left.intersectAll(right)
+        elif node.op == "except":
+            # standard SQL set semantics (validated against DuckDB); the
+            # reference's difference().distinct() differs — documented in
+            # SURVEY §2.7
+            df = left.subtract(right)
+        elif node.op == "except_all":
+            df = left.exceptAll(right)
+        else:  # pragma: no cover
+            raise InvalidQueryException(f"Unknown set operation {node.op}")
+        df = self._apply_order_by(df, node.order_by)
+        return self._apply_limit_offset(df, node.limit, node.offset)
+
+    # ----------------------------------------------------------- SELECT body
+
+    def _compile_select(self, node: ast.SelectNode) -> DataFrame:
+        if node.relations:
+            df: DataFrame | None = None
+            rels: list[RelationInfo] = []
+            for rel_ast in node.relations:
+                rel_df, rel_infos = self._compile_relation(rel_ast, rels)
+                # comma-separated FROM list → chained cross joins
+                # (reference: parsing/sql_parser.py:674-693)
+                df = rel_df if df is None else df.crossJoin(rel_df)
+                rels.extend(rel_infos)
+            scope = Scope(rels)
+        else:
+            df = self.spark.range(1)
+            scope = Scope([])
+
+        if node.where is not None:
+            df = self._apply_where(df, node.where, scope)
+
+        has_aggregate = (
+            bool(node.group_by)
+            or any(self._contains_aggregate(i.expr) for i in node.items)
+            or (node.having is not None and self._contains_aggregate(node.having))
+        )
+
+        if has_aggregate:
+            df = self._compile_aggregation(df, node, scope)
+        else:
+            if node.having is not None:
+                raise NeedsAggOrGroupQueryException("HAVING")
+            df = self._compile_projection(df, node, scope)
+
+        if node.distinct:
+            df = df.distinct()
+        df = self._apply_order_by(df, node.order_by)
+        return self._apply_limit_offset(df, node.limit, node.offset)
+
+    # -------------------------------------------------------------- FROM/join
+
+    def _compile_relation(
+        self, rel: ast.Relation, existing: list[RelationInfo]
+    ) -> tuple[DataFrame, list[RelationInfo]]:
+        if isinstance(rel, ast.TableRef):
+            entry = self.catalog.get(rel.name)
+            display = rel.alias or entry.name
+            info = self._make_rel_info(display, entry.df, existing)
+            return entry.df.alias(info.qualifier), [info]
+        if isinstance(rel, ast.SubqueryRef):
+            inner = self.compile(rel.query)
+            info = self._make_rel_info(rel.alias, inner, existing)
+            return inner.alias(info.qualifier), [info]
+        if isinstance(rel, ast.Join):
+            left_df, left_rels = self._compile_relation(rel.left, existing)
+            right_df, right_rels = self._compile_relation(
+                rel.right, existing + left_rels
+            )
+            combined = left_rels + right_rels
+            if rel.kind == "cross":
+                return left_df.crossJoin(right_df), combined
+            scope = Scope(existing + combined)
+            cond = self.compile_expr(rel.condition, scope)
+            return left_df.join(right_df, cond, rel.kind), combined
+        raise InvalidQueryException(f"Unsupported relation {type(rel).__name__}")
+
+    def _make_rel_info(
+        self, display: str, df: DataFrame, existing: list[RelationInfo]
+    ) -> RelationInfo:
+        qualifier = display
+        taken = {r.qualifier.lower() for r in existing}
+        if qualifier.lower() in taken:
+            qualifier = f"{display}__{next(self._rel_counter)}"
+        types = {f.name: f.dataType for f in df.schema.fields}
+        return RelationInfo(
+            qualifier=qualifier, display=display,
+            columns=list(df.columns), types=types,
+        )
+
+    # ----------------------------------------------------------------- WHERE
+
+    def _apply_where(self, df: DataFrame, where: ast.Expr, scope: Scope) -> DataFrame:
+        plain: list[Column] = []
+        for conjunct in self._split_conjuncts(where):
+            negated = False
+            node = conjunct
+            while isinstance(node, ast.UnaryOp) and node.op == "not" and isinstance(
+                node.operand, (ast.InSubquery, ast.ExistsSubquery)
+            ):
+                negated = not negated
+                node = node.operand
+            if isinstance(node, ast.InSubquery):
+                df = self._apply_in_subquery(
+                    df, node, scope, negated=node.negated ^ negated
+                )
+            elif isinstance(node, ast.ExistsSubquery):
+                df = self._apply_exists(
+                    df, node, negated=node.negated ^ negated
+                )
+            else:
+                if self._contains_subquery(conjunct):
+                    raise InvalidQueryException(
+                        "IN/EXISTS subqueries are only supported as top-level "
+                        "AND-conjuncts of WHERE"
+                    )
+                plain.append(self.compile_expr(conjunct, scope))
+        for cond in plain:
+            df = df.filter(cond)
+        return df
+
+    def _split_conjuncts(self, expr: ast.Expr) -> list[ast.Expr]:
+        if isinstance(expr, ast.BinaryOp) and expr.op == "and":
+            return self._split_conjuncts(expr.left) + self._split_conjuncts(expr.right)
+        return [expr]
+
+    def _contains_subquery(self, expr: ast.Expr) -> bool:
+        found = False
+
+        def visit(e: object) -> None:
+            nonlocal found
+            if isinstance(e, (ast.InSubquery, ast.ExistsSubquery)):
+                found = True
+            for child in _children(e):
+                visit(child)
+
+        visit(expr)
+        return found
+
+    def _apply_in_subquery(
+        self, df: DataFrame, node: ast.InSubquery, scope: Scope, negated: bool
+    ) -> DataFrame:
+        sub = self.compile(node.subquery)
+        if len(sub.columns) != 1:
+            # parity: reference raises when IN-subquery has >1 column
+            # (parsing/transformers.py:716-729)
+            raise InvalidQueryException(
+                f"IN subquery must return exactly 1 column, got {len(sub.columns)}"
+            )
+        tag = f"__in_{next(self._tmp_counter)}"
+        sub = sub.select(F.col(_bq(sub.columns[0])).alias(tag))
+        operand = self.compile_expr(node.operand, scope)
+        if not negated:
+            # left-semi join: the scalable membership primitive; NULL operand
+            # rows never match — exactly SQL IN semantics.
+            return df.join(sub, operand == F.col(tag), "left_semi")
+        # NOT IN with full SQL NULL semantics, fully distributed:
+        #   x NOT IN S  ⇔  S empty  OR  (x IS NOT NULL AND S has no NULLs
+        #                                AND no match)
+        n_col, nn_col = f"{tag}_n", f"{tag}_nn"
+        stats = sub.agg(
+            F.count(F.lit(1)).alias(n_col), F.count(F.col(tag)).alias(nn_col)
+        )
+        out = df.join(sub, operand == F.col(tag), "left_anti")
+        out = out.crossJoin(F.broadcast(stats))
+        out = out.filter(
+            (F.col(n_col) == 0)
+            | (operand.isNotNull() & (F.col(n_col) == F.col(nn_col)))
+        )
+        return out.drop(n_col, nn_col)
+
+    def _apply_exists(
+        self, df: DataFrame, node: ast.ExistsSubquery, negated: bool
+    ) -> DataFrame:
+        # Uncorrelated EXISTS: broadcast a 0/1-row marker, left-join, filter.
+        sub = self.compile(node.subquery)
+        tag = f"__exists_{next(self._tmp_counter)}"
+        marker = sub.limit(1).select(F.lit(1).alias(tag))
+        out = df.join(F.broadcast(marker), F.lit(True), "left")
+        cond = F.col(tag).isNull() if negated else F.col(tag).isNotNull()
+        return out.filter(cond).drop(tag)
+
+    # ------------------------------------------------------------ projection
+
+    def _expand_star(
+        self, star: ast.Star, scope: Scope
+    ) -> list[tuple[Column, str]]:
+        """Expand ``*`` / ``table.*`` with the reference's duplicate-column
+        renaming: when >1 relation is in scope, columns whose name appears in
+        more than one relation are output as ``<table_or_alias>.<col>``
+        (sql/sql_value_objects.py:430-443)."""
+        if not scope.relations:
+            raise InvalidQueryException("SELECT * requires a FROM clause")
+        dups = scope.duplicated_names() if len(scope.relations) > 1 else set()
+        rels = scope.relations
+        if star.table is not None:
+            qlow = star.table.lower()
+            rels = [r for r in scope.relations
+                    if r.display.lower() == qlow or r.qualifier.lower() == qlow]
+            if not rels:
+                raise ColumnNotFoundError(f"{star.table}.*")
+        out: list[tuple[Column, str]] = []
+        for rel in rels:
+            for col in rel.columns:
+                name = f"{rel.display}.{col}" if col.lower() in dups else col
+                out.append((rel.col(col), name))
+        return out
+
+    def _select_list(
+        self, node: ast.SelectNode, scope: Scope
+    ) -> list[tuple[Column, str]]:
+        dups = scope.duplicated_names() if len(scope.relations) > 1 else set()
+        out: list[tuple[Column, str]] = []
+        for item in node.items:
+            if isinstance(item.expr, ast.Star):
+                out.extend(self._expand_star(item.expr, scope))
+                continue
+            col = self.compile_expr(item.expr, scope)
+            out.append((col, self._output_name(item, dups)))
+        return out
+
+    def _output_name(self, item: ast.SelectItem, dup_names: set[str]) -> str:
+        if item.alias:
+            return item.alias
+        e = item.expr
+        if isinstance(e, ast.ColumnRef):
+            # query-written casing is the output name (reference relabels:
+            # tests/expression_generation/test_select.py:104-111)
+            if e.table is not None and e.name.lower() in dup_names:
+                return f"{e.table}.{e.name}"
+            return e.name
+        if isinstance(e, (ast.NumberLit, ast.StringLit, ast.BoolLit, ast.NullLit)):
+            return f"_literal{next(self._literal_counter)}"
+        return f"_col{next(self._col_counter)}"
+
+    def _compile_projection(
+        self, df: DataFrame, node: ast.SelectNode, scope: Scope
+    ) -> DataFrame:
+        # SELECT * over a single relation returns it unchanged (reference
+        # handle_selection fast path, parsing/sql_parser.py:493-504)
+        pairs = self._select_list(node, scope)
+        return df.select(*[c.alias(n) for c, n in pairs])
+
+    # ----------------------------------------------------------- aggregation
+
+    def _contains_aggregate(self, expr: object) -> bool:
+        if isinstance(expr, ast.WindowFunc):
+            return False  # windowed aggs are not grouping aggregates
+        if isinstance(expr, ast.FuncCall) and (
+            expr.name in AGGREGATE_FUNCTIONS or expr.is_star
+        ):
+            return True
+        return any(self._contains_aggregate(c) for c in _children(expr))
+
+    def _group_key_identity(
+        self, expr: ast.Expr, scope: Scope
+    ) -> tuple[str, str] | None:
+        if isinstance(expr, ast.ColumnRef):
+            rel, true = scope.resolve(expr.name, expr.table)
+            return (rel.qualifier, true)
+        return None
+
+    def _compile_aggregation(
+        self, df: DataFrame, node: ast.SelectNode, scope: Scope
+    ) -> DataFrame:
+        # ---- group keys
+        keys: list[dict] = []  # {expr, col, out, identity}
+        for g in node.group_by:
+            identity = self._group_key_identity(g, scope)
+            out_name = g.name if isinstance(g, ast.ColumnRef) else \
+                f"_col{next(self._col_counter)}"
+            keys.append({
+                "col": self.compile_expr(g, scope),
+                "out": out_name,
+                "identity": identity,
+            })
+
+        def key_for(expr: ast.Expr) -> dict | None:
+            if not isinstance(expr, ast.ColumnRef):
+                return None
+            identity = self._group_key_identity(expr, scope)
+            for k in keys:
+                if k["identity"] is not None and k["identity"] == identity:
+                    return k
+            return None
+
+        # ---- select list → (post-agg expression, output name)
+        agg_cols: list[tuple[Column, str]] = []   # placeholder aggregates
+
+        def placeholder(agg_expr: ast.Expr) -> Column:
+            name = f"__agg_{len(agg_cols)}"
+            agg_cols.append((self.compile_expr(agg_expr, scope), name))
+            return F.col(name)
+
+        def lower_post_agg(expr: ast.Expr) -> Column:
+            """Rewrite an expression so aggregates become placeholder refs and
+            plain columns must be group keys (else NeedsAggOrGroup)."""
+            if isinstance(expr, ast.FuncCall) and (
+                expr.name in AGGREGATE_FUNCTIONS or expr.is_star
+            ):
+                return placeholder(expr)
+            if isinstance(expr, ast.WindowFunc):
+                raise InvalidQueryException(
+                    "window functions mixed with GROUP BY aggregation are not "
+                    "supported"
+                )
+            if isinstance(expr, ast.ColumnRef):
+                k = key_for(expr)
+                if k is None:
+                    raise NeedsAggOrGroupQueryException(expr.name)
+                return F.col(_bq(k["out"]))
+            return self._compile_expr_generic(expr, lower_post_agg)
+
+        selected: list[tuple[Column, str]] = []
+        selected_key_ids: list[tuple] = []
+        has_select_agg = False
+        for item in node.items:
+            if isinstance(item.expr, ast.Star):
+                raise InvalidQueryException("SELECT * cannot be combined with "
+                                            "GROUP BY / aggregates")
+            k = key_for(item.expr)
+            if k is not None:
+                # group-key casing follows the SELECT list (reference
+                # _set_casing_for_groupby_names, sql_parser.py:649-663)
+                out = item.alias or item.expr.name
+                k["out"] = out
+                selected.append((None, out))  # placeholder — resolved below
+                selected_key_ids.append(k["identity"])
+                continue
+            if not self._contains_aggregate(item.expr):
+                if isinstance(item.expr, ast.ColumnRef):
+                    raise NeedsAggOrGroupQueryException(item.expr.name)
+                raise NeedsAggOrGroupQueryException(str(type(item.expr).__name__))
+            has_select_agg = True
+            dups: set[str] = set()
+            selected.append((lower_post_agg(item.expr),
+                             self._output_name(item, dups)))
+
+        # ---- GROUP BY without aggregates → DISTINCT over selected keys
+        if not has_select_agg and node.having is None and not agg_cols:
+            key_pairs = []
+            for k in keys:
+                if k["identity"] in selected_key_ids:
+                    key_pairs.append((k["col"], k["out"]))
+            if len(key_pairs) != len(selected):
+                raise NeedsAggOrGroupQueryException(
+                    "all selected columns must be group keys"
+                )
+            return df.select(*[c.alias(n) for c, n in key_pairs]).distinct()
+
+        # ---- HAVING
+        having_col: Column | None = None
+        if node.having is not None:
+            having_col = lower_post_agg(node.having)
+
+        # ---- build groupBy().agg()
+        key_exprs = [k["col"].alias(k["out"]) for k in keys]
+        if not agg_cols:
+            # aggregates may be only in HAVING; need at least one agg column
+            agg_cols.append((F.count(F.lit(1)), f"__agg_{len(agg_cols)}"))
+        agg_exprs = [c.alias(n) for c, n in agg_cols]
+        if keys:
+            agged = df.groupBy(*key_exprs).agg(*agg_exprs)
+        else:
+            agged = df.agg(*agg_exprs)
+        if having_col is not None:
+            agged = agged.filter(having_col)
+
+        # ---- final projection: select-list order; drops unselected keys
+        # (reference sql_parser.py:461-467) and HAVING-only aggregates
+        final: list[Column] = []
+        sel_idx = 0
+        for item, (col, out) in zip(node.items, selected):
+            if col is None:
+                final.append(F.col(_bq(out)))
+            else:
+                final.append(col.alias(out))
+            sel_idx += 1
+        return agged.select(*final)
+
+    # ------------------------------------------------------------- order/limit
+
+    def _apply_order_by(self, df: DataFrame, items: list[ast.OrderItem]) -> DataFrame:
+        if not items:
+            return df
+        out_scope = Scope([RelationInfo(qualifier="", display="",
+                                        columns=list(df.columns))])
+        sort_cols: list[Column] = []
+        for item in items:
+            col = self._resolve_output_expr(item.expr, df, out_scope)
+            if item.ascending:
+                nulls_first = item.nulls_first if item.nulls_first is not None else False
+                col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+            else:
+                nulls_first = item.nulls_first if item.nulls_first is not None else False
+                col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+            sort_cols.append(col)
+        return df.orderBy(*sort_cols)
+
+    def _resolve_output_expr(
+        self, expr: ast.Expr, df: DataFrame, out_scope: Scope
+    ) -> Column:
+        """Resolve an ORDER BY expression against the projected output
+        (reference sorts post-projection: sql_parser.py:748-750)."""
+        colmap = {c.lower(): c for c in df.columns}
+        if isinstance(expr, ast.ColumnRef):
+            candidates = []
+            if expr.table is not None:
+                candidates.append(f"{expr.table}.{expr.name}".lower())
+            candidates.append(expr.name.lower())
+            for cand in candidates:
+                if cand in colmap:
+                    return F.col(_bq(colmap[cand]))
+            raise ColumnNotFoundError(expr.name, list(df.columns))
+        if isinstance(expr, ast.NumberLit) and isinstance(expr.value, int):
+            # ORDER BY ordinal (extension)
+            idx = expr.value
+            if not 1 <= idx <= len(df.columns):
+                raise InvalidQueryException(f"ORDER BY position {idx} out of range")
+            return F.col(_bq(df.columns[idx - 1]))
+        return self.compile_expr(expr, out_scope)
+
+    def _apply_limit_offset(
+        self, df: DataFrame, limit: int | None, offset: int | None
+    ) -> DataFrame:
+        # reference parses OFFSET but drops it (sql_parser.py:193-207) — we
+        # implement it properly
+        if offset is not None:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    # ------------------------------------------------------------ expressions
+
+    def compile_expr(self, expr: ast.Expr, scope: Scope) -> Column:
+        if isinstance(expr, ast.ColumnRef):
+            rel, true = scope.resolve(expr.name, expr.table)
+            if rel.qualifier:
+                return rel.col(true)
+            return F.col(_bq(true))
+        return self._compile_expr_generic(
+            expr, lambda e: self.compile_expr(e, scope), scope=scope
+        )
+
+    def _compile_expr_generic(self, expr, recurse, scope: Scope | None = None) -> Column:
+        """Compile every node type except ColumnRef, delegating child
+        compilation to ``recurse`` (normal-scope vs post-agg resolution)."""
+        if isinstance(expr, ast.NumberLit):
+            return F.lit(expr.value)
+        if isinstance(expr, ast.StringLit):
+            return F.lit(expr.value)
+        if isinstance(expr, ast.BoolLit):
+            return F.lit(expr.value)
+        if isinstance(expr, ast.NullLit):
+            return F.lit(None)
+        if isinstance(expr, ast.IntervalLit):
+            value = int(expr.value) if float(expr.value).is_integer() else expr.value
+            return F.expr(f"INTERVAL '{value}' {expr.unit.upper()}")
+        if isinstance(expr, ast.BinaryOp):
+            return self._compile_binary(expr, recurse)
+        if isinstance(expr, ast.UnaryOp):
+            operand = recurse(expr.operand)
+            if expr.op == "not":
+                return ~operand
+            if expr.op == "-":
+                return -operand
+            return operand
+        if isinstance(expr, ast.IsNull):
+            col = recurse(expr.operand)
+            return col.isNotNull() if expr.negated else col.isNull()
+        if isinstance(expr, ast.Between):
+            col = recurse(expr.operand)
+            out = col.between(recurse(expr.low), recurse(expr.high))
+            return ~out if expr.negated else out
+        if isinstance(expr, ast.InList):
+            col = recurse(expr.operand)
+            out = col.isin(*[recurse(i) for i in expr.items])
+            return ~out if expr.negated else out
+        if isinstance(expr, ast.Like):
+            return self._compile_like(expr, recurse)
+        if isinstance(expr, ast.Case):
+            out = None
+            for cond, value in expr.whens:
+                c, v = recurse(cond), recurse(value)
+                out = F.when(c, v) if out is None else out.when(c, v)
+            if expr.else_ is not None:
+                out = out.otherwise(recurse(expr.else_))
+            return out
+        if isinstance(expr, ast.Cast):
+            return recurse(expr.operand).cast(spark_type_for(expr.type_name))
+        if isinstance(expr, ast.WindowFunc):
+            return self._compile_window(expr, recurse)
+        if isinstance(expr, ast.FuncCall):
+            return self._compile_func(expr, recurse, scope)
+        if isinstance(expr, (ast.InSubquery, ast.ExistsSubquery)):
+            raise InvalidQueryException(
+                "IN/EXISTS subqueries are only supported as top-level "
+                "AND-conjuncts of WHERE"
+            )
+        raise InvalidQueryException(f"Unsupported expression {type(expr).__name__}")
+
+    def _compile_binary(self, expr: ast.BinaryOp, recurse) -> Column:
+        left, right = recurse(expr.left), recurse(expr.right)
+        op = expr.op
+        if op == "and":
+            return left & right
+        if op == "or":
+            return left | right
+        if op == "=":
+            return left == right
+        if op == "!=":
+            return left != right
+        if op == "<=>":
+            return left.eqNullSafe(right)
+        if op == "<":
+            return left < right
+        if op == "<=":
+            return left <= right
+        if op == ">":
+            return left > right
+        if op == ">=":
+            return left >= right
+        if op == "+":
+            return left + right
+        if op == "-":
+            return left - right
+        if op == "*":
+            return left * right
+        if op == "/":
+            return left / right
+        if op == "%":
+            return left % right
+        if op == "||":
+            return F.concat(left, right)
+        raise InvalidQueryException(f"Unknown operator {op!r}")
+
+    def _compile_like(self, expr: ast.Like, recurse) -> Column:
+        col = recurse(expr.operand)
+        if isinstance(expr.pattern, ast.StringLit):
+            pattern = expr.pattern.value
+            if expr.regexp:
+                out = col.rlike(pattern)
+            elif expr.case_insensitive:
+                out = col.ilike(pattern)
+            else:
+                out = col.like(pattern)
+        else:
+            pat = recurse(expr.pattern)
+            if expr.regexp:
+                out = F.rlike(col, pat)
+            elif expr.case_insensitive:
+                out = F.ilike(col, pat)
+            else:
+                out = F.like(col, pat)
+        return ~out if expr.negated else out
+
+    def _compile_func(self, expr: ast.FuncCall, recurse, scope: Scope | None) -> Column:
+        name = expr.name
+        if expr.is_star:
+            if name != "count":
+                raise InvalidQueryException(f"{name}(*) is not supported")
+            # COUNT(*) (reference CountStar — sql_value_objects.py:371-374)
+            return F.count(F.lit(1))
+        if name in RANKING_FUNCTIONS:
+            raise InvalidQueryException(
+                f"{name}() requires an OVER(...) window clause"
+            )
+        if name in AGGREGATE_FUNCTIONS:
+            return self._compile_agg_call(expr, recurse, scope)
+        if name in SCALAR_FUNCTIONS:
+            args = [recurse(a) for a in expr.args]
+            builder = SCALAR_FUNCTIONS[name]
+            try:
+                return builder(*args)
+            except TypeError:
+                # some pyspark builders need plain Python literals (e.g.
+                # sha2 bits, regexp_extract idx); retry with raw values
+                raw = [
+                    a.value if isinstance(a, (ast.NumberLit, ast.StringLit,
+                                              ast.BoolLit)) else recurse(a)
+                    for a in expr.args
+                ]
+                return builder(*raw)
+        raise InvalidQueryException(f"Unknown function {name!r}")
+
+    def _compile_agg_call(self, expr: ast.FuncCall, recurse, scope: Scope | None) -> Column:
+        name = expr.name
+        if not expr.args:
+            raise InvalidQueryException(f"{name}() requires an argument")
+        # numeric-only guard, reference parity (transformers.py:231-237)
+        if scope is not None and name in NUMERIC_ONLY_AGGREGATES:
+            arg = expr.args[0]
+            if isinstance(arg, ast.ColumnRef):
+                rel, true = scope.resolve(arg.name, arg.table)
+                dtype = rel.types.get(true)
+                if isinstance(dtype, (T.StringType, T.BooleanType)):
+                    raise UnsupportedColumnOperation(name.upper(), true,
+                                                     dtype.simpleString())
+        args = [recurse(a) for a in expr.args]
+        if name == "count" and expr.distinct:
+            return F.countDistinct(*args)
+        if expr.distinct:
+            if name == "sum":
+                return F.sum_distinct(args[0])
+            raise InvalidQueryException(f"DISTINCT not supported for {name}()")
+        return AGGREGATE_FUNCTIONS[name](*args)
+
+    # ---------------------------------------------------------------- windows
+
+    def _compile_window(self, expr: ast.WindowFunc, recurse) -> Column:
+        spec = expr.window
+        func = expr.func
+        parts = [recurse(p) for p in spec.partition_by]
+        orders: list[Column] = []
+        for item in spec.order_by:
+            col = recurse(item.expr)
+            orders.append(col.asc() if item.ascending else col.desc())
+
+        if func.name in RANKING_FUNCTIONS:
+            builder, min_a, max_a = RANKING_FUNCTIONS[func.name]
+            w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+            # Spark requires ordering for ranking functions; a constant key
+            # reproduces the reference's "no ORDER BY → everything ties" case
+            w = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
+            raw_args: list = []
+            for a in func.args:
+                if isinstance(a, (ast.NumberLit, ast.StringLit)):
+                    raw_args.append(a.value)
+                else:
+                    raw_args.append(recurse(a))
+            if not (min_a <= len(raw_args) <= max_a):
+                raise InvalidQueryException(
+                    f"{func.name}() takes {min_a}-{max_a} arguments"
+                )
+            return builder(*raw_args).over(w)
+
+        if func.name not in AGGREGATE_FUNCTIONS and not func.is_star:
+            raise InvalidQueryException(
+                f"{func.name}() is not a window-able function"
+            )
+        if func.is_star:
+            agg = F.count(F.lit(1))
+        else:
+            agg = AGGREGATE_FUNCTIONS[func.name](*[recurse(a) for a in func.args])
+
+        w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+        w = self._apply_window_frame(w, spec, orders)
+        return agg.over(w)
+
+    def _apply_window_frame(
+        self, w: WindowSpec, spec: ast.WindowSpec, orders: list[Column]
+    ) -> WindowSpec:
+        UP, UF, CR = (Window.unboundedPreceding, Window.unboundedFollowing,
+                      Window.currentRow)
+
+        def bound(b: ast.FrameBound) -> int:
+            if b.kind == "unbounded_preceding":
+                return UP
+            if b.kind == "unbounded_following":
+                return UF
+            if b.kind == "current_row":
+                return CR
+            return b.offset
+
+        if spec.frame_type is None:
+            # reference default: RANGE UNBOUNDED PRECEDING → CURRENT ROW,
+            # cumulative when ordered, whole partition when not
+            # (sql_clause_objects.py:53-72)
+            if orders:
+                return w.orderBy(*orders).rangeBetween(UP, CR)
+            return w.rowsBetween(UP, UF)
+        if orders:
+            w = w.orderBy(*orders)
+        start = bound(spec.frame_start) if spec.frame_start else UP
+        end = bound(spec.frame_end) if spec.frame_end else CR
+        if spec.frame_type == "rows":
+            return w.rowsBetween(start, end)
+        if not orders:
+            # RANGE over unordered partition: all rows are peers
+            return w.rowsBetween(UP, UF)
+        return w.rangeBetween(start, end)
+
+
+def _children(node: object) -> list:
+    """Child expressions of an AST node (for generic tree walks)."""
+    if isinstance(node, ast.BinaryOp):
+        return [node.left, node.right]
+    if isinstance(node, ast.UnaryOp):
+        return [node.operand]
+    if isinstance(node, ast.IsNull):
+        return [node.operand]
+    if isinstance(node, ast.Between):
+        return [node.operand, node.low, node.high]
+    if isinstance(node, ast.InList):
+        return [node.operand, *node.items]
+    if isinstance(node, ast.InSubquery):
+        return [node.operand]
+    if isinstance(node, ast.Like):
+        return [node.operand, node.pattern]
+    if isinstance(node, ast.Case):
+        out = []
+        for c, v in node.whens:
+            out.extend([c, v])
+        if node.else_ is not None:
+            out.append(node.else_)
+        return out
+    if isinstance(node, ast.Cast):
+        return [node.operand]
+    if isinstance(node, ast.FuncCall):
+        return list(node.args)
+    if isinstance(node, ast.WindowFunc):
+        return [node.func, *node.window.partition_by,
+                *[o.expr for o in node.window.order_by]]
+    return []
