@@ -1,0 +1,104 @@
+"""Aggregation: global/grouped, HAVING, COUNT variants, rewrites, and the
+reference's grouping semantics."""
+
+import pytest
+
+from sql_to_ibis_spark.errors import (
+    NeedsAggOrGroupQueryException,
+    UnsupportedColumnOperation,
+)
+
+
+def test_global_aggregates(oracle):
+    oracle("SELECT sum(l_quantity) AS s, avg(l_quantity) AS a, "
+           "min(l_quantity) AS mn, max(l_quantity) AS mx, count(l_quantity) AS c "
+           "FROM lineitem")
+
+
+def test_count_star_and_distinct(oracle):
+    oracle("SELECT count(*) AS n, count(DISTINCT l_returnflag) AS d FROM lineitem")
+
+
+def test_group_by(oracle):
+    oracle("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, "
+           "count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus")
+
+
+def test_group_by_with_where(oracle):
+    oracle("SELECT o_orderpriority, count(*) AS n FROM orders "
+           "WHERE o_totalprice > 100000 GROUP BY o_orderpriority")
+
+
+def test_agg_expression_mixing(oracle):
+    oracle("SELECT l_returnflag, sum(l_quantity) / count(*) AS qty_per_row, "
+           "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+           "FROM lineitem GROUP BY l_returnflag")
+
+
+def test_group_key_in_expression_after_agg(oracle):
+    oracle("SELECT l_linenumber, l_linenumber + count(*) AS k FROM lineitem "
+           "GROUP BY l_linenumber")
+
+
+def test_having_grouped(oracle):
+    oracle("SELECT l_returnflag, count(*) AS n FROM lineitem "
+           "GROUP BY l_returnflag HAVING count(*) > 1000")
+
+
+def test_having_references_nonselected_agg(oracle):
+    oracle("SELECT l_returnflag, count(*) AS n FROM lineitem "
+           "GROUP BY l_returnflag HAVING sum(l_quantity) > 10000")
+
+
+def test_having_global(oracle):
+    oracle("SELECT min(l_quantity) AS mn FROM lineitem HAVING min(l_quantity) > 0")
+
+
+def test_having_on_group_key(oracle):
+    oracle("SELECT l_returnflag, count(*) AS n FROM lineitem "
+           "GROUP BY l_returnflag HAVING l_returnflag != 'N'")
+
+
+def test_group_by_without_aggregates_is_distinct(oracle):
+    # reference rewrite (sql_parser.py:444-450)
+    oracle("SELECT l_returnflag, l_linestatus FROM lineitem "
+           "GROUP BY l_returnflag, l_linestatus")
+
+
+def test_group_key_not_selected_is_dropped(oracle, engine):
+    # reference drops unselected keys (sql_parser.py:461-467)
+    df = engine.query("SELECT sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag")
+    assert df.columns == ["s"]
+    oracle("SELECT sum(l_quantity) AS s FROM lineitem GROUP BY l_returnflag")
+
+
+def test_group_key_casing_follows_select(engine):
+    # reference _set_casing_for_groupby_names (sql_parser.py:649-663)
+    df = engine.query("SELECT L_ReturnFlag, count(*) AS n FROM lineitem "
+                      "GROUP BY l_returnflag")
+    assert df.columns == ["L_ReturnFlag", "n"]
+
+
+def test_extended_aggregates(oracle):
+    oracle("SELECT stddev(l_quantity) AS sd, variance(l_quantity) AS v, "
+           "median(l_quantity) AS md FROM lineitem")
+
+
+def test_sum_distinct(oracle):
+    oracle("SELECT sum(DISTINCT l_linenumber) AS s FROM lineitem")
+
+
+def test_nonagg_nongroup_column_raises(engine):
+    with pytest.raises(NeedsAggOrGroupQueryException):
+        engine.query("SELECT l_orderkey, sum(l_quantity) FROM lineitem "
+                     "GROUP BY l_returnflag").collect()
+
+
+def test_sum_string_raises(engine):
+    with pytest.raises(UnsupportedColumnOperation):
+        engine.query("SELECT sum(l_returnflag) FROM lineitem")
+
+
+def test_agg_alias_matches_oracle_names(engine):
+    df = engine.query("SELECT sum(l_quantity) FROM lineitem")
+    assert df.columns == ["_col0"]  # unaliased aggregate auto-name
