@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query at sf0.001; ``queries()`` maps every
+implemented operator (SURVEY.md §2 + extensions) to a callable
+``(spark, sf_dir) -> DataFrame``; ``oracle_sql()`` gives the DuckDB-equivalent
+SQL for the correctness gate. Column names are aliased identically on both
+sides; float aggregates are made hash-stable via DECIMAL-exact sums or
+explicit rounding.
 """
 
 from __future__ import annotations
@@ -13,26 +14,437 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_ENGINES: dict = {}
+
+
+def _engine_for(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _ENGINES:
+        from sql_to_ibis_spark import SqlEngine
+
+        # runtime-settable confs the driver's plain session may lack
+        for conf, val in [
+            ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+            ("spark.sql.session.timeZone", "UTC"),
+            ("spark.sql.adaptive.enabled", "true"),
+            ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+        ]:
+            try:
+                spark.conf.set(conf, val)
+            except Exception:
+                pass
+        eng = SqlEngine(spark)
+        eng.register_dir(sf_dir)
+        _ENGINES[key] = eng
+    return _ENGINES[key]
+
+
+def _sql(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _engine_for(spark, sf_dir).query(sql)
+
+    return run
+
+
+# TPC-H-style Q1: the flagship (scan → filter → groupBy partial-agg → sort;
+# whole plan stays in whole-stage codegen, aggregation is map-side partial)
+FLAGSHIP_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS sum_base_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP('1998-09-02')
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+FLAGSHIP_ORACLE = FLAGSHIP_SQL.replace("TIMESTAMP('1998-09-02')",
+                                       "TIMESTAMP '1998-09-02'")
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return _engine_for(spark, "/root/testdata/sf0.001").query(FLAGSHIP_SQL)
+
+
+# --------------------------------------------------------------------------
+# Query inventory. _PAIRS: name -> (engine_sql, oracle_sql_or_None_if_same).
+# Non-SQL operators (dedup/similarity/...) are added programmatically below.
+# --------------------------------------------------------------------------
+
+_PAIRS: dict[str, tuple[str, str | None]] = {
+    # ---- §2.2 projection / filtering / predicates ----
+    "select_project": (
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem", None),
+    "select_star": ("SELECT * FROM nation", None),
+    "select_alias_expr": (
+        "SELECT o_orderkey AS okey, o_totalprice * 1.1 AS gross, 42 AS answer "
+        "FROM orders", None),
+    "select_distinct": (
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem", None),
+    "filter_compare": (
+        "SELECT l_orderkey, l_quantity FROM lineitem "
+        "WHERE l_quantity > 30 AND l_discount <= 0.05 AND NOT l_returnflag = 'A'",
+        None),
+    "filter_between_in": (
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity BETWEEN 10 AND 20 "
+        "AND l_returnflag IN ('A', 'R') AND l_linenumber NOT IN (6, 7)", None),
+    "filter_is_null": (
+        "SELECT count(*) AS n_null, count(ln) AS n_notnull FROM "
+        "(SELECT NULLIF(l_linenumber, 1) AS ln FROM lineitem) t", None),
+    "filter_like": (
+        "SELECT count(*) AS n FROM part WHERE p_name LIKE 'part_1%'", None),
+    "case_when": (
+        "SELECT l_orderkey, CASE WHEN l_quantity > 30 THEN 'high' "
+        "WHEN l_quantity > 10 THEN 'mid' ELSE 'low' END AS bucket FROM lineitem",
+        None),
+    "cast_types": (
+        "SELECT CAST(l_quantity AS int) AS qi, CAST(l_orderkey AS string) AS ks, "
+        "CAST(l_linenumber AS double) AS ld FROM lineitem",
+        "SELECT CAST(l_quantity AS int) AS qi, CAST(l_orderkey AS varchar) AS ks, "
+        "CAST(l_linenumber AS double) AS ld FROM lineitem"),
+    "coalesce_nullif": (
+        "SELECT COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag, count(*) AS n "
+        "FROM lineitem GROUP BY COALESCE(NULLIF(l_returnflag, 'N'), 'none')",
+        None),
+    "arithmetic": (
+        "SELECT l_orderkey, l_extendedprice * (1 - l_discount) AS net, "
+        "l_quantity + 1 AS q1, l_linenumber % 3 AS m3, -l_tax AS neg_tax "
+        "FROM lineitem", None),
+    "string_functions": (
+        "SELECT upper(r_name) AS up, lower(r_name) AS lo, length(r_name) AS len, "
+        "substring(r_name, 1, 3) AS pre, r_name || '!' AS bang FROM region", None),
+    "date_functions": (
+        "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, "
+        "day(o_orderdate) AS d, count(*) AS n FROM orders "
+        "GROUP BY year(o_orderdate), month(o_orderdate), day(o_orderdate)", None),
+    # ---- §2.3 joins ----
+    "join_inner": (
+        "SELECT c.c_name, n.n_name FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey", None),
+    "join_left": (
+        "SELECT n.n_name, r.r_name FROM nation n "
+        "LEFT JOIN region r ON n.n_regionkey = r.r_regionkey", None),
+    "join_right": (
+        "SELECT n.n_name, c.c_name FROM customer c "
+        "RIGHT JOIN nation n ON c.c_nationkey = n.n_nationkey", None),
+    "join_full_outer": (
+        "SELECT a.k AS left_k, b.k AS right_k FROM "
+        "(SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey < 20) a "
+        "FULL OUTER JOIN "
+        "(SELECT o_orderkey AS k FROM orders WHERE o_orderkey BETWEEN 10 AND 30) b "
+        "ON a.k = b.k", None),
+    "join_cross": (
+        "SELECT r1.r_name AS name1, r2.r_name AS name2 "
+        "FROM region r1 CROSS JOIN region r2", None),
+    "join_comma_implicit_cross": (
+        "SELECT r.r_name, n.n_name FROM region r, nation n "
+        "WHERE r.r_regionkey = n.n_regionkey", None),
+    "join_multiway": (
+        "SELECT n.n_name, o.o_orderkey, c.c_name FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_totalprice > 300000", None),
+    "join_theta": (
+        "SELECT l.l_orderkey, l.l_linenumber FROM lineitem l "
+        "JOIN orders o ON l.l_orderkey = o.o_orderkey AND l.l_quantity > 45",
+        None),
+    "join_semi_in_subquery": (
+        "SELECT c_custkey, c_name FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)", None),
+    "join_anti_not_in_subquery": (
+        "SELECT c_custkey, c_name FROM customer WHERE c_nationkey NOT IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)", None),
+    # ---- §2.4 aggregation ----
+    "agg_global": (
+        "SELECT CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s, "
+        "round(avg(l_quantity), 4) AS a, min(l_quantity) AS mn, "
+        "max(l_quantity) AS mx, count(l_quantity) AS c FROM lineitem", None),
+    "agg_count_star_distinct": (
+        "SELECT count(*) AS n, count(DISTINCT l_returnflag) AS flags, "
+        "count(DISTINCT l_linenumber) AS lines FROM lineitem", None),
+    "agg_group_by": (
+        "SELECT o_orderpriority, count(*) AS n, "
+        "CAST(sum(CAST(o_totalprice AS decimal(18,2))) AS double) AS total "
+        "FROM orders GROUP BY o_orderpriority", None),
+    "agg_having": (
+        "SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey "
+        "HAVING count(*) > 12", None),
+    "agg_having_hidden_agg": (
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag "
+        "HAVING sum(l_quantity) > 10000", None),
+    "agg_having_global": (
+        "SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem "
+        "HAVING count(*) > 0", None),
+    "agg_groupby_no_agg_distinct": (
+        "SELECT l_returnflag, l_linestatus FROM lineitem "
+        "GROUP BY l_returnflag, l_linestatus", None),
+    "agg_group_key_dropped": (
+        "SELECT count(*) AS n FROM lineitem GROUP BY l_returnflag", None),
+    "agg_expression_mix": (
+        "SELECT l_returnflag, "
+        "CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) / count(*) "
+        "AS avg_price_manual, count(*) + 0 AS n FROM lineitem "
+        "GROUP BY l_returnflag", None),
+    "agg_extended_stats": (
+        "SELECT round(stddev(l_quantity), 4) AS sd, "
+        "round(var_pop(l_quantity), 4) AS vp, median(l_quantity) AS md "
+        "FROM lineitem", None),
+    # ---- §2.5 windows ----
+    "window_cumulative_default_frame": (
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey), 2) AS running FROM orders",
+        None),
+    "window_partition_only": (
+        "SELECT o_orderkey, round(sum(o_totalprice) OVER "
+        "(PARTITION BY o_custkey), 2) AS tot FROM orders", None),
+    "window_rows_frame": (
+        "SELECT o_orderkey, round(avg(o_totalprice) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey "
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 2) AS mavg FROM orders", None),
+    "window_range_frame": (
+        "SELECT l_orderkey, l_linenumber, sum(l_linenumber) OVER "
+        "(PARTITION BY l_orderkey ORDER BY l_linenumber "
+        "RANGE BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s FROM lineitem", None),
+    "window_rank_dense_rank": (
+        "SELECT o_orderkey, "
+        "rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk, "
+        "dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk "
+        "FROM orders", None),
+    "window_row_number": (
+        "SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS rn "
+        "FROM orders", None),
+    "window_lag_lead": (
+        "SELECT o_orderkey, "
+        "lag(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS prev_k, "
+        "lead(o_orderkey) OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS next_k "
+        "FROM orders", None),
+    "window_ntile": (
+        "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS quartile "
+        "FROM orders", None),
+    "window_in_expression": (
+        "SELECT o_orderkey, round(o_totalprice / sum(o_totalprice) OVER "
+        "(PARTITION BY o_custkey), 6) AS share FROM orders", None),
+    # ---- §2.6 sort / limit / top-k ----
+    "order_by_multi_key": (
+        "SELECT l_orderkey, l_linenumber FROM lineitem "
+        "ORDER BY l_orderkey DESC, l_linenumber ASC LIMIT 100", None),
+    "top_k": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10", None),
+    "limit_offset": (
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 20 OFFSET 40",
+        None),
+    # ---- §2.7 set operations ----
+    "union_distinct": (
+        "SELECT c_nationkey AS k FROM customer UNION "
+        "SELECT s_nationkey AS k FROM supplier", None),
+    "union_all": (
+        "SELECT c_nationkey AS k FROM customer UNION ALL "
+        "SELECT s_nationkey AS k FROM supplier", None),
+    "intersect": (
+        "SELECT c_nationkey AS k FROM customer INTERSECT "
+        "SELECT s_nationkey AS k FROM supplier", None),
+    "except_distinct": (
+        "SELECT c_nationkey AS k FROM customer EXCEPT "
+        "SELECT s_nationkey AS k FROM supplier", None),
+    "except_all": (
+        "SELECT l_linenumber AS k FROM lineitem WHERE l_orderkey < 100 EXCEPT ALL "
+        "SELECT l_linenumber AS k FROM lineitem WHERE l_orderkey < 50", None),
+    "intersect_all": (
+        "SELECT l_linenumber AS k FROM lineitem WHERE l_orderkey < 100 INTERSECT ALL "
+        "SELECT l_linenumber AS k FROM lineitem WHERE l_orderkey < 50", None),
+    # ---- §2.10 subqueries ----
+    "subquery_from_nested": (
+        "SELECT k, n FROM (SELECT o_custkey AS k, count(*) AS n FROM "
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 100000) t "
+        "GROUP BY o_custkey) s WHERE n > 5", None),
+    "subquery_join": (
+        "SELECT a.o_custkey, a.cnt, b.c_name FROM "
+        "(SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey) a "
+        "JOIN (SELECT c_custkey, c_name FROM customer) b "
+        "ON a.o_custkey = b.c_custkey", None),
+    # ---- TPC-H-style composites (headline/bench queries) ----
+    "tpch_q1_pricing_summary": (FLAGSHIP_SQL, FLAGSHIP_ORACLE),
+    "tpch_q3_shipping_priority": (
+        "SELECT l.l_orderkey, "
+        "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) AS double) AS revenue, "
+        "o.o_orderdate FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP('1995-03-15') "
+        "AND l.l_shipdate > TIMESTAMP('1995-03-15') "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10",
+        "SELECT l.l_orderkey, "
+        "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) AS double) AS revenue, "
+        "o.o_orderdate FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderdate < TIMESTAMP '1995-03-15' "
+        "AND l.l_shipdate > TIMESTAMP '1995-03-15' "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
+    "tpch_q5_local_supplier_volume": (
+        "SELECT n.n_name, "
+        "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) AS double) AS revenue "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey "
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+        "JOIN region r ON n.n_regionkey = r.r_regionkey "
+        "WHERE r.r_name = 'ASIA' GROUP BY n.n_name ORDER BY revenue DESC", None),
+    "tpch_q6_forecast_revenue": (
+        "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS decimal(18,4))) AS double) "
+        "AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP('1994-01-01') "
+        "AND l_shipdate < TIMESTAMP('1995-01-01') "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24",
+        "SELECT CAST(sum(CAST(l_extendedprice * l_discount AS decimal(18,4))) AS double) "
+        "AS revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1994-01-01' "
+        "AND l_shipdate < TIMESTAMP '1995-01-01' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"),
+    # ---- events: time-series analytics over the stream-shaped table ----
+    "events_tumbling_window": (
+        "SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n, "
+        "round(sum(value), 4) AS total FROM events "
+        "GROUP BY date_trunc('hour', ts), event_type", None),
+    "events_user_daily": (
+        "SELECT user_id, date_trunc('day', ts) AS d, count(*) AS n_events, "
+        "count(DISTINCT event_type) AS kinds FROM events "
+        "GROUP BY user_id, date_trunc('day', ts)", None),
+    "events_funnel_share": (
+        "SELECT event_type, count(*) AS n, "
+        "round(count(*) / (SELECT count(*) FROM events) , 6) AS share "
+        "FROM events GROUP BY event_type", None),
+}
+
+# events_funnel_share uses a scalar subquery — not supported by design; swap
+# for a window formulation both engines accept.
+_PAIRS["events_funnel_share"] = (
+    "SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share FROM "
+    "(SELECT event_type, CAST(count(*) AS double) AS n FROM events "
+    "GROUP BY event_type) t",
+    None,
+)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (+ extensions)."""
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name, (engine_sql, _) in _PAIRS.items():
+        out[name] = _sql(engine_sql)
+    _add_pipeline_operators(out)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable equivalents; keys match queries()."""
+    out: dict[str, str] = {}
+    for name, (engine_sql, oracle) in _PAIRS.items():
+        out[name] = oracle if oracle is not None else engine_sql
+    out.update(_PIPELINE_ORACLES)
+    return out
+
+
+# --------------------------------------------------------------------------
+# LLM-data-pipeline operators (dedup / similarity / text analysis) — these
+# exercise the operators/ package rather than the SQL surface.
+# --------------------------------------------------------------------------
+
+_PIPELINE_ORACLES: dict[str, str] = {}
+
+
+def _add_pipeline_operators(out: dict) -> None:
+    from sql_to_ibis_spark.operators import dedup, similarity, text
+    from sql_to_ibis_spark.sources.readers import read_parquet
+
+    def _docs(spark, sf_dir):
+        return read_parquet(spark, f"{sf_dir}/documents.parquet")
+
+    def _embs(spark, sf_dir):
+        return read_parquet(spark, f"{sf_dir}/embeddings.parquet")
+
+    # exact dedup on normalized text (oracle: row_number window)
+    def dedup_exact(spark, sf_dir):
+        _engine_for(spark, sf_dir)  # ensures session confs
+        out = dedup.exact_dedup(_docs(spark, sf_dir), key_cols=["text_norm"],
+                                order_col="doc_id", normalize_col="text")
+        return out.select("doc_id", "lang", "source", "n_chars")
+
+    out["pipeline_dedup_exact"] = dedup_exact
+    _PIPELINE_ORACLES["pipeline_dedup_exact"] = """
+        SELECT doc_id, lang, source, n_chars FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+            ORDER BY doc_id) AS rn
+          FROM documents) t WHERE rn = 1
     """
-    return {}
+
+    # token counting + quality stats (oracle-able text analysis)
+    def text_stats(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.token_stats(_docs(spark, sf_dir))
+
+    out["pipeline_text_token_stats"] = text_stats
+    _PIPELINE_ORACLES["pipeline_text_token_stats"] = """
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+               length(text) AS n_chars_actual,
+               round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS double)
+                     / NULLIF(length(text), 0), 6) AS alpha_ratio
+        FROM documents
+    """
+
+    def doc_fingerprint(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.fingerprint(_docs(spark, sf_dir))
+
+    out["pipeline_doc_fingerprint"] = doc_fingerprint
+    _PIPELINE_ORACLES["pipeline_doc_fingerprint"] = """
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    """
+
+    # brute-force cosine top-k against a fixed query vector (vec_id = 0)
+    def ann_topk(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return similarity.cosine_topk_vs_query(_embs(spark, sf_dir),
+                                               query_vec_id=0, k=10)
+
+    out["pipeline_ann_cosine_topk"] = ann_topk
+    _PIPELINE_ORACLES["pipeline_ann_cosine_topk"] = """
+        SELECT e.vec_id,
+               round(list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings e,
+             (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id != 0
+        ORDER BY sim DESC, e.vec_id LIMIT 10
+    """
+
+    # minhash-LSH near-dup candidates: no tractable SQL oracle → rows-only
+    def dedup_minhash(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+
+    out["pipeline_dedup_minhash_lsh"] = dedup_minhash
+
+    def dedup_simhash(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return dedup.simhash_buckets(_docs(spark, sf_dir))
+
+    out["pipeline_dedup_simhash"] = dedup_simhash
+
+    def lang_id(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.language_id(_docs(spark, sf_dir))
+
+    out["pipeline_text_language_id"] = lang_id

@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing methodology: each query executes via a noop sink (full plan runs, no
+driver-side result transfer); best of 2 runs per query after a shared session
+warm-up, so JVM/codegen startup isn't billed to any single query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod
+from sql_to_ibis_spark.session import get_spark
+
+HEADLINE = [
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "agg_group_by",
+    "agg_count_star_distinct",
+    "join_multiway",
+    "join_semi_in_subquery",
+    "window_rank_dense_rank",
+    "window_cumulative_default_frame",
+    "top_k",
+    "union_all",
+    "events_tumbling_window",
+    "pipeline_dedup_exact",
+    "pipeline_dedup_minhash_lsh",
+    "pipeline_ann_cosine_topk",
+    "pipeline_text_token_stats",
+]
+
+
+def _execute(df) -> int:
+    # noop sink: runs the whole plan distributed, skips result transfer
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # warm-up: JVM, codegen, parquet footers (not billed per-query)
+    _execute(qs["select_star"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _execute(fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

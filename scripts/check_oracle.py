@@ -1,0 +1,92 @@
+"""Simulates the driver's correctness gate: runs every queries() entry and
+its oracle_sql() side-by-side at a given SF, compares row count + column
+names + order-insensitive values. Usage:
+
+    python scripts/check_oracle.py [sf_dir] [name_filter]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from sql_to_ibis_spark.session import get_spark
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    out = df.copy()
+    for col in out.columns:
+        s = out[col]
+        if pd.api.types.is_integer_dtype(s) or pd.api.types.is_float_dtype(s):
+            out[col] = s.astype("float64").round(6)
+        elif pd.api.types.is_datetime64_any_dtype(s):
+            out[col] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif s.dtype == object and len(s.dropna()) and isinstance(s.dropna().iloc[0], (int, float)):
+            out[col] = s.astype("float64").round(6)
+    out = out[sorted(out.columns)]
+    if len(out):
+        out = out.sort_values(by=list(out.columns), na_position="last",
+                              kind="mergesort")
+    return out.reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    spark = get_spark(app_name="oracle_check")
+    con = duckdb.connect()
+    for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        name = os.path.splitext(os.path.basename(path))[0]
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        try:
+            actual = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: engine error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"rows {name}: {len(actual)} rows (no oracle)")
+            n_rowsonly += 1
+            continue
+        try:
+            expected = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error: {str(e)[:200]}")
+            n_fail += 1
+            continue
+        a, e = normalize(actual), normalize(expected)
+        if list(a.columns) != list(e.columns):
+            print(f"FAIL {name}: columns {list(a.columns)} vs {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(a) != len(e):
+            print(f"FAIL {name}: rows {len(a)} vs {len(e)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, e, check_dtype=False,
+                                          check_exact=False, rtol=1e-5, atol=1e-7)
+            n_pass += 1
+        except AssertionError as err:
+            print(f"FAIL {name}: values differ: {str(err)[:300]}")
+            n_fail += 1
+    print(f"\n== {n_pass} pass, {n_rowsonly} rows-only, {n_fail} fail ==")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, mirroring how ANN is actually deployed on clusters:
+
+* **brute-force cosine** — exact; JVM-side ``zip_with``/``aggregate`` dot
+  products in double precision. For one query vector this is a broadcast +
+  map + top-k (``TakeOrderedAndProject``): zero shuffles of the big table.
+* **random-hyperplane LSH** — the scale path: sign-bit signatures bucket
+  vectors so candidate generation is a bucket-key shuffle instead of an
+  all-pairs cross join. Hyperplanes are generated from a fixed seed and
+  shipped as literal arrays (tiny: H × dim doubles).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _to_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array columns (double accumulation)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_vs_query(
+    embs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine similarity against one stored vector.
+
+    Plan shape: broadcast the 1-row query vector, map-side similarity,
+    ``ORDER BY … LIMIT k`` (Catalyst plans TakeOrderedAndProject — per
+    partition heaps, no full sort, no shuffle of the corpus).
+    """
+    q = embs.filter(F.col(id_col) == query_vec_id).select(
+        _to_double(F.col(vec_col)).alias("qvec")
+    )
+    sim = cosine(_to_double(F.col(vec_col)), F.col("qvec"))
+    return (
+        embs.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != query_vec_id)
+        .select(F.col(id_col), F.round(sim, 4).alias("sim"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_signature(
+    vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
+) -> Column:
+    """Sign-bit LSH bucket id: ``sum(2^i · [v·h_i > 0])`` as a long. All
+    JVM-side; hyperplanes are literal arrays baked into the plan."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    v = _to_double(vec_col)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0,
+               F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(n_planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def lsh_ann_candidates(
+    embs: DataFrame,
+    dim: int = 64,
+    n_planes: int = 12,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate nearest neighbors for *every* vector: bucket by LSH
+    signature, rank candidates within each bucket by exact cosine.
+
+    The join is co-located on the bucket key — with 2^n_planes buckets the
+    expected bucket size is n/2^planes, so per-bucket pairwise work stays
+    bounded as n grows (raise n_planes with scale).
+    """
+    from pyspark.sql import Window
+
+    sig = embs.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    pairs = (
+        sig.alias("l")
+        .join(sig.alias("r"),
+              (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.id") != F.col("r.id")))
+        .select(
+            F.col("l.id").alias("query_id"),
+            F.col("r.id").alias("neighbor_id"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_near_duplicates(
+    embs: DataFrame,
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_planes: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs above ``threshold`` using LSH
+    bucketing for candidate generation (same scale argument as above)."""
+    sig = embs.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    return (
+        sig.alias("l")
+        .join(sig.alias("r"),
+              (F.col("l.bucket") == F.col("r.bucket"))
+              & (F.col("l.id") < F.col("r.id")))
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,130 @@
+"""Text analysis operators: token stats, quality scoring, language ID,
+fingerprinting. All pure JVM expressions (no Python in the row path) — these
+run at full whole-stage-codegen speed over any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sql_to_ibis_spark.operators.dedup import normalized_text
+
+# small, deterministic stopword inventories for the language-ID heuristic
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "for", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "un", "une", "pour", "dans"],
+    "es": ["el", "la", "los", "y", "es", "no", "un", "una", "para", "con"],
+}
+
+
+def token_stats(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count, char count, alphabetic-character ratio."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
+        F.length(t).alias("n_chars_actual"),
+        F.round(
+            F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
+            / F.nullif(F.length(t), F.lit(0)),
+            6,
+        ).alias("alpha_ratio"),
+    )
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Sub-word-ish token count via a GPT-2-style pre-tokenizer regex
+    (words / numbers / punctuation runs / whitespace runs counted
+    separately). Purely an upper-bound estimator — no merges table."""
+    pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(pattern)).alias("bpe_ish_tokens"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + composite score in [0, 1]:
+    length band, punctuation density, stopword ratio, mean word length.
+    The kind of gate a pretraining pipeline runs before dedup."""
+    t = F.col(text_col)
+    tokens = F.split(normalized_text(t), " ")
+    n_tokens = F.size(tokens)
+    n_chars = F.length(t)
+    punct_ratio = (F.length(F.regexp_replace(t, r"[^\p{Punct}]", "")).cast("double")
+                   / F.nullif(n_chars, F.lit(0)))
+    stop_hits = F.size(F.array_intersect(
+        tokens, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])))
+    stop_ratio = stop_hits.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
+    mean_word_len = (F.length(F.regexp_replace(normalized_text(t), " ", ""))
+                     .cast("double") / F.nullif(n_tokens, F.lit(0)))
+    length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.3)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
+    wordlen_ok = F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), 1.0) \
+                  .otherwise(0.5)
+    score = (length_ok * 0.4 + punct_ok * 0.3 + wordlen_ok * 0.3)
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(mean_word_len, 4).alias("mean_word_len"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Deterministic language-ID heuristic: CJK-character detection for zh,
+    otherwise argmax of stopword hits across {en,de,fr,es}. Pure JVM
+    (array_intersect against literal arrays) — no model, no UDF."""
+    t = F.col(text_col)
+    tokens = F.split(normalized_text(t), " ")
+    scores = {
+        lang: F.size(F.array_intersect(
+            tokens, F.array(*[F.lit(w) for w in words])))
+        for lang, words in _STOPWORDS.items()
+    }
+    has_cjk = F.regexp_count(t, F.lit(r"[一-鿿]")) > 0
+    best = F.greatest(*scores.values())
+    pred = F.when(has_cjk, F.lit("zh"))
+    for lang in ["en", "de", "fr", "es"]:
+        pred = pred.when(scores[lang] == best, F.lit(lang))
+    return df.select(
+        F.col(id_col),
+        pred.otherwise(F.lit("unknown")).alias("lang_pred"),
+        *[F.col(c) for c in df.columns if c == "lang"],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Stable document fingerprint: md5 over normalized text (md5 chosen so
+    external systems — and the DuckDB oracle — can reproduce it)."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fp"),
+    )
+
+
+def rolling_hash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    window: int = 8, keep_every: int = 16,
+) -> DataFrame:
+    """Winnowing-style content fingerprints: a rolling hash over each
+    ``window``-token shingle, keeping hashes ≡ 0 (mod ``keep_every``) — a
+    deterministic ~1/keep_every sample usable for containment detection. One
+    explode, no shuffle until the caller aggregates."""
+    from sql_to_ibis_spark.operators.dedup import _shingle_hashes
+
+    kept = F.filter(_shingle_hashes(F.col(text_col), window),
+                    lambda h: h % keep_every == 0)
+    return df.select(
+        F.col(id_col), F.explode(kept).alias("fp_hash")
+    )

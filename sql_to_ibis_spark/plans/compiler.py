@@ -404,35 +404,65 @@ class Compiler:
             return True
         return any(self._contains_aggregate(c) for c in _children(expr))
 
-    def _group_key_identity(
-        self, expr: ast.Expr, scope: Scope
-    ) -> tuple[str, str] | None:
+    def _canon(self, expr: ast.Expr, scope: Scope):
+        """Canonical structural form of an expression for GROUP-BY-key
+        matching (``GROUP BY year(o_orderdate)`` matches the same expression
+        in the SELECT list, case-insensitively)."""
         if isinstance(expr, ast.ColumnRef):
             rel, true = scope.resolve(expr.name, expr.table)
-            return (rel.qualifier, true)
-        return None
+            return ("col", rel.qualifier, true)
+        if isinstance(expr, ast.NumberLit):
+            return ("lit", expr.value)
+        if isinstance(expr, ast.StringLit):
+            return ("slit", expr.value)
+        if isinstance(expr, ast.BoolLit):
+            return ("blit", expr.value)
+        if isinstance(expr, ast.NullLit):
+            return ("null",)
+        if isinstance(expr, ast.BinaryOp):
+            return ("bin", expr.op, self._canon(expr.left, scope),
+                    self._canon(expr.right, scope))
+        if isinstance(expr, ast.UnaryOp):
+            return ("un", expr.op, self._canon(expr.operand, scope))
+        if isinstance(expr, ast.Cast):
+            return ("cast", expr.type_name, self._canon(expr.operand, scope))
+        if isinstance(expr, ast.FuncCall):
+            return ("fn", expr.name, expr.distinct, expr.is_star,
+                    tuple(self._canon(a, scope) for a in expr.args))
+        if isinstance(expr, ast.Case):
+            return ("case",
+                    tuple((self._canon(c, scope), self._canon(v, scope))
+                          for c, v in expr.whens),
+                    self._canon(expr.else_, scope) if expr.else_ else None)
+        if isinstance(expr, ast.IsNull):
+            return ("isnull", expr.negated, self._canon(expr.operand, scope))
+        if isinstance(expr, ast.Between):
+            return ("between", expr.negated, self._canon(expr.operand, scope),
+                    self._canon(expr.low, scope), self._canon(expr.high, scope))
+        # unmatchable node kinds get identity-based keys (never equal)
+        return ("opaque", id(expr))
 
     def _compile_aggregation(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
     ) -> DataFrame:
         # ---- group keys
-        keys: list[dict] = []  # {expr, col, out, identity}
+        keys: list[dict] = []  # {col, out, identity}
         for g in node.group_by:
-            identity = self._group_key_identity(g, scope)
             out_name = g.name if isinstance(g, ast.ColumnRef) else \
                 f"_col{next(self._col_counter)}"
             keys.append({
                 "col": self.compile_expr(g, scope),
                 "out": out_name,
-                "identity": identity,
+                "identity": self._canon(g, scope),
             })
 
         def key_for(expr: ast.Expr) -> dict | None:
-            if not isinstance(expr, ast.ColumnRef):
+            try:
+                identity = self._canon(expr, scope)
+            except Exception:
                 return None
-            identity = self._group_key_identity(expr, scope)
             for k in keys:
-                if k["identity"] is not None and k["identity"] == identity:
+                if k["identity"] == identity:
                     return k
             return None
 
@@ -445,8 +475,12 @@ class Compiler:
             return F.col(name)
 
         def lower_post_agg(expr: ast.Expr) -> Column:
-            """Rewrite an expression so aggregates become placeholder refs and
-            plain columns must be group keys (else NeedsAggOrGroup)."""
+            """Rewrite an expression so group-key subtrees become key refs,
+            aggregates become placeholder refs, and any other plain column
+            raises NeedsAggOrGroup."""
+            k = key_for(expr)
+            if k is not None:
+                return F.col(_bq(k["out"]))
             if isinstance(expr, ast.FuncCall) and (
                 expr.name in AGGREGATE_FUNCTIONS or expr.is_star
             ):
@@ -474,7 +508,12 @@ class Compiler:
             if k is not None:
                 # group-key casing follows the SELECT list (reference
                 # _set_casing_for_groupby_names, sql_parser.py:649-663)
-                out = item.alias or item.expr.name
+                if item.alias:
+                    out = item.alias
+                elif isinstance(item.expr, ast.ColumnRef):
+                    out = item.expr.name
+                else:
+                    out = self._output_name(item, set())
                 k["out"] = out
                 selected.append((None, out))  # placeholder — resolved below
                 selected_key_ids.append(k["identity"])

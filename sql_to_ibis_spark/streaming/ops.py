@@ -1,0 +1,142 @@
+"""Structured Streaming operators.
+
+The reference has no streaming surface at all (SURVEY §2.9); these are the
+Spark-native extensions: event-time tumbling/sliding windows with watermarks
+for late data, and session windows. Each helper works on *either* a streaming
+DataFrame (``spark.readStream``) or a batch one — the expressions are
+identical, which is the point of Structured Streaming's unified model.
+
+Tests exercise them two ways: batch equivalence (same function over the
+static events table vs a SQL oracle) and a real micro-batch run through a
+memory-source/memory-sink round trip.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_from_table(
+    spark: SparkSession, df: DataFrame, ts_col: str = "ts"
+) -> DataFrame:
+    """Replay a static table as a bounded stream (testing aid): writes the
+    rows to a temp parquet dir and reads them back with ``readStream``
+    (maxFilesPerTrigger=1 → multiple micro-batches)."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="stream_src_")
+    df.write.mode("overwrite").parquet(path)
+    return (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time tumbling-window counts with a watermark bound on state.
+
+    On a stream, the watermark lets Spark drop window state once event time
+    passes ``window_end + watermark`` — the thing that keeps this runnable
+    forever at cluster scale. On a batch frame the same code just aggregates.
+    """
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration).alias("w"),
+                    F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                key_col, "n", "total_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time windows (overlapping buckets)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(F.col(ts_col), window_duration, slide).alias("w"),
+                    F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), key_col, "n")
+    )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: activity bursts per user separated by ≥ ``gap``.
+
+    Streaming path uses Spark's native ``session_window`` (state pruned by
+    watermark). Batch path uses the classic lag-gap-cumsum formulation so
+    results are SQL-oracle-checkable.
+    """
+    if events.isStreaming:
+        return (
+            events.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                     F.col(user_col))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"), user_col, "n_events")
+        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    marked = events.withColumn(
+        "__new_session",
+        F.when(F.col(ts_col) - F.lag(F.col(ts_col)).over(w) > gap_expr, 1)
+         .when(F.lag(F.col(ts_col)).over(w).isNull(), 1)
+         .otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("__new_session").over(
+            Window.partitionBy(user_col).orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        sess.groupBy(user_col, "session_id")
+        .agg(F.min(ts_col).alias("session_start"),
+             F.max(ts_col).alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+def run_stream_to_memory(
+    spark: SparkSession, streaming_df: DataFrame, query_name: str,
+    output_mode: str = "append",
+) -> DataFrame:
+    """Run a streaming query to completion into a memory sink; returns the
+    materialized result table (testing aid for bounded streams)."""
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(query_name).outputMode(output_mode)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

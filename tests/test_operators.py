@@ -1,0 +1,218 @@
+"""Pipeline operator tests: dedup, similarity, text analysis, multimodal.
+
+Correctness is checked against hand-computable small inputs and DuckDB where
+SQL can express the semantics; determinism is asserted for everything (these
+run in distributed pipelines where nondeterminism is a correctness bug).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_ibis_spark.operators import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(engine):
+    return engine.catalog.get("documents").df
+
+
+@pytest.fixture(scope="module")
+def embs(engine):
+    return engine.catalog.get("embeddings").df
+
+
+# ------------------------------------------------------------------- dedup
+
+def test_exact_dedup_keeps_first(spark):
+    df = spark.createDataFrame(
+        [(1, "a  b"), (2, "A B"), (3, "c")], ["id", "txt"]
+    )
+    out = dedup.exact_dedup(df, ["txt_norm"], "id", normalize_col="txt")
+    rows = {r["id"] for r in out.collect()}
+    assert rows == {1, 3}  # "a  b" and "A B" normalize equal; id=1 survives
+
+
+def test_exact_dedup_plain_key(spark):
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "k"])
+    assert dedup.exact_dedup(df, ["k"], "id").count() == 2
+
+
+def test_minhash_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again ok"
+    rows = [(1, base), (2, base + " yes"), (3, "completely different words "
+            "about spark engines and distributed queries at scale")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_candidates(df).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert all(3 not in p for p in ids)
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(map(tuple, dedup.minhash_lsh_candidates(docs)
+                   .select("id_a", "id_b").collect()))
+    b = sorted(map(tuple, dedup.minhash_lsh_candidates(docs)
+                   .select("id_a", "id_b").collect()))
+    assert a == b and len(a) > 0
+
+
+def test_minhash_est_jaccard_close_to_exact(docs):
+    cands = dedup.minhash_lsh_candidates(docs)
+    verified = dedup.ngram_jaccard_verify(docs, cands.select("id_a", "id_b"),
+                                          threshold=0.0)
+    joined = cands.join(verified, ["id_a", "id_b"]).collect()
+    assert len(joined) > 0
+    for r in joined:
+        assert abs(r["est_jaccard"] - r["jaccard"]) < 0.35  # 64-perm estimate
+
+
+def test_simhash_near_dup_low_hamming(spark):
+    base = ("one two three four five six seven eight nine ten eleven twelve "
+            "thirteen fourteen fifteen sixteen")
+    rows = [(1, base), (2, base),  # identical → hamming 0, always bucketed
+            (3, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in dedup.simhash_buckets(df).collect()}
+    assert pairs[(1, 2)] == 0
+    assert (1, 3) not in pairs or pairs[(1, 3)] > 3
+
+
+# -------------------------------------------------------------- similarity
+
+def test_cosine_topk_matches_duckdb(embs, ddb):
+    actual = similarity.cosine_topk_vs_query(embs, query_vec_id=0, k=10).collect()
+    expected = ddb.execute("""
+        SELECT e.vec_id, round(list_cosine_similarity(
+            CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 4) AS sim
+        FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        WHERE e.vec_id != 0 ORDER BY sim DESC, e.vec_id LIMIT 10
+    """).fetchall()
+    assert [(r["vec_id"], r["sim"]) for r in actual] == \
+        [(v, pytest.approx(s, abs=2e-4)) for v, s in expected]
+
+
+def test_cosine_self_similarity_is_one(spark):
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0, 3.0]),
+                                (2, [-1.0, -2.0, -3.0])],
+                               ["vec_id", "embedding"])
+    out = {r["vec_id"]: r["sim"]
+           for r in similarity.cosine_topk_vs_query(df, 0, 2).collect()}
+    assert out[1] == pytest.approx(1.0)
+    assert out[2] == pytest.approx(-1.0)
+
+
+def test_lsh_ann_produces_bucketed_neighbors(embs):
+    # 4 hyperplanes → 16 buckets over 500 random vectors (~31 per bucket);
+    # every vector sharing a bucket gets ranked by exact cosine
+    out = similarity.lsh_ann_candidates(embs, n_planes=4, k=5)
+    per_query = out.groupBy("query_id").count().collect()
+    assert len(per_query) > 400  # nearly every vector has bucket-mates
+    assert all(r["count"] <= 5 for r in per_query)
+    ranked = out.filter(F.col("query_id") == 0).orderBy("rank").collect()
+    sims = [r["sim"] for r in ranked]
+    assert sims == sorted(sims, reverse=True)
+
+
+def test_lsh_signature_deterministic(embs):
+    sig = embs.select(similarity.lsh_signature(F.col("embedding"), 64).alias("s"))
+    a = [r["s"] for r in sig.collect()]
+    b = [r["s"] for r in sig.collect()]
+    assert a == b
+
+
+# -------------------------------------------------------------------- text
+
+def test_token_stats_vs_duckdb(docs, ddb):
+    actual = {r["doc_id"]: (r["n_tokens"], r["alpha_ratio"])
+              for r in text.token_stats(docs).collect()}
+    for doc_id, nt, ar in ddb.execute("""
+        SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')),
+               round(CAST(length(regexp_replace(text,'[^a-zA-Z]','','g')) AS double)
+                     / NULLIF(length(text),0), 6)
+        FROM documents""").fetchall():
+        assert actual[doc_id][0] == nt
+        assert actual[doc_id][1] == pytest.approx(ar, abs=1e-5)
+
+
+def test_fingerprint_matches_duckdb_md5(docs, ddb):
+    actual = {r["doc_id"]: r["fp"] for r in text.fingerprint(docs).collect()}
+    for doc_id, fp in ddb.execute("""
+        SELECT doc_id, md5(lower(trim(regexp_replace(text,'\\s+',' ','g'))))
+        FROM documents""").fetchall():
+        assert actual[doc_id] == fp
+
+
+def test_language_id_detects_real_languages(spark):
+    rows = [(1, "the cat and the dog went to the house and it is good"),
+            (2, "der hund und die katze sind nicht in das haus für immer"),
+            (3, "le chat et le chien sont dans la maison pour un jour"),
+            (4, "el perro y el gato es una casa para los amigos con amor"),
+            (5, "今天 天气 很好 我们 去 公园")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["lang_pred"] for r in text.language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh"}
+
+
+def test_quality_score_ranges(docs):
+    rows = text.quality_score(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in rows)
+    assert all(r["n_tokens"] > 0 for r in rows)
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(1, "hello world, it's 42 degrees!")],
+                               ["doc_id", "text"])
+    r = text.bpe_ish_token_count(df).collect()[0]
+    # hello | world | , | it | ' | s | 42 | degrees | !  → 9 bpe-ish pieces
+    assert r["word_tokens"] == 5
+    assert r["bpe_ish_tokens"] == 9
+
+
+def test_rolling_hash_fingerprints_deterministic(docs):
+    a = text.rolling_hash_fingerprints(docs).count()
+    b = text.rolling_hash_fingerprints(docs).count()
+    assert a == b and a > 0
+
+
+# -------------------------------------------------------------- multimodal
+
+@pytest.fixture(scope="module")
+def blobs(docs):
+    return docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("blob"))
+
+
+def test_blob_metadata(blobs):
+    out = multimodal.attach_blob_metadata(blobs, "blob")
+    row = out.filter(F.col("doc_id") == 0).collect()[0]
+    assert row["blob_bytes"] > 0 and len(row["blob_sha"]) == 64
+
+
+def test_decode_images_stub_schema_and_determinism(blobs):
+    out = multimodal.decode_images(blobs, use_stub_decoder=True)
+    assert [f.name for f in out.schema.fields] == \
+        ["doc_id", "width", "height", "channels", "mean_pixel"]
+    a = sorted(map(tuple, out.collect()))
+    b = sorted(map(tuple, multimodal.decode_images(
+        blobs, use_stub_decoder=True).collect()))
+    assert a == b and len(a) == blobs.count()
+
+
+def test_decode_images_without_stub_raises(blobs):
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_images(blobs).collect()
+    assert "NotImplementedError" in str(exc.value) or \
+        isinstance(exc.value, NotImplementedError)
+
+
+def test_audio_frame_sampling(blobs):
+    out = multimodal.sample_audio_frames(blobs, frames=3, use_stub_decoder=True)
+    counts = out.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_blob_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, b"same"), (2, b"same"), (3, b"other")], ["doc_id", "blob"]
+    )
+    assert multimodal.exact_blob_dedup(df).count() == 2

@@ -1,0 +1,80 @@
+"""Streaming operator tests: batch/stream parity and a real micro-batch run
+through parquet-source → watermarked window agg → memory sink."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_ibis_spark.streaming import (
+    sessionize,
+    stream_from_table,
+    tumbling_counts,
+)
+from sql_to_ibis_spark.streaming.ops import run_stream_to_memory
+
+
+@pytest.fixture(scope="module")
+def events(engine):
+    return engine.catalog.get("events").df
+
+
+def test_tumbling_counts_batch_vs_oracle(events, ddb):
+    actual = {(r["window_start"], r["event_type"]): r["n"]
+              for r in tumbling_counts(events).collect()}
+    expected = ddb.execute("""
+        SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n
+        FROM events GROUP BY 1, 2""").fetchall()
+    assert len(actual) == len(expected)
+    for ws, et, n in expected:
+        assert actual[(ws, et)] == n
+
+
+def test_tumbling_counts_streaming_equals_batch(spark, events):
+    batch = {(r["window_start"], r["event_type"]): r["n"]
+             for r in tumbling_counts(events).collect()}
+    stream = stream_from_table(spark, events.repartition(4))
+    assert stream.isStreaming
+    # complete mode: the final trigger emits full aggregation state, which
+    # must equal the batch result exactly (replay order is event-time
+    # unordered, so append mode would drop late rows by design)
+    result = run_stream_to_memory(
+        spark, tumbling_counts(stream), "t_tumbling", output_mode="complete")
+    got = {(r["window_start"], r["event_type"]): r["n"] for r in result.collect()}
+    assert got == batch
+
+
+def test_sessionize_batch(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0), (1, t0 + dt.timedelta(minutes=5)),          # session 1
+        (1, t0 + dt.timedelta(hours=2)),                      # session 2
+        (2, t0 + dt.timedelta(minutes=1)),                    # session 1
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = sessionize(df, gap="30 minutes")
+    per_user = {(r["user_id"], r["session_id"]): r["n_events"]
+                for r in out.collect()}
+    assert per_user == {(1, 1): 2, (1, 2): 1, (2, 1): 1}
+
+
+def test_sessionize_streaming_runs(spark, events):
+    stream = stream_from_table(spark, events.limit(200))
+    result = run_stream_to_memory(
+        spark, sessionize(stream, gap="30 minutes"), "t_sessions",
+        output_mode="append")
+    # bounded stream + availableNow → emitted sessions are closed ones;
+    # the pipeline itself must run and produce the right schema
+    assert [f.name for f in result.schema.fields] == \
+        ["session_start", "session_end", "user_id", "n_events"]
+
+
+def test_sliding_counts_overlap(events):
+    from sql_to_ibis_spark.streaming import sliding_counts
+
+    out = sliding_counts(events, window_duration="2 hours", slide="1 hour")
+    one = out.filter(F.col("event_type") == "click").collect()
+    total_in_windows = sum(r["n"] for r in one)
+    clicks = events.filter(F.col("event_type") == "click").count()
+    # every event is counted in exactly 2 overlapping windows
+    assert total_in_windows == 2 * clicks
