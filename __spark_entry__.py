@@ -327,6 +327,13 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
 
 # events_funnel_share uses a scalar subquery — not supported by design; swap
 # for a window formulation both engines accept.
+_PAIRS["events_json_extract"] = (
+    "SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS int)) AS sum_k, "
+    "count(*) AS n FROM events GROUP BY event_type",
+    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS int)) AS sum_k, "
+    "count(*) AS n FROM events GROUP BY event_type",
+)
+
 _PAIRS["events_funnel_share"] = (
     "SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share FROM "
     "(SELECT event_type, CAST(count(*) AS double) AS n FROM events "
@@ -362,7 +369,7 @@ _PIPELINE_ORACLES: dict[str, str] = {}
 
 
 def _add_pipeline_operators(out: dict) -> None:
-    from sql_to_ibis_spark.operators import dedup, similarity, text
+    from sql_to_ibis_spark.operators import dedup, multimodal, similarity, text
     from sql_to_ibis_spark.sources.readers import read_parquet
 
     def _docs(spark, sf_dir):
@@ -448,3 +455,94 @@ def _add_pipeline_operators(out: dict) -> None:
         return text.language_id(_docs(spark, sf_dir))
 
     out["pipeline_text_language_id"] = lang_id
+
+    # quality scoring: rows-only (stopword lists / punct classes are
+    # engine-specific heuristics, not SQL-standard)
+    def text_quality(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.quality_score(_docs(spark, sf_dir))
+
+    out["pipeline_text_quality_score"] = text_quality
+
+    # BPE-ish sub-word token counting (oracle: regexp_extract_all)
+    def bpe_tokens(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.bpe_ish_token_count(_docs(spark, sf_dir))
+
+    out["pipeline_text_bpe_tokens"] = bpe_tokens
+    _PIPELINE_ORACLES["pipeline_text_bpe_tokens"] = r"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\s+')) AS word_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                 AS bpe_ish_tokens
+        FROM documents
+    """
+
+    # n-gram Jaccard verification of LSH candidates (candidate set is
+    # LSH-dependent → rows-only)
+    def ngram_jaccard(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        cands = dedup.minhash_lsh_candidates(docs).select("id_a", "id_b")
+        return dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
+
+    out["pipeline_dedup_ngram_jaccard"] = ngram_jaccard
+
+    # LSH-bucketed ANN for every vector (approximate → rows-only)
+    def ann_lsh(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return similarity.lsh_ann_candidates(_embs(spark, sf_dir), k=5)
+
+    out["pipeline_ann_lsh_bucketed"] = ann_lsh
+
+    # embedding-cosine near-dup pairs (LSH candidates → rows-only)
+    def emb_near_dup(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        # synthetic embeddings are near-orthogonal (max pairwise cosine
+        # ≈ 0.48 at sf0.001) — 0.4 exercises the operator end-to-end
+        return similarity.embedding_near_duplicates(_embs(spark, sf_dir),
+                                                    threshold=0.4)
+
+    out["pipeline_embedding_near_dup"] = emb_near_dup
+
+    # multimodal: documents.text encoded to a binary blob column exercises
+    # the real schema/plumbing; metadata + exact blob dedup are oracle-able
+    def _blobs(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        return _docs(spark, sf_dir).select(
+            "doc_id", F.encode("text", "UTF-8").alias("blob"))
+
+    def blob_metadata(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return multimodal.attach_blob_metadata(_blobs(spark, sf_dir)) \
+            .select("doc_id", "blob_bytes", "blob_sha")
+
+    out["pipeline_multimodal_blob_metadata"] = blob_metadata
+    _PIPELINE_ORACLES["pipeline_multimodal_blob_metadata"] = """
+        SELECT doc_id, CAST(strlen(text) AS BIGINT) AS blob_bytes,
+               sha256(text) AS blob_sha
+        FROM documents
+    """
+
+    def blob_dedup(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        out_df = multimodal.exact_blob_dedup(_blobs(spark, sf_dir))
+        return out_df.select("doc_id")
+
+    out["pipeline_multimodal_blob_dedup"] = blob_dedup
+    _PIPELINE_ORACLES["pipeline_multimodal_blob_dedup"] = """
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+          FROM documents) t WHERE rn = 1
+    """
+
+    # decode path: stub decoder (no codecs in container), rows-only but the
+    # mapInPandas schema/batch plumbing is the real thing
+    def decode_images(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return multimodal.decode_images(_blobs(spark, sf_dir),
+                                        use_stub_decoder=True)
+
+    out["pipeline_multimodal_decode_images"] = decode_images

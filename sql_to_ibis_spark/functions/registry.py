@@ -227,6 +227,12 @@ SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     "date_format": F.date_format,
     "make_date": F.make_date,
     "epoch_ms": lambda c: (c.cast("double") * 1000).cast("long"),
+    # --- JSON (extensions; events.props is a JSON string column) ---
+    "get_json_object": F.get_json_object,
+    "json_extract": F.get_json_object,
+    "json_array_length": F.json_array_length,
+    "json_object_keys": F.json_object_keys,
+    "to_json": F.to_json,
     # --- array (extensions; embeddings are array<float>) ---
     "array": F.array,
     "array_length": F.size,

@@ -119,9 +119,11 @@ class Compiler:
     (the reference used class-level globals with reset hooks —
     ``parsing/sql_parser.py:818-826`` — we deliberately don't)."""
 
-    def __init__(self, catalog: Catalog, spark: SparkSession):
+    def __init__(self, catalog: Catalog, spark: SparkSession,
+                 user_functions: dict[str, object] | None = None):
         self.catalog = catalog
         self.spark = spark
+        self.user_functions = user_functions or {}
         self._col_counter = itertools.count()
         self._literal_counter = itertools.count()
         self._rel_counter = itertools.count()
@@ -757,6 +759,8 @@ class Compiler:
             raise InvalidQueryException(
                 f"{name}() requires an OVER(...) window clause"
             )
+        if name in self.user_functions:
+            return self.user_functions[name](*[recurse(a) for a in expr.args])
         if name in AGGREGATE_FUNCTIONS:
             return self._compile_agg_call(expr, recurse, scope)
         if name in SCALAR_FUNCTIONS:

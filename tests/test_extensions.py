@@ -1,0 +1,110 @@
+"""User-defined functions, JSON functions, and sink helpers — extensions
+beyond the reference surface (SURVEY §2.9: reference has no UDF surface at
+all; §2.1: no sinks)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_ibis_spark import SqlEngine
+from sql_to_ibis_spark.sources import sinks
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture()
+def udf_engine(spark):
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    return eng
+
+
+def test_register_vectorized_pandas_udf(udf_engine):
+    def net_price(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    udf_engine.register_function("net_price", net_price, "double")
+    got = udf_engine.query(
+        "SELECT l_orderkey, net_price(l_extendedprice, l_discount) AS net "
+        "FROM lineitem LIMIT 5"
+    ).toPandas()
+    assert list(got.columns) == ["l_orderkey", "net"]
+    assert (got["net"] > 0).all()
+
+
+def test_register_row_udf(udf_engine):
+    udf_engine.register_function(
+        "shout", lambda s: (s or "") + "!", "string", vectorized=False)
+    got = udf_engine.query("SELECT shout(r_name) AS x FROM region").toPandas()
+    assert got["x"].str.endswith("!").all()
+
+
+def test_udf_correctness_vs_builtin(udf_engine):
+    def double_it(s: pd.Series) -> pd.Series:
+        return s * 2
+
+    udf_engine.register_function("double_it", double_it, "double")
+    got = udf_engine.query(
+        "SELECT sum(double_it(l_quantity)) AS a, sum(l_quantity * 2) AS b "
+        "FROM lineitem"
+    ).toPandas()
+    assert abs(got["a"][0] - got["b"][0]) < 1e-6
+
+
+def test_remove_function(udf_engine):
+    udf_engine.register_function("f1", lambda s: s, "double")
+    udf_engine.remove_function("F1")  # case-insensitive
+    assert "f1" not in udf_engine.functions
+
+
+def test_get_json_object(oracle):
+    oracle(
+        "SELECT event_id, CAST(get_json_object(props, '$.k') AS int) AS k "
+        "FROM events",
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS int) AS k "
+        "FROM events",
+    )
+
+
+def test_to_json_roundtrip(engine):
+    got = engine.query(
+        "SELECT json_array_length('[1,2,3]') AS n").toPandas()
+    assert got["n"][0] == 3
+
+
+def test_write_parquet_partitioned(engine, tmp_path):
+    df = engine.query("SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    out = str(tmp_path / "nation_parts")
+    sinks.write_parquet(df, out, partition_by=["n_regionkey"], target_files=2)
+    # directory-partitioned layout → partition pruning for readers
+    assert any(d.startswith("n_regionkey=") for d in os.listdir(out))
+    back = engine.spark.read.parquet(out)
+    assert back.count() == 25
+    assert set(back.columns) == {"n_nationkey", "n_name", "n_regionkey"}
+
+
+def test_write_csv_json_roundtrip(engine, tmp_path):
+    df = engine.query("SELECT r_regionkey, r_name FROM region")
+    csv_out, json_out = str(tmp_path / "r_csv"), str(tmp_path / "r_json")
+    sinks.write_csv(df, csv_out)
+    sinks.write_json(df, json_out)
+    assert engine.spark.read.options(header=True).csv(csv_out).count() == 5
+    assert engine.spark.read.json(json_out).count() == 5
+
+
+def test_write_bucketed_table(engine, tmp_path):
+    spark = engine.spark
+    df = engine.query("SELECT c_custkey, c_name, c_nationkey FROM customer")
+    try:
+        sinks.write_bucketed_table(df, "cust_bucketed",
+                                   bucket_cols=["c_custkey"], num_buckets=4,
+                                   sort_cols=["c_custkey"])
+        desc = spark.sql("DESCRIBE TABLE EXTENDED cust_bucketed").toPandas()
+        txt = " ".join(desc.astype(str).values.ravel())
+        assert "4 buckets" in txt or "Num Buckets" in txt
+        assert spark.table("cust_bucketed").count() == df.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cust_bucketed")
