@@ -327,6 +327,31 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
 
 # events_funnel_share uses a scalar subquery — not supported by design; swap
 # for a window formulation both engines accept.
+_PAIRS["cte_chained"] = (
+    "WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000), "
+    "cnt AS (SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey) "
+    "SELECT n, count(*) AS n_customers FROM cnt GROUP BY n", None)
+_PAIRS["group_rollup"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s "
+    "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)", None)
+_PAIRS["group_cube_grouping"] = (
+    "SELECT l_returnflag, l_linestatus, grouping(l_returnflag) AS gf, "
+    "grouping(l_linestatus) AS gs, count(*) AS n "
+    "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)", None)
+_PAIRS["group_grouping_sets"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+    "GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())", None)
+_PAIRS["window_named"] = (
+    "SELECT l_orderkey, l_linenumber, "
+    "CAST(sum(CAST(l_quantity AS decimal(18,2))) OVER w AS double) AS cum_qty, "
+    "rank() OVER w AS rk FROM lineitem "
+    "WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)", None)
+_PAIRS["subquery_scalar"] = (
+    "SELECT l_returnflag, "
+    "round(avg(l_quantity) - (SELECT avg(l_quantity) FROM lineitem), 4) AS delta "
+    "FROM lineitem GROUP BY l_returnflag", None)
+
 _PAIRS["events_json_extract"] = (
     "SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS int)) AS sum_k, "
     "count(*) AS n FROM events GROUP BY event_type",

@@ -35,6 +35,9 @@ def _arity_error(name: str, got: int, expected: str) -> InvalidQueryException:
 # handling in the compiler (star + distinct flags).
 
 AGGREGATE_FUNCTIONS: dict[str, ColumnBuilder] = {
+    # multidimensional-grouping indicators (ROLLUP/CUBE/GROUPING SETS)
+    "grouping": F.grouping,
+    "grouping_id": F.grouping_id,
     # reference surface (aggregation_aliases.py)
     "sum": F.sum,
     "avg": F.avg,

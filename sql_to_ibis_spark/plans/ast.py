@@ -116,6 +116,23 @@ class ExistsSubquery(Expr):
 
 
 @dataclass
+class ScalarSubquery(Expr):
+    """``(SELECT single_value)`` in an expression — uncorrelated scalar
+    subquery (extension; SURVEY §2.10 'Not present: ... scalar subqueries').
+    Compiled to a broadcast cross join, never a driver-side collect."""
+
+    subquery: "SelectNode | SetOpNode" = None
+
+
+@dataclass
+class ScalarRef(Expr):
+    """Internal marker: a scalar-subquery value materialized as a joined
+    column. Produced by the compiler's rewrite, never by the parser."""
+
+    name: str
+
+
+@dataclass
 class Like(Expr):
     """LIKE / ILIKE / RLIKE — extension beyond the reference surface."""
 
@@ -159,6 +176,7 @@ class WindowSpec(Node):
     frame_type: str | None = None  # 'rows' | 'range' | None (→ reference default)
     frame_start: FrameBound | None = None
     frame_end: FrameBound | None = None
+    ref: str | None = None  # named-window reference (WINDOW w AS (...))
 
 
 @dataclass
@@ -216,11 +234,15 @@ class SelectNode(Node):
     relations: list[Relation] = field(default_factory=list)  # comma list → cross join
     where: Expr | None = None
     group_by: list[Expr] = field(default_factory=list)
+    # None = plain GROUP BY; 'rollup' | 'cube' | 'grouping_sets' (extensions)
+    group_mode: str | None = None
+    grouping_sets: list[list[Expr]] = field(default_factory=list)
     having: Expr | None = None
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
     distinct: bool = False
+    windows: dict[str, WindowSpec] = field(default_factory=dict)  # WINDOW clause
 
 
 @dataclass
@@ -231,3 +253,14 @@ class SetOpNode(Node):
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None
+
+
+@dataclass
+class WithNode(Node):
+    """``WITH name AS (query) [, ...] body`` — common table expressions
+    (extension: absent from the reference grammar entirely; SURVEY §2.10
+    'Not present: ... CTEs')."""
+
+    ctes: list[tuple[str, "SelectNode | SetOpNode | WithNode"]] = field(
+        default_factory=list)
+    body: "SelectNode | SetOpNode | WithNode" = None

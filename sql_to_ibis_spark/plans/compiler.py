@@ -128,13 +128,31 @@ class Compiler:
         self._literal_counter = itertools.count()
         self._rel_counter = itertools.count()
         self._tmp_counter = itertools.count()
+        self._cte_frames: dict[str, DataFrame] = {}
+        self._window_defs: dict[str, ast.WindowSpec] = {}
 
     # ------------------------------------------------------------- top level
 
-    def compile(self, node: ast.SelectNode | ast.SetOpNode) -> DataFrame:
+    def compile(
+        self, node: ast.SelectNode | ast.SetOpNode | ast.WithNode
+    ) -> DataFrame:
+        if isinstance(node, ast.WithNode):
+            return self._compile_with(node)
         if isinstance(node, ast.SetOpNode):
             return self._compile_setop(node)
         return self._compile_select(node)
+
+    def _compile_with(self, node: ast.WithNode) -> DataFrame:
+        """CTEs compile to lazy DataFrames registered under their name for
+        the body's scope — Catalyst shares/reuses the subplan; later CTEs
+        may reference earlier ones."""
+        saved = dict(self._cte_frames)
+        try:
+            for name, query in node.ctes:
+                self._cte_frames[name.lower()] = self.compile(query)
+            return self.compile(node.body)
+        finally:
+            self._cte_frames = saved
 
     def _compile_setop(self, node: ast.SetOpNode) -> DataFrame:
         left = self.compile(node.left)
@@ -167,6 +185,15 @@ class Compiler:
     # ----------------------------------------------------------- SELECT body
 
     def _compile_select(self, node: ast.SelectNode) -> DataFrame:
+        saved_windows = self._window_defs
+        if node.windows:
+            self._window_defs = {**saved_windows, **node.windows}
+        try:
+            return self._compile_select_body(node)
+        finally:
+            self._window_defs = saved_windows
+
+    def _compile_select_body(self, node: ast.SelectNode) -> DataFrame:
         if node.relations:
             df: DataFrame | None = None
             rels: list[RelationInfo] = []
@@ -180,6 +207,8 @@ class Compiler:
         else:
             df = self.spark.range(1)
             scope = Scope([])
+
+        df = self._bind_scalar_subqueries(df, node)
 
         if node.where is not None:
             df = self._apply_where(df, node.where, scope)
@@ -202,12 +231,58 @@ class Compiler:
         df = self._apply_order_by(df, node.order_by)
         return self._apply_limit_offset(df, node.limit, node.offset)
 
+    # ----------------------------------------------------- scalar subqueries
+
+    def _bind_scalar_subqueries(
+        self, df: DataFrame, node: ast.SelectNode
+    ) -> DataFrame:
+        """Rewrite uncorrelated scalar subqueries to broadcast-cross-joined
+        single-row columns (``ScalarRef``). Fully lazy and distributed — the
+        one-row side broadcasts, so the join adds no shuffle. Takes the first
+        row if the subquery yields several (engines differ here; use an
+        aggregate for deterministic results)."""
+        scalars: list[tuple[str, DataFrame]] = []
+
+        def bind(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ScalarSubquery):
+                sub = self.compile(e.subquery)
+                if len(sub.columns) != 1:
+                    raise InvalidQueryException(
+                        f"scalar subquery must return exactly 1 column, "
+                        f"got {len(sub.columns)}"
+                    )
+                name = f"__scalar_{next(self._tmp_counter)}"
+                scalars.append((
+                    name,
+                    sub.select(F.col(_bq(sub.columns[0])).alias(name)).limit(1),
+                ))
+                return ast.ScalarRef(name=name)
+            return e
+
+        if node.where is not None:
+            node.where = _transform_expr(node.where, bind)
+        for item in node.items:
+            if not isinstance(item.expr, ast.Star):
+                item.expr = _transform_expr(item.expr, bind)
+        if node.having is not None:
+            node.having = _transform_expr(node.having, bind)
+        for _, sub in scalars:
+            # left join (not inner cross join) so an empty subquery yields
+            # NULL, matching SQL scalar-subquery semantics
+            df = df.join(F.broadcast(sub), F.lit(True), "left")
+        return df
+
     # -------------------------------------------------------------- FROM/join
 
     def _compile_relation(
         self, rel: ast.Relation, existing: list[RelationInfo]
     ) -> tuple[DataFrame, list[RelationInfo]]:
         if isinstance(rel, ast.TableRef):
+            cte = self._cte_frames.get(rel.name.lower())
+            if cte is not None:
+                display = rel.alias or rel.name
+                info = self._make_rel_info(display, cte, existing)
+                return cte.alias(info.qualifier), [info]
             entry = self.catalog.get(rel.name)
             display = rel.alias or entry.name
             info = self._make_rel_info(display, entry.df, existing)
@@ -483,6 +558,12 @@ class Compiler:
             k = key_for(expr)
             if k is not None:
                 return F.col(_bq(k["out"]))
+            if isinstance(expr, ast.ScalarRef):
+                # scalar-subquery value is constant per group; carry it
+                # through the aggregation with FIRST
+                name = f"__agg_{len(agg_cols)}"
+                agg_cols.append((F.first(F.col(_bq(expr.name))), name))
+                return F.col(name)
             if isinstance(expr, ast.FuncCall) and (
                 expr.name in AGGREGATE_FUNCTIONS or expr.is_star
             ):
@@ -530,7 +611,8 @@ class Compiler:
                              self._output_name(item, dups)))
 
         # ---- GROUP BY without aggregates → DISTINCT over selected keys
-        if not has_select_agg and node.having is None and not agg_cols:
+        if not has_select_agg and node.having is None and not agg_cols \
+                and node.group_mode is None:
             key_pairs = []
             for k in keys:
                 if k["identity"] in selected_key_ids:
@@ -552,7 +634,34 @@ class Compiler:
             # aggregates may be only in HAVING; need at least one agg column
             agg_cols.append((F.count(F.lit(1)), f"__agg_{len(agg_cols)}"))
         agg_exprs = [c.alias(n) for c, n in agg_cols]
-        if keys:
+        if keys and node.group_mode is not None:
+            # multidimensional grouping (extension; SURVEY §2.4 "Not
+            # present") — Catalyst expands these into an Expand node, one
+            # pass over the data for all grouping combinations. Keys must
+            # stay UNALIASED so grouping()/grouping_id() resolve against
+            # them (aliases get fresh exprIds per use in PySpark 4); output
+            # names are applied positionally after the agg.
+            raw_keys = [k["col"] for k in keys]
+            if node.group_mode == "rollup":
+                grouped = df.rollup(*raw_keys)
+            elif node.group_mode == "cube":
+                grouped = df.cube(*raw_keys)
+            else:  # grouping_sets
+                set_cols = []
+                for gset in node.grouping_sets:
+                    cols = []
+                    for g in gset:
+                        identity = self._canon(g, scope)
+                        k = next(k for k in keys if k["identity"] == identity)
+                        cols.append(k["col"])
+                    set_cols.append(cols)
+                grouped = df.groupingSets(set_cols, *raw_keys)
+            agged = grouped.agg(*agg_exprs)
+            agged = agged.select(
+                *[agged[i].alias(keys[i]["out"]) for i in range(len(keys))],
+                *[agged[i] for i in range(len(keys), len(agged.columns))],
+            )
+        elif keys:
             agged = df.groupBy(*key_exprs).agg(*agg_exprs)
         else:
             agged = df.agg(*agg_exprs)
@@ -639,6 +748,8 @@ class Compiler:
     def _compile_expr_generic(self, expr, recurse, scope: Scope | None = None) -> Column:
         """Compile every node type except ColumnRef, delegating child
         compilation to ``recurse`` (normal-scope vs post-agg resolution)."""
+        if isinstance(expr, ast.ScalarRef):
+            return F.col(_bq(expr.name))
         if isinstance(expr, ast.NumberLit):
             return F.lit(expr.value)
         if isinstance(expr, ast.StringLit):
@@ -805,6 +916,16 @@ class Compiler:
 
     def _compile_window(self, expr: ast.WindowFunc, recurse) -> Column:
         spec = expr.window
+        if spec.ref is not None:
+            # named window (WINDOW w AS (...)); the reference's grammar has
+            # this as a non-functional stub (sql.lark:144) — done properly
+            resolved = self._window_defs.get(spec.ref)
+            if resolved is None:
+                raise InvalidQueryException(
+                    f"unknown named window {spec.ref!r} (define it in a "
+                    f"WINDOW clause)"
+                )
+            spec = resolved
         func = expr.func
         parts = [recurse(p) for p in spec.partition_by]
         orders: list[Column] = []
@@ -875,6 +996,45 @@ class Compiler:
             # RANGE over unordered partition: all rows are peers
             return w.rowsBetween(UP, UF)
         return w.rangeBetween(start, end)
+
+
+def _transform_expr(expr: ast.Expr, fn) -> ast.Expr:
+    """Bottom-preserving expression rewrite: ``fn`` may replace a node;
+    otherwise children are rewritten in place. Does not descend into
+    subquery bodies (they compile in their own scope)."""
+    import dataclasses
+
+    replaced = fn(expr)
+    if replaced is not expr:
+        return replaced
+    if not dataclasses.is_dataclass(expr):
+        return expr
+    for f in dataclasses.fields(expr):
+        v = getattr(expr, f.name)
+        if isinstance(v, ast.Expr):
+            setattr(expr, f.name, _transform_expr(v, fn))
+        elif isinstance(v, ast.OrderItem):
+            v.expr = _transform_expr(v.expr, fn)
+        elif isinstance(v, ast.WindowSpec):
+            v.partition_by = [_transform_expr(p, fn) for p in v.partition_by]
+            for o in v.order_by:
+                o.expr = _transform_expr(o.expr, fn)
+        elif isinstance(v, list):
+            new = []
+            for item in v:
+                if isinstance(item, ast.Expr):
+                    new.append(_transform_expr(item, fn))
+                elif isinstance(item, tuple):
+                    new.append(tuple(
+                        _transform_expr(x, fn) if isinstance(x, ast.Expr) else x
+                        for x in item))
+                elif isinstance(item, ast.OrderItem):
+                    item.expr = _transform_expr(item.expr, fn)
+                    new.append(item)
+                else:
+                    new.append(item)
+            setattr(expr, f.name, new)
+    return expr
 
 
 def _children(node: object) -> list:

@@ -35,7 +35,7 @@ RESERVED = {
     "when", "then", "else", "end", "between", "in", "is", "null", "like",
     "ilike", "rlike", "exists", "distinct", "all", "cast", "over", "partition",
     "rows", "range", "unbounded", "preceding", "following", "current", "by",
-    "interval", "using", "natural", "window", "true", "false",
+    "interval", "using", "natural", "window", "true", "false", "with",
 }
 
 _JOIN_TYPES = {"inner", "left", "right", "full", "cross"}
@@ -49,7 +49,7 @@ _INTERVAL_UNITS = {
 _COMPARISON_OPS = {"=", "!=", "<>", "<", "<=", ">", ">=", "<=>"}
 
 
-def parse(sql: str) -> ast.SelectNode | ast.SetOpNode:
+def parse(sql: str) -> ast.SelectNode | ast.SetOpNode | ast.WithNode:
     return _Parser(tokenize(sql)).parse_statement()
 
 
@@ -118,12 +118,31 @@ class _Parser:
 
     # ------------------------------------------------------------ statements
 
-    def parse_statement(self) -> ast.SelectNode | ast.SetOpNode:
-        node = self.parse_set_expr()
+    def parse_statement(self) -> ast.SelectNode | ast.SetOpNode | ast.WithNode:
+        node = self._parse_with_or_set_expr()
         self.accept_op(";")
         if self.cur.kind != EOF:
             self._fail("unexpected trailing input")
         return node
+
+    def _parse_with_or_set_expr(self):
+        if not self.at_kw("with"):
+            return self.parse_set_expr()
+        self.advance()
+        if self.at_kw("recursive"):
+            self._fail("WITH RECURSIVE is not supported")
+        ctes: list[tuple[str, object]] = []
+        while True:
+            if self.cur.kind not in (IDENT, QIDENT):
+                self._fail("expected CTE name after WITH")
+            name = self.advance().text
+            self.expect_kw("as")
+            self.expect_op("(")
+            ctes.append((name, self._parse_with_or_set_expr()))
+            self.expect_op(")")
+            if not self.accept_op(","):
+                break
+        return ast.WithNode(ctes=ctes, body=self.parse_set_expr())
 
     def parse_set_expr(self) -> ast.SelectNode | ast.SetOpNode:
         """union/except level (INTERSECT binds tighter, SQL-standard).
@@ -184,13 +203,64 @@ class _Parser:
         if self.at_kw("group"):
             self.advance()
             self.expect_kw("by")
-            node.group_by = self._parse_expr_list()
+            self._parse_group_by_into(node)
         if self.accept_kw("having"):
             node.having = self.parse_expr()
+        if self.at_kw("window"):
+            self.advance()
+            while True:
+                if self.cur.kind not in (IDENT, QIDENT):
+                    self._fail("expected window name after WINDOW")
+                wname = self.advance().text
+                self.expect_kw("as")
+                node.windows[wname.lower()] = self._parse_window_spec()
+                if not self.accept_op(","):
+                    break
         if allow_order:
             node.order_by = self._parse_order_by_opt()
             node.limit, node.offset = self._parse_limit_offset_opt()
         return node
+
+    def _parse_group_by_into(self, node: ast.SelectNode) -> None:
+        """GROUP BY list | ROLLUP(...) | CUBE(...) | GROUPING SETS((...), ...)
+        — multidimensional grouping is an extension (SURVEY §2.4 'Not
+        present: grouping sets / cube / rollup')."""
+        if self.at_kw("rollup", "cube") and self.peek().text == "(":
+            node.group_mode = self.advance().text.lower()
+            self.expect_op("(")
+            node.group_by = self._parse_expr_list()
+            self.expect_op(")")
+            return
+        if self.at_kw("grouping") and self.peek().text.lower() == "sets":
+            self.advance()
+            self.advance()
+            node.group_mode = "grouping_sets"
+            self.expect_op("(")
+            seen: list[ast.Expr] = []
+
+            def add_key(e: ast.Expr) -> None:
+                for s in seen:
+                    if s == e:
+                        return
+                seen.append(e)
+
+            while True:
+                group: list[ast.Expr] = []
+                if self.accept_op("("):
+                    if not self.at_op(")"):
+                        group = self._parse_expr_list()
+                    self.expect_op(")")
+                else:
+                    group = [self.parse_expr()]
+                node.grouping_sets.append(group)
+                for e in group:
+                    add_key(e)
+                if not self.accept_op(","):
+                    break
+            self.expect_op(")")
+            node.group_by = seen
+            return
+        node.group_by = self._parse_expr_list()
 
     def _parse_select_items(self) -> list[ast.SelectItem]:
         items = [self._parse_select_item()]
@@ -454,8 +524,10 @@ class _Parser:
             return ast.StringLit(value=tok.text)
         if self.at_op("("):
             self.advance()
-            if self.at_kw("select"):
-                self._fail("scalar subqueries are not supported")
+            if self.at_kw("select", "with"):
+                sub = self._parse_with_or_set_expr()
+                self.expect_op(")")
+                return ast.ScalarSubquery(subquery=sub)
             expr = self.parse_expr()
             self.expect_op(")")
             return expr
@@ -538,6 +610,14 @@ class _Parser:
         call = ast.FuncCall(name=fname, args=args, distinct=distinct, is_star=is_star)
         if self.at_kw("over"):
             self.advance()
+            # OVER w → named-window reference (resolved at compile time
+            # against the WINDOW clause; reference stubs this — sql.lark:144)
+            if self.cur.kind in (IDENT, QIDENT) and \
+                    self.cur.text.lower() not in RESERVED:
+                return ast.WindowFunc(
+                    func=call,
+                    window=ast.WindowSpec(ref=self.advance().text.lower()),
+                )
             return ast.WindowFunc(func=call, window=self._parse_window_spec())
         return call
 

@@ -1,0 +1,145 @@
+"""SQL-surface extensions beyond the reference dialect: CTEs, multidimensional
+grouping (ROLLUP/CUBE/GROUPING SETS), named windows, scalar subqueries.
+
+The reference has none of these (SURVEY §2.4 'Not present: grouping sets /
+cube / rollup', §2.10 'Not present: ... scalar subqueries, CTEs'; named
+windows are a grammar stub, sql.lark:144). All checked against DuckDB, which
+shares the syntax."""
+
+from __future__ import annotations
+
+import pytest
+
+from sql_to_ibis_spark.errors import InvalidQueryException
+
+
+class TestCte:
+    def test_single_cte(self, oracle):
+        oracle("""
+            WITH big AS (SELECT o_custkey, o_totalprice FROM orders
+                         WHERE o_totalprice > 400000)
+            SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey
+        """)
+
+    def test_chained_ctes(self, oracle):
+        oracle("""
+            WITH big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 400000),
+                 cnt AS (SELECT o_custkey, count(*) AS n FROM big GROUP BY o_custkey)
+            SELECT n, count(*) AS n_customers FROM cnt GROUP BY n
+        """)
+
+    def test_cte_joined_with_table(self, oracle):
+        oracle("""
+            WITH nat AS (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1)
+            SELECT nat.n_name, count(*) AS n FROM customer c
+            JOIN nat ON c.c_nationkey = nat.n_nationkey GROUP BY nat.n_name
+        """)
+
+    def test_cte_used_twice(self, oracle):
+        oracle("""
+            WITH r AS (SELECT r_regionkey, r_name FROM region)
+            SELECT a.r_name AS name1, b.r_name AS name2
+            FROM r a JOIN r b ON a.r_regionkey = b.r_regionkey
+        """)
+
+    def test_cte_shadows_catalog_table(self, oracle):
+        oracle("""
+            WITH region AS (SELECT 1 AS x)
+            SELECT x FROM region
+        """)
+
+    def test_with_recursive_rejected(self, engine):
+        with pytest.raises(InvalidQueryException):
+            engine.query("WITH RECURSIVE r AS (SELECT 1 AS x) SELECT * FROM r")
+
+
+class TestMultidimensionalGrouping:
+    def test_rollup(self, oracle):
+        oracle("""
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s
+            FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        """)
+
+    def test_cube(self, oracle):
+        oracle("""
+            SELECT l_returnflag, l_linestatus, count(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        """)
+
+    def test_grouping_sets(self, oracle):
+        oracle("""
+            SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """)
+
+    def test_grouping_indicator(self, oracle):
+        oracle("""
+            SELECT l_returnflag, grouping(l_returnflag) AS g, count(*) AS n
+            FROM lineitem GROUP BY CUBE(l_returnflag)
+        """)
+
+    def test_rollup_expression_key_with_having(self, oracle):
+        oracle("""
+            SELECT year(o_orderdate) AS y, count(*) AS n
+            FROM orders GROUP BY ROLLUP(year(o_orderdate))
+            HAVING count(*) > 100
+        """)
+
+
+class TestNamedWindows:
+    def test_named_window_shared(self, oracle):
+        oracle("""
+            SELECT l_orderkey, l_linenumber,
+                   CAST(sum(CAST(l_quantity AS decimal(18,2))) OVER w AS double)
+                     AS cum_qty,
+                   rank() OVER w AS rk
+            FROM lineitem WHERE l_orderkey < 100
+            WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber)
+        """)
+
+    def test_unknown_named_window_raises(self, engine):
+        with pytest.raises(InvalidQueryException):
+            engine.query("SELECT rank() OVER nope FROM lineitem").collect()
+
+
+class TestScalarSubqueries:
+    def test_scalar_in_where(self, oracle):
+        oracle("""
+            SELECT count(*) AS n_above FROM orders
+            WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        """)
+
+    def test_scalar_in_select(self, oracle):
+        oracle("""
+            SELECT o_orderkey,
+                   round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6)
+                     AS price_frac
+            FROM orders WHERE o_orderkey < 50
+        """)
+
+    def test_scalar_in_grouped_select(self, oracle):
+        oracle("""
+            SELECT l_returnflag,
+                   round(avg(l_quantity) - (SELECT avg(l_quantity) FROM lineitem), 4)
+                     AS delta
+            FROM lineitem GROUP BY l_returnflag
+        """)
+
+    def test_scalar_from_cte(self, oracle):
+        oracle("""
+            WITH m AS (SELECT min(o_totalprice) AS lo FROM orders)
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice < 2 * (SELECT lo FROM m)
+        """)
+
+    def test_empty_scalar_subquery_is_null(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > (SELECT o_totalprice FROM orders WHERE o_orderkey < 0)
+        """)
+
+    def test_multi_column_scalar_raises(self, engine):
+        with pytest.raises(InvalidQueryException):
+            engine.query(
+                "SELECT (SELECT o_orderkey, o_custkey FROM orders) FROM orders")
