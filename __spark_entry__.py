@@ -571,3 +571,18 @@ def _add_pipeline_operators(out: dict) -> None:
                                         use_stub_decoder=True)
 
     out["pipeline_multimodal_decode_images"] = decode_images
+
+    # custom stateful operator (applyInPandasWithState on streams; this
+    # entry exercises the batch-fallback path — first row per key — over a
+    # deliberately duplicated input)
+    def stateful_dedup(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.streaming import stateful_dedup_stream
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        doubled = ev.union(ev)
+        return stateful_dedup_stream(doubled).select("event_id")
+
+    out["pipeline_stateful_dedup"] = stateful_dedup
+    _PIPELINE_ORACLES["pipeline_stateful_dedup"] = \
+        "SELECT DISTINCT event_id FROM events"

@@ -127,6 +127,75 @@ def sessionize(
     )
 
 
+def stateful_dedup_stream(
+    events: DataFrame,
+    key_col: str = "event_id",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Exactly-once-style streaming dedup: emit only the FIRST occurrence of
+    each ``key_col`` across micro-batches, using per-key state via
+    ``applyInPandasWithState`` (the custom-stateful-operator primitive the
+    built-in ops can't express — ``dropDuplicates`` on a stream keeps state
+    forever without a watermark; this variant can bound state with a
+    processing-time TTL instead — the right trade for an at-least-once
+    ingestion feed where duplicates arrive close together).
+
+    State per key is a single marker (seen). Keys partition across the
+    cluster by hash — state scales horizontally with executors. Pass
+    ``state_ttl_ms`` on a long-running stream to cap the state store at
+    (keys seen per TTL window) entries; leave it ``None`` on bounded
+    replays — timeout processing adds whole extra micro-batches under
+    ``availableNow`` triggers.
+
+    On a batch DataFrame this falls back to first-row-per-key (same
+    semantics, no state store).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    out_schema = events.schema
+    state_schema = T.StructType([T.StructField("seen", T.IntegerType())])
+
+    if not events.isStreaming:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(F.monotonically_increasing_id())
+        return (events.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1).drop("__rn"))
+
+    cols = [f.name for f in out_schema.fields]
+
+    def dedup(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        first_batch = not state.exists
+        if first_batch:
+            state.update((1,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
+            for pdf in pdf_iter:
+                if len(pdf):
+                    yield pdf.head(1)[cols]
+                    return
+        else:
+            # drain without emitting (duplicate key)
+            for _ in pdf_iter:
+                pass
+
+    return (
+        events.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=("ProcessingTimeTimeout" if state_ttl_ms is not None
+                         else "NoTimeout"),
+        )
+    )
+
+
 def run_stream_to_memory(
     spark: SparkSession, streaming_df: DataFrame, query_name: str,
     output_mode: str = "append",

@@ -78,3 +78,25 @@ def test_sliding_counts_overlap(events):
     clicks = events.filter(F.col("event_type") == "click").count()
     # every event is counted in exactly 2 overlapping windows
     assert total_in_windows == 2 * clicks
+
+
+def test_stateful_dedup_stream(spark, events):
+    from sql_to_ibis_spark.streaming import stateful_dedup_stream
+
+    base = events.limit(200).coalesce(1)
+    doubled = base.union(base).coalesce(2)
+    stream = stream_from_table(spark, doubled)
+    result = run_stream_to_memory(
+        spark, stateful_dedup_stream(stream), "t_stateful_dedup")
+    n_distinct = base.select("event_id").distinct().count()
+    # every key emitted exactly once across micro-batches
+    assert result.count() == n_distinct
+    assert result.select("event_id").distinct().count() == n_distinct
+
+
+def test_stateful_dedup_batch_fallback(events):
+    from sql_to_ibis_spark.streaming import stateful_dedup_stream
+
+    doubled = events.limit(100).union(events.limit(100))
+    out = stateful_dedup_stream(doubled)
+    assert out.count() == 100
