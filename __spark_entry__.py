@@ -462,6 +462,18 @@ def _add_pipeline_operators(out: dict) -> None:
         ORDER BY sim DESC, e.vec_id LIMIT 10
     """
 
+    # IVF ANN (probe-all config → exhaustive → same oracle as brute force;
+    # nprobe < nlist is the production scale dial, tested separately)
+    def ann_ivf(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return similarity.ivf_ann_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                       k=10, nlist=4, nprobe=4) \
+            .select("vec_id", "sim")
+
+    out["pipeline_ann_ivf"] = ann_ivf
+    _PIPELINE_ORACLES["pipeline_ann_ivf"] = \
+        _PIPELINE_ORACLES["pipeline_ann_cosine_topk"]
+
     # minhash-LSH near-dup candidates: no tractable SQL oracle → rows-only
     def dedup_minhash(spark, sf_dir):
         _engine_for(spark, sf_dir)

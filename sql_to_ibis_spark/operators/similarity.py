@@ -129,6 +129,80 @@ def lsh_ann_candidates(
     )
 
 
+def build_ivf_index(
+    embs: DataFrame,
+    nlist: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, np.ndarray]:
+    """IVF index build: k-means the corpus into ``nlist`` coarse cells and
+    assign every vector to its nearest centroid.
+
+    Returns (assigned_df with a ``cell`` column, centroids ndarray). The fit
+    is an eager Spark job (index building always is); the assigned frame is
+    lazy and should be persisted/written partitioned-by-cell in a real
+    deployment so searches prune cells at the scan.
+
+    Vectors are L2-normalized first, so euclidean k-means approximates
+    spherical (cosine) clustering.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    norm = embs.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            _to_double(F.col(vec_col)),
+            lambda x: x / l2_norm(F.col(vec_col)).cast("double"),
+        ).alias("nvec"),
+    )
+    with_vec = norm.withColumn("features", array_to_vector("nvec"))
+    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(with_vec)
+    centroids = np.vstack([np.asarray(c) for c in model.clusterCenters()])
+    assigned = model.transform(with_vec).select(
+        "id", "nvec", F.col("prediction").alias("cell"))
+    return assigned, centroids
+
+
+def ivf_ann_topk(
+    embs: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: search only the ``nprobe`` cells whose
+    centroids are nearest the query — scanning ~nprobe/nlist of the corpus
+    instead of all of it (the standard recall/cost dial; raise nlist with
+    corpus size, nprobe with recall needs).
+
+    The cell filter is a plain ``isin`` predicate: with the index written
+    partitioned-by-cell it becomes partition pruning at the parquet scan.
+    """
+    assigned, centroids = build_ivf_index(embs, nlist, id_col, vec_col)
+    qrow = assigned.filter(F.col("id") == query_vec_id) \
+                   .select("nvec").head()
+    if qrow is None:
+        raise ValueError(f"query vector {query_vec_id} not found")
+    qvec = np.array(qrow["nvec"])
+    cell_dist = ((centroids - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(cell_dist)[:nprobe]]
+
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    sim = dot(F.col("nvec"), qlit)  # normalized → dot == cosine
+    return (
+        assigned.filter(F.col("cell").isin(probe_cells))
+        .filter(F.col("id") != query_vec_id)
+        .select(F.col("id").alias(id_col), F.round(sim, 4).alias("sim"),
+                F.col("cell"))
+        .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def embedding_near_duplicates(
     embs: DataFrame,
     threshold: float = 0.95,

@@ -216,3 +216,34 @@ def test_blob_dedup(spark):
         [(1, b"same"), (2, b"same"), (3, b"other")], ["doc_id", "blob"]
     )
     assert multimodal.exact_blob_dedup(df).count() == 2
+
+
+def test_ivf_probe_all_matches_brute_force(embs):
+    from sql_to_ibis_spark.operators import similarity
+
+    exact = [r["vec_id"] for r in
+             similarity.cosine_topk_vs_query(embs, 0, k=10).collect()]
+    ivf = [r["vec_id"] for r in
+           similarity.ivf_ann_topk(embs, 0, k=10, nlist=4, nprobe=4).collect()]
+    # probing every cell makes IVF exhaustive → exact ranking
+    assert ivf == exact
+
+
+def test_ivf_partial_probe_recall(embs):
+    from sql_to_ibis_spark.operators import similarity
+
+    exact = {r["vec_id"] for r in
+             similarity.cosine_topk_vs_query(embs, 0, k=10).collect()}
+    got = similarity.ivf_ann_topk(embs, 0, k=10, nlist=8, nprobe=2).collect()
+    assert len(got) == 10
+    # random near-orthogonal corpus is ANN's worst case; still expect
+    # meaningful recall from 2/8 cells
+    assert len({r["vec_id"] for r in got} & exact) >= 5
+
+
+def test_ivf_unknown_query_raises(embs):
+    from sql_to_ibis_spark.operators import similarity
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        similarity.ivf_ann_topk(embs, query_vec_id=10**9)
