@@ -352,6 +352,29 @@ _PAIRS["subquery_scalar"] = (
     "round(avg(l_quantity) - (SELECT avg(l_quantity) FROM lineitem), 4) AS delta "
     "FROM lineitem GROUP BY l_returnflag", None)
 
+_PAIRS["subquery_correlated_exists_q4"] = (
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP('1995-01-01') "
+    "AND o_orderdate < TIMESTAMP('1995-04-01') "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority",
+    "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
+    "WHERE o_orderdate >= TIMESTAMP '1995-01-01' "
+    "AND o_orderdate < TIMESTAMP '1995-04-01' "
+    "AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+    "AND l.l_shipdate > o.o_orderdate) "
+    "GROUP BY o_orderpriority")
+_PAIRS["subquery_correlated_not_exists"] = (
+    "SELECT count(*) AS n FROM orders o "
+    "WHERE NOT EXISTS (SELECT 1 FROM lineitem l "
+    "WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')", None)
+_PAIRS["subquery_correlated_scalar_q17"] = (
+    "SELECT round(CAST(sum(l_extendedprice) AS double) / 7.0, 2) AS avg_yearly "
+    "FROM lineitem l1 WHERE l1.l_quantity < "
+    "(SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey)", None)
+
 _PAIRS["events_json_extract"] = (
     "SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS int)) AS sum_k, "
     "count(*) AS n FROM events GROUP BY event_type",

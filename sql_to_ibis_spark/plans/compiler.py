@@ -114,6 +114,23 @@ class Scope:
         return {low for low, cnt in seen.items() if cnt > 1}
 
 
+class ChainScope(Scope):
+    """Two-level resolution for correlated subqueries: the inner (subquery)
+    scope wins for unqualified names, outer references fall through —
+    SQL's innermost-scope-first rule."""
+
+    def __init__(self, inner: Scope, outer: Scope):
+        super().__init__(inner.relations + outer.relations)
+        self.inner = inner
+        self.outer = outer
+
+    def resolve(self, name: str, qualifier: str | None = None):
+        try:
+            return self.inner.resolve(name, qualifier)
+        except ColumnNotFoundError:
+            return self.outer.resolve(name, qualifier)
+
+
 class Compiler:
     """Compiles one parsed statement; instance-scoped naming counters
     (the reference used class-level globals with reset hooks —
@@ -208,7 +225,7 @@ class Compiler:
             df = self.spark.range(1)
             scope = Scope([])
 
-        df = self._bind_scalar_subqueries(df, node)
+        df = self._bind_scalar_subqueries(df, node, scope)
 
         if node.where is not None:
             df = self._apply_where(df, node.where, scope)
@@ -234,30 +251,37 @@ class Compiler:
     # ----------------------------------------------------- scalar subqueries
 
     def _bind_scalar_subqueries(
-        self, df: DataFrame, node: ast.SelectNode
+        self, df: DataFrame, node: ast.SelectNode, scope: Scope
     ) -> DataFrame:
-        """Rewrite uncorrelated scalar subqueries to broadcast-cross-joined
-        single-row columns (``ScalarRef``). Fully lazy and distributed — the
-        one-row side broadcasts, so the join adds no shuffle. Takes the first
-        row if the subquery yields several (engines differ here; use an
-        aggregate for deterministic results)."""
-        scalars: list[tuple[str, DataFrame]] = []
+        """Rewrite scalar subqueries into joins (``ScalarRef`` columns).
+
+        Uncorrelated: broadcast left join of the 1-row side — lazy and
+        distributed, no collect. Takes the first row if the subquery yields
+        several (use an aggregate for deterministic results).
+
+        Correlated (equality correlation + aggregate select, the TPC-H
+        Q2/Q17 shape): classic decorrelation — aggregate the inner relation
+        grouped by its correlation keys, left-join on them. One shuffle on
+        the keys instead of a per-outer-row subquery."""
+        joins: list[tuple[DataFrame, Column | None]] = []
 
         def bind(e: ast.Expr) -> ast.Expr:
-            if isinstance(e, ast.ScalarSubquery):
-                sub = self.compile(e.subquery)
-                if len(sub.columns) != 1:
-                    raise InvalidQueryException(
-                        f"scalar subquery must return exactly 1 column, "
-                        f"got {len(sub.columns)}"
-                    )
-                name = f"__scalar_{next(self._tmp_counter)}"
-                scalars.append((
-                    name,
-                    sub.select(F.col(_bq(sub.columns[0])).alias(name)).limit(1),
-                ))
-                return ast.ScalarRef(name=name)
-            return e
+            if not isinstance(e, ast.ScalarSubquery):
+                return e
+            if self._is_correlated(e.subquery, scope):
+                return self._bind_correlated_scalar(e.subquery, scope, joins)
+            sub = self.compile(e.subquery)
+            if len(sub.columns) != 1:
+                raise InvalidQueryException(
+                    f"scalar subquery must return exactly 1 column, "
+                    f"got {len(sub.columns)}"
+                )
+            name = f"__scalar_{next(self._tmp_counter)}"
+            joins.append((
+                sub.select(F.col(_bq(sub.columns[0])).alias(name)).limit(1),
+                None,
+            ))
+            return ast.ScalarRef(name=name)
 
         if node.where is not None:
             node.where = _transform_expr(node.where, bind)
@@ -266,11 +290,73 @@ class Compiler:
                 item.expr = _transform_expr(item.expr, bind)
         if node.having is not None:
             node.having = _transform_expr(node.having, bind)
-        for _, sub in scalars:
-            # left join (not inner cross join) so an empty subquery yields
-            # NULL, matching SQL scalar-subquery semantics
-            df = df.join(F.broadcast(sub), F.lit(True), "left")
+        for sub, cond in joins:
+            if cond is None:
+                # left join (not inner cross join) so an empty subquery
+                # yields NULL, matching SQL scalar-subquery semantics
+                df = df.join(F.broadcast(sub), F.lit(True), "left")
+            else:
+                df = df.join(sub, cond, "left")
         return df
+
+    def _bind_correlated_scalar(
+        self, sub: ast.SelectNode, scope: Scope,
+        joins: list[tuple[DataFrame, Column | None]],
+    ) -> ast.Expr:
+        if len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star):
+            raise InvalidQueryException(
+                "scalar subquery must return exactly 1 column")
+        if sub.group_by or sub.having is not None or sub.distinct \
+                or sub.limit is not None:
+            raise InvalidQueryException(
+                "correlated scalar subqueries support only a plain "
+                "aggregate SELECT")
+        if not self._contains_aggregate(sub.items[0].expr):
+            raise InvalidQueryException(
+                "correlated scalar subqueries must select an aggregate "
+                "(e.g. (SELECT avg(x) FROM t WHERE t.k = outer.k))")
+        inner_df, inner_scope, _, correlated = \
+            self._compile_inner_from(sub, scope)
+        key_cols: list[Column] = []
+        key_names: list[str] = []
+        cond: Column | None = None
+        for conj in correlated:
+            if not (isinstance(conj, ast.BinaryOp) and conj.op == "="):
+                raise InvalidQueryException(
+                    "correlated scalar subqueries support only equality "
+                    "correlation (inner_col = outer_col)")
+            li = self._resolves_in(conj.left, inner_scope)
+            ri = self._resolves_in(conj.right, inner_scope)
+            lo = self._resolves_in(conj.left, scope)
+            ro = self._resolves_in(conj.right, scope)
+            if li and ro and not (ri and lo):
+                inner_e, outer_e = conj.left, conj.right
+            elif ri and lo:
+                inner_e, outer_e = conj.right, conj.left
+            else:
+                raise InvalidQueryException(
+                    "correlation predicate must compare an inner column "
+                    "with an outer column")
+            kname = f"__ck_{next(self._tmp_counter)}"
+            key_cols.append(self.compile_expr(inner_e, inner_scope).alias(kname))
+            key_names.append(kname)
+            outer_col = self.compile_expr(outer_e, scope)
+            piece = outer_col == F.col(_bq(kname))
+            cond = piece if cond is None else (cond & piece)
+        name = f"__scalar_{next(self._tmp_counter)}"
+        value = self.compile_expr(sub.items[0].expr, inner_scope)
+        grouped = inner_df.groupBy(*key_cols).agg(value.alias(name))
+        joins.append((grouped, cond))
+        ref: ast.Expr = ast.ScalarRef(name=name)
+        root = sub.items[0].expr
+        if isinstance(root, ast.FuncCall) and (root.name == "count"
+                                               or root.is_star):
+            # COUNT over an empty correlated group is 0, not NULL; the
+            # groupBy rewrite produces no row → coalesce restores SQL
+            # semantics
+            ref = ast.FuncCall(name="coalesce",
+                               args=[ref, ast.NumberLit(value=0)])
+        return ref
 
     # -------------------------------------------------------------- FROM/join
 
@@ -335,7 +421,7 @@ class Compiler:
                 )
             elif isinstance(node, ast.ExistsSubquery):
                 df = self._apply_exists(
-                    df, node, negated=node.negated ^ negated
+                    df, node, scope, negated=node.negated ^ negated
                 )
             else:
                 if self._contains_subquery(conjunct):
@@ -366,9 +452,124 @@ class Compiler:
         visit(expr)
         return found
 
+    # ----------------------------------------------- correlated decorrelation
+
+    def _resolves_in(self, expr: ast.Expr, scope: Scope) -> bool:
+        """True iff every column reference in ``expr`` resolves in ``scope``
+        (i.e. the conjunct is local to the subquery, not correlated)."""
+        ok = True
+
+        def visit(e: object) -> None:
+            nonlocal ok
+            if not ok:
+                return
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    scope.resolve(e.name, e.table)
+                except (ColumnNotFoundError, AmbiguousColumnException):
+                    ok = False
+                return
+            for child in _children(e):
+                visit(child)
+
+        visit(expr)
+        return ok
+
+    def _compile_inner_from(
+        self, sub: ast.SelectNode, outer_scope: Scope
+    ) -> tuple[DataFrame, Scope, list[ast.Expr], list[ast.Expr]]:
+        """Compile a correlated subquery's FROM + WHERE split: returns
+        (inner_df filtered by local conjuncts, inner scope, local conjuncts,
+        correlated conjuncts). Inner qualifiers are uniquified against the
+        outer relations so self-referencing subqueries (EXISTS over the same
+        table) compile unambiguously."""
+        inner_df: DataFrame | None = None
+        inner_rels: list[RelationInfo] = []
+        for rel_ast in sub.relations:
+            rdf, rinfos = self._compile_relation(
+                rel_ast, list(outer_scope.relations) + inner_rels)
+            inner_df = rdf if inner_df is None else inner_df.crossJoin(rdf)
+            inner_rels.extend(rinfos)
+        inner_scope = Scope(inner_rels)
+        local: list[ast.Expr] = []
+        correlated: list[ast.Expr] = []
+        for conj in (self._split_conjuncts(sub.where) if sub.where is not None
+                     else []):
+            if self._contains_subquery(conj):
+                raise InvalidQueryException(
+                    "nested IN/EXISTS inside a correlated subquery is not "
+                    "supported")
+            (local if self._resolves_in(conj, inner_scope)
+             else correlated).append(conj)
+        for conj in local:
+            inner_df = inner_df.filter(self.compile_expr(conj, inner_scope))
+        return inner_df, inner_scope, local, correlated
+
+    def _correlated_semi_join(
+        self,
+        df: DataFrame,
+        sub: ast.SelectNode,
+        scope: Scope,
+        negated: bool,
+        operand: ast.Expr | None = None,
+    ) -> DataFrame | None:
+        """Decorrelate EXISTS/IN into a distributed semi/anti hash join on
+        the extracted correlation predicates — the scalable plan (a per-row
+        subquery would be O(n·m); the join is one shuffle on the correlation
+        keys, AQE-handled like any other join). Returns None when the
+        subquery turns out to be uncorrelated (caller uses the cheaper
+        marker/semi paths)."""
+        if not isinstance(sub, ast.SelectNode) or not sub.relations:
+            return None
+        if sub.group_by or sub.having is not None or sub.distinct \
+                or sub.limit is not None or sub.offset is not None:
+            # aggregated/limited subqueries: only the uncorrelated path
+            return None
+        inner_df, inner_scope, _, correlated = \
+            self._compile_inner_from(sub, scope)
+        if not correlated and operand is None:
+            return None
+        chain = ChainScope(inner_scope, scope)
+        cond: Column | None = None
+        for conj in correlated:
+            col = self.compile_expr(conj, chain)
+            cond = col if cond is None else (cond & col)
+        if operand is not None:
+            if len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star):
+                raise InvalidQueryException(
+                    "IN subquery must return exactly 1 column")
+            sel_col = self.compile_expr(sub.items[0].expr, chain)
+            op_col = self.compile_expr(operand, scope)
+            eq = op_col == sel_col
+            cond = eq if cond is None else (cond & eq)
+        if cond is None:
+            return None
+        return df.join(inner_df, cond, "left_anti" if negated else "left_semi")
+
+    def _is_correlated(self, sub, scope: Scope) -> bool:
+        if not isinstance(sub, ast.SelectNode) or not sub.relations \
+                or sub.where is None:
+            return False
+        try:
+            _, _, _, correlated = self._compile_inner_from(sub, scope)
+        except InvalidQueryException:
+            return False
+        return bool(correlated)
+
     def _apply_in_subquery(
         self, df: DataFrame, node: ast.InSubquery, scope: Scope, negated: bool
     ) -> DataFrame:
+        if self._is_correlated(node.subquery, scope):
+            if negated:
+                # correlated NOT IN has three-valued NULL semantics a plain
+                # anti join can't express; require the NOT EXISTS form
+                raise InvalidQueryException(
+                    "correlated NOT IN is not supported — rewrite as "
+                    "NOT EXISTS")
+            out = self._correlated_semi_join(
+                df, node.subquery, scope, negated, operand=node.operand)
+            if out is not None:
+                return out
         sub = self.compile(node.subquery)
         if len(sub.columns) != 1:
             # parity: reference raises when IN-subquery has >1 column
@@ -399,8 +600,14 @@ class Compiler:
         return out.drop(n_col, nn_col)
 
     def _apply_exists(
-        self, df: DataFrame, node: ast.ExistsSubquery, negated: bool
+        self, df: DataFrame, node: ast.ExistsSubquery, scope: Scope,
+        negated: bool
     ) -> DataFrame:
+        if self._is_correlated(node.subquery, scope):
+            out = self._correlated_semi_join(
+                df, node.subquery, scope, negated)
+            if out is not None:
+                return out
         # Uncorrelated EXISTS: broadcast a 0/1-row marker, left-join, filter.
         sub = self.compile(node.subquery)
         tag = f"__exists_{next(self._tmp_counter)}"

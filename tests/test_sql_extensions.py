@@ -143,3 +143,80 @@ class TestScalarSubqueries:
         with pytest.raises(InvalidQueryException):
             engine.query(
                 "SELECT (SELECT o_orderkey, o_custkey FROM orders) FROM orders")
+
+
+class TestCorrelatedSubqueries:
+    """Join-based decorrelation (no per-row execution): EXISTS/IN → semi
+    join on extracted correlation predicates, aggregate scalar → groupBy
+    rewrite + left join."""
+
+    def test_correlated_exists(self, oracle):
+        oracle("""
+            SELECT o_orderpriority, count(*) AS n FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity > 49)
+            GROUP BY o_orderpriority
+        """)
+
+    def test_correlated_not_exists(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                              WHERE l.l_orderkey = o.o_orderkey
+                              AND l.l_returnflag = 'R')
+        """)
+
+    def test_correlated_exists_theta(self, oracle):
+        # non-equi correlation predicate also decorrelates (theta semi join)
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_extendedprice > o.o_totalprice / 2)
+        """)
+
+    def test_correlated_in(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE o.o_orderkey IN (SELECT l.l_orderkey FROM lineitem l
+                                   WHERE l.l_orderkey = o.o_orderkey
+                                   AND l.l_discount > 0.09)
+        """)
+
+    def test_correlated_scalar_avg(self, oracle):
+        # TPC-H Q17 shape
+        oracle("""
+            SELECT round(CAST(sum(l_extendedprice) AS double) / 7.0, 2)
+                     AS avg_yearly
+            FROM lineitem l1
+            WHERE l1.l_quantity <
+                  (SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2
+                   WHERE l2.l_orderkey = l1.l_orderkey)
+        """)
+
+    def test_correlated_scalar_count_empty_is_zero(self, oracle):
+        oracle("""
+            SELECT c_custkey,
+                   (SELECT count(*) FROM orders o
+                    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 500000)
+                     AS n_big
+            FROM customer c
+        """)
+
+    def test_correlated_scalar_in_select(self, oracle):
+        oracle("""
+            SELECT n_name,
+                   (SELECT max(c_acctbal) FROM customer c
+                    WHERE c.c_nationkey = n.n_nationkey) AS top_bal
+            FROM nation n
+        """)
+
+    def test_correlated_not_in_raises(self, engine):
+        with pytest.raises(InvalidQueryException):
+            engine.query("""
+                SELECT count(*) AS n FROM orders o
+                WHERE o.o_orderkey NOT IN
+                      (SELECT l.l_orderkey FROM lineitem l
+                       WHERE l.l_orderkey = o.o_orderkey)
+            """)
