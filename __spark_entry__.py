@@ -269,6 +269,38 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
         "JOIN (SELECT c_custkey, c_name FROM customer) b "
         "ON a.o_custkey = b.c_custkey", None),
     # ---- TPC-H-style composites (headline/bench queries) ----
+    "tpch_q18_large_volume_customer": (
+        "SELECT c_name, o.o_orderkey, o_totalprice, "
+        "CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS total_qty "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 200) "
+        "GROUP BY c_name, o.o_orderkey, o_totalprice "
+        "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100",
+        "SELECT c_name, o.o_orderkey AS o_orderkey, o_totalprice, "
+        "CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS total_qty "
+        "FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+        "WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING sum(l_quantity) > 200) "
+        "GROUP BY c_name, o.o_orderkey, o_totalprice "
+        "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100"),
+    "agg_percentile": (
+        "SELECT l_returnflag, "
+        "round(percentile(l_extendedprice, 0.5), 2) AS p50, "
+        "round(percentile(l_extendedprice, 0.95), 2) AS p95 "
+        "FROM lineitem GROUP BY l_returnflag",
+        # Spark percentile() is exact interpolated = ANSI percentile_cont =
+        # DuckDB quantile_cont; approx_percentile/percentile_approx are the
+        # sketch-based scale path (tested with tolerance in tests/)
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 2) AS p50, "
+        "round(quantile_cont(l_extendedprice, 0.95), 2) AS p95 "
+        "FROM lineitem GROUP BY l_returnflag"),
+
     "tpch_q1_pricing_summary": (FLAGSHIP_SQL, FLAGSHIP_ORACLE),
     "tpch_q3_shipping_priority": (
         "SELECT l.l_orderkey, "

@@ -60,6 +60,13 @@ AGGREGATE_FUNCTIONS: dict[str, ColumnBuilder] = {
     "last": F.last,
     "any_value": F.any_value,
     "approx_count_distinct": F.approx_count_distinct,
+    # sketch-style approximations: the scale path when exactness isn't
+    # needed (HLL / quantile-sketch aggregations, no full shuffle of
+    # distinct values)
+    "approx_percentile": F.percentile_approx,
+    "percentile_approx": F.percentile_approx,
+    "percentile": F.percentile,  # exact interpolated (ANSI percentile_cont)
+    "hll_sketch_estimate": F.approx_count_distinct,
     "bool_and": F.bool_and,
     "bool_or": F.bool_or,
     "bit_and": F.bit_and,

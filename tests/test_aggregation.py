@@ -102,3 +102,22 @@ def test_sum_string_raises(engine):
 def test_agg_alias_matches_oracle_names(engine):
     df = engine.query("SELECT sum(l_quantity) FROM lineitem")
     assert df.columns == ["_col0"]  # unaliased aggregate auto-name
+
+
+def test_exact_percentile_vs_duckdb(oracle):
+    oracle(
+        "SELECT l_returnflag, round(percentile(l_extendedprice, 0.5), 2) AS p50 "
+        "FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 2) AS p50 "
+        "FROM lineitem GROUP BY l_returnflag",
+    )
+
+
+def test_approx_percentile_close_to_exact(engine):
+    got = engine.query(
+        "SELECT round(percentile(l_extendedprice, 0.5), 2) AS exact_p50, "
+        "round(approx_percentile(l_extendedprice, 0.5, 10000), 2) AS approx_p50 "
+        "FROM lineitem").toPandas()
+    exact, approx = got["exact_p50"][0], got["approx_p50"][0]
+    # sketch error bound: well under 1% at this accuracy
+    assert abs(exact - approx) / exact < 0.01

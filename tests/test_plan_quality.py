@@ -1,0 +1,102 @@
+"""Plan-quality regression tests: the compiled DataFrame plans must keep the
+shapes that make them scale — pushed filters, pruned scans, broadcast dim
+joins, partial aggregation, TakeOrderedAndProject top-k, and no Python
+row-UDFs in the scalar path. A correctness-preserving change that loses one
+of these silently costs 10-100× at 100 TB; these tests make that loud."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(engine):
+    df = engine.query(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 40")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThan(l_quantity,40" in plan.replace(" ", "")
+
+
+def test_column_pruning_reaches_scan(engine):
+    df = engine.query("SELECT l_orderkey, l_quantity FROM lineitem")
+    plan = plan_of(df)
+    # the 11-column table must be read as exactly the 2 projected columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+
+
+def test_dimension_join_broadcasts(engine):
+    df = engine.query(
+        "SELECT c.c_name, n.n_name FROM customer c "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey")
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregation_is_partial(engine):
+    df = engine.query(
+        "SELECT l_returnflag, sum(l_quantity) AS s FROM lineitem "
+        "GROUP BY l_returnflag")
+    plan = plan_of(df)
+    # map-side partial + final: two HashAggregates around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+
+
+def test_topk_plans_take_ordered(engine):
+    df = engine.query(
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC LIMIT 10")
+    plan = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_scalar_path_has_no_python_udf(engine):
+    df = engine.query(
+        "SELECT upper(l_returnflag) AS u, l_quantity * 2 AS q2, "
+        "CASE WHEN l_discount > 0.05 THEN 'hi' ELSE 'lo' END AS b "
+        "FROM lineitem WHERE l_extendedprice BETWEEN 100 AND 50000")
+    plan = plan_of(df, "simple")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # '*(N)' prefixes mark whole-stage-codegen spans in simple mode
+    assert "*(1)" in plan
+
+
+def test_in_subquery_is_semi_join_not_collect(engine):
+    df = engine.query(
+        "SELECT c_custkey FROM customer WHERE c_nationkey IN "
+        "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)")
+    plan = plan_of(df, "simple")
+    assert "LeftSemi" in plan
+
+
+def test_correlated_exists_is_semi_join(engine):
+    df = engine.query(
+        "SELECT o_orderkey FROM orders o WHERE EXISTS "
+        "(SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
+        "AND l.l_quantity > 49)")
+    plan = plan_of(df, "simple")
+    # decorrelated to a hash semi join on the correlation key — the plan
+    # must not contain a nested-loop over the outer side
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scalar_subquery_joins_broadcast(engine):
+    df = engine.query(
+        "SELECT count(*) AS n FROM orders "
+        "WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)")
+    plan = plan_of(df, "simple")
+    # 1-row side broadcast; no shuffle of the outer table for the bind
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
