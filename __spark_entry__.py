@@ -433,6 +433,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable equivalents; keys match queries()."""
+    if not _PIPELINE_ORACLES:
+        # populate the pipeline oracle map even if queries() wasn't called
+        _add_pipeline_operators({})
     out: dict[str, str] = {}
     for name, (engine_sql, oracle) in _PAIRS.items():
         out[name] = oracle if oracle is not None else engine_sql

@@ -34,6 +34,12 @@ HEADLINE = [
     "top_k",
     "union_all",
     "events_tumbling_window",
+    "cte_chained",
+    "group_rollup",
+    "subquery_correlated_exists_q4",
+    "subquery_correlated_scalar_q17",
+    "tpch_q18_large_volume_customer",
+    "events_json_extract",
     "pipeline_dedup_exact",
     "pipeline_dedup_minhash_lsh",
     "pipeline_ann_cosine_topk",
