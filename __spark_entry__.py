@@ -642,6 +642,54 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_multimodal_decode_images"] = decode_images
 
+    # streaming operators, batch-parity path (identical expressions run on
+    # readStream frames with watermarks; see streaming/ops.py + tests)
+    def streaming_tumbling(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.streaming import tumbling_counts
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        out_df = tumbling_counts(ev, window_duration="1 hour")
+        return out_df.select("window_start", "window_end", "event_type", "n",
+                             F.round("total_value", 4).alias("total_value"))
+
+    out["pipeline_streaming_tumbling"] = streaming_tumbling
+    _PIPELINE_ORACLES["pipeline_streaming_tumbling"] = """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2, 3
+    """
+
+    def streaming_sessionize(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.streaming import sessionize
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        return sessionize(ev, gap="30 minutes")
+
+    out["pipeline_streaming_sessionize"] = streaming_sessionize
+    _PIPELINE_ORACLES["pipeline_streaming_sessionize"] = """
+        WITH marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL THEN 1
+                      WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1
+                      ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM marked
+        )
+        SELECT user_id, session_id, min(ts) AS session_start,
+               max(ts) AS session_end, count(*) AS n_events
+        FROM sess GROUP BY user_id, session_id
+    """
+
     # custom stateful operator (applyInPandasWithState on streams; this
     # entry exercises the batch-fallback path — first row per key — over a
     # deliberately duplicated input)
