@@ -100,3 +100,35 @@ def test_scalar_subquery_joins_broadcast(engine):
     plan = plan_of(df, "simple")
     # 1-row side broadcast; no shuffle of the outer table for the bind
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(engine, spark):
+    """Two tables bucketed the same way on the join key must sort-merge
+    join with NO Exchange on either side — the co-location primitive for
+    repeated big-big joins at scale (sources/sinks.write_bucketed_table)."""
+    from sql_to_ibis_spark.sources import sinks
+
+    orders = engine.query("SELECT o_orderkey, o_totalprice FROM orders")
+    items = engine.query(
+        "SELECT l_orderkey, l_quantity FROM lineitem")
+    try:
+        sinks.write_bucketed_table(orders, "b_orders", ["o_orderkey"],
+                                   num_buckets=8, sort_cols=["o_orderkey"])
+        sinks.write_bucketed_table(items, "b_items", ["l_orderkey"],
+                                   num_buckets=8, sort_cols=["l_orderkey"])
+        # disable broadcast so the planner actually uses the bucketing (at
+        # test scale everything fits the broadcast threshold; at 100 TB the
+        # sort-merge path below is what runs)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_items"),
+            spark.table("b_orders")["o_orderkey"]
+            == spark.table("b_items")["l_orderkey"],
+        )
+        plan = plan_of(joined, "simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_items")
