@@ -24,7 +24,8 @@ class SqlEngine:
     def __init__(self, spark: SparkSession | None = None):
         self.spark = spark or SparkSession.builder.getOrCreate()
         self.catalog = Catalog()
-        self.functions: dict[str, object] = {}  # user-registered, lowercased
+        self.functions: dict[str, object] = {}   # user scalar fns, lowercased
+        self.aggregates: dict[str, object] = {}  # user aggregate fns (UDAFs)
 
     # -- user-defined functions --------------------------------------------
 
@@ -46,6 +47,25 @@ class SqlEngine:
 
     def remove_function(self, name: str) -> None:
         del self.functions[name.lower()]
+
+    def register_aggregate(self, name: str, fn, return_type) -> None:
+        """Register a Python function as a SQL-callable aggregate (UDAF).
+
+        ``fn`` takes one or more ``pd.Series`` covering a whole group and
+        returns a scalar; it executes as an Arrow-batched grouped-agg pandas
+        UDF, so partial data never round-trips per row. Usable anywhere a
+        built-in aggregate is: GROUP BY select lists and HAVING. Spark
+        constraint: within one query's aggregation, UDAFs can't mix with
+        JVM aggregates (Spark raises INVALID_PANDAS_UDF_PLACEMENT). The
+        reference has no UDAF surface (SURVEY §2.9).
+        """
+        from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+        udaf = pandas_udf(fn, return_type, PandasUDFType.GROUPED_AGG)
+        self.aggregates[name.lower()] = udaf
+
+    def remove_aggregate(self, name: str) -> None:
+        del self.aggregates[name.lower()]
 
     # -- catalog ------------------------------------------------------------
 
@@ -79,7 +99,8 @@ class SqlEngine:
         """Compile SQL to a lazy DataFrame (logical plan into Catalyst)."""
         node = parse(sql)
         return Compiler(self.catalog, self.spark,
-                        user_functions=self.functions).compile(node)
+                        user_functions=self.functions,
+                        user_aggregates=self.aggregates).compile(node)
 
 
 # ---------------------------------------------------------------------------

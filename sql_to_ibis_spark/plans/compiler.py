@@ -137,10 +137,12 @@ class Compiler:
     ``parsing/sql_parser.py:818-826`` — we deliberately don't)."""
 
     def __init__(self, catalog: Catalog, spark: SparkSession,
-                 user_functions: dict[str, object] | None = None):
+                 user_functions: dict[str, object] | None = None,
+                 user_aggregates: dict[str, object] | None = None):
         self.catalog = catalog
         self.spark = spark
         self.user_functions = user_functions or {}
+        self.user_aggregates = user_aggregates or {}
         self._col_counter = itertools.count()
         self._literal_counter = itertools.count()
         self._rel_counter = itertools.count()
@@ -679,11 +681,14 @@ class Compiler:
 
     # ----------------------------------------------------------- aggregation
 
+    def _is_agg_name(self, name: str) -> bool:
+        return name in AGGREGATE_FUNCTIONS or name in self.user_aggregates
+
     def _contains_aggregate(self, expr: object) -> bool:
         if isinstance(expr, ast.WindowFunc):
             return False  # windowed aggs are not grouping aggregates
         if isinstance(expr, ast.FuncCall) and (
-            expr.name in AGGREGATE_FUNCTIONS or expr.is_star
+            self._is_agg_name(expr.name) or expr.is_star
         ):
             return True
         return any(self._contains_aggregate(c) for c in _children(expr))
@@ -772,7 +777,7 @@ class Compiler:
                 agg_cols.append((F.first(F.col(_bq(expr.name))), name))
                 return F.col(name)
             if isinstance(expr, ast.FuncCall) and (
-                expr.name in AGGREGATE_FUNCTIONS or expr.is_star
+                self._is_agg_name(expr.name) or expr.is_star
             ):
                 return placeholder(expr)
             if isinstance(expr, ast.WindowFunc):
@@ -1077,6 +1082,8 @@ class Compiler:
             raise InvalidQueryException(
                 f"{name}() requires an OVER(...) window clause"
             )
+        if name in self.user_aggregates:
+            return self.user_aggregates[name](*[recurse(a) for a in expr.args])
         if name in self.user_functions:
             return self.user_functions[name](*[recurse(a) for a in expr.args])
         if name in AGGREGATE_FUNCTIONS:

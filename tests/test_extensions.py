@@ -108,3 +108,41 @@ def test_write_bucketed_table(engine, tmp_path):
         assert spark.table("cust_bucketed").count() == df.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS cust_bucketed")
+
+
+def test_register_aggregate_udaf(udf_engine):
+    import numpy as np
+
+    def geomean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v[v > 0]).mean()))
+
+    udf_engine.register_aggregate("geomean", geomean, "double")
+    got = udf_engine.query(
+        "SELECT l_returnflag, round(geomean(l_quantity), 4) AS g "
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+    ).toPandas()
+    # cross-check one group against pandas directly
+    spark_df = udf_engine.query(
+        "SELECT l_quantity FROM lineitem WHERE l_returnflag = 'A'").toPandas()
+    expected = float(np.exp(np.log(
+        spark_df["l_quantity"][spark_df["l_quantity"] > 0]).mean()))
+    a_row = got[got["l_returnflag"] == "A"]["g"].iloc[0]
+    assert abs(a_row - round(expected, 4)) < 1e-4
+
+
+def test_udaf_global_and_having(udf_engine):
+    def p90(v: pd.Series) -> float:
+        return float(v.quantile(0.9))
+
+    udf_engine.register_aggregate("p90", p90, "double")
+    got = udf_engine.query(
+        "SELECT round(p90(o_totalprice), 2) AS p FROM orders").toPandas()
+    assert got["p"][0] > 0
+    # Spark constraint: grouped-agg pandas UDFs can't mix with JVM
+    # aggregates in one agg() — a UDAF-only HAVING works
+    grouped = udf_engine.query(
+        "SELECT o_orderpriority, round(p90(o_totalprice), 2) AS p "
+        "FROM orders GROUP BY o_orderpriority "
+        "HAVING p90(o_totalprice) > 100000"
+    ).toPandas()
+    assert len(grouped) >= 1
