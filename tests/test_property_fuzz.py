@@ -83,9 +83,9 @@ def test_random_predicate_count_matches_duckdb(engine, ddb, pred):
 @given(expr=_num_expr())
 @FUZZ
 def test_random_expression_sum_matches_duckdb(engine, ddb, expr):
-    # round the aggregate, not the row values: summation-order float drift
-    # stays far below 1e-4 at this scale
-    sql = (f"SELECT round(sum({expr}), 2) AS s, count(*) AS n "
+    # compare unrounded under relative tolerance: rounding first would turn
+    # benign summation-order drift at a .5 boundary into a hard mismatch
+    sql = (f"SELECT sum({expr}) AS s, count(*) AS n "
            f"FROM lineitem WHERE l_orderkey < 500")
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
@@ -96,7 +96,7 @@ def test_random_expression_sum_matches_duckdb(engine, ddb, expr):
 @FUZZ
 def test_random_case_expression_matches_duckdb(engine, ddb, pred, expr):
     sql = (f"SELECT l_orderkey, l_linenumber, "
-           f"CASE WHEN {pred} THEN round({expr}, 3) ELSE -1 END AS v "
+           f"CASE WHEN {pred} THEN {expr} ELSE -1 END AS v "
            f"FROM lineitem WHERE l_orderkey < 100")
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
