@@ -26,6 +26,7 @@ class SqlEngine:
         self.catalog = Catalog()
         self.functions: dict[str, object] = {}   # user scalar fns, lowercased
         self.aggregates: dict[str, object] = {}  # user aggregate fns (UDAFs)
+        self.table_functions: dict[str, object] = {}  # user UDTFs
 
     # -- user-defined functions --------------------------------------------
 
@@ -67,6 +68,21 @@ class SqlEngine:
     def remove_aggregate(self, name: str) -> None:
         del self.aggregates[name.lower()]
 
+    def register_table_function(self, name: str, cls, return_type) -> None:
+        """Register a Python UDTF class as a FROM-clause table function:
+        ``SELECT * FROM my_fn(1, 10)``. ``cls`` defines
+        ``eval(self, *args)`` yielding output tuples; ``return_type`` is the
+        output schema (e.g. ``"n: int, label: string"``). Executes
+        Arrow-batched on executors. The reference has no UDTF surface
+        (SURVEY §2.9); a builtin ``range(end)`` is always available.
+        """
+        from pyspark.sql.functions import udtf
+
+        self.table_functions[name.lower()] = udtf(cls, returnType=return_type)
+
+    def remove_table_function(self, name: str) -> None:
+        del self.table_functions[name.lower()]
+
     # -- catalog ------------------------------------------------------------
 
     def register_temp_table(self, df: DataFrame, table_name: str) -> None:
@@ -100,7 +116,8 @@ class SqlEngine:
         node = parse(sql)
         return Compiler(self.catalog, self.spark,
                         user_functions=self.functions,
-                        user_aggregates=self.aggregates).compile(node)
+                        user_aggregates=self.aggregates,
+                        user_table_functions=self.table_functions).compile(node)
 
 
 # ---------------------------------------------------------------------------

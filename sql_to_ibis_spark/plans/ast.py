@@ -205,6 +205,17 @@ class SubqueryRef(Relation):
 
 
 @dataclass
+class TableFuncRef(Relation):
+    """``FROM fn(args...)`` — table-function source (Python UDTF or builtin
+    like range(n)). Extension; the reference has no UDTF surface at all
+    (SURVEY §2.9)."""
+
+    name: str  # lowercase
+    args: list[Expr] = field(default_factory=list)
+    alias: str | None = None
+
+
+@dataclass
 class Join(Relation):
     left: Relation
     right: Relation

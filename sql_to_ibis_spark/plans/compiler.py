@@ -138,11 +138,13 @@ class Compiler:
 
     def __init__(self, catalog: Catalog, spark: SparkSession,
                  user_functions: dict[str, object] | None = None,
-                 user_aggregates: dict[str, object] | None = None):
+                 user_aggregates: dict[str, object] | None = None,
+                 user_table_functions: dict[str, object] | None = None):
         self.catalog = catalog
         self.spark = spark
         self.user_functions = user_functions or {}
         self.user_aggregates = user_aggregates or {}
+        self.user_table_functions = user_table_functions or {}
         self._col_counter = itertools.count()
         self._literal_counter = itertools.count()
         self._rel_counter = itertools.count()
@@ -379,6 +381,11 @@ class Compiler:
             inner = self.compile(rel.query)
             info = self._make_rel_info(rel.alias, inner, existing)
             return inner.alias(info.qualifier), [info]
+        if isinstance(rel, ast.TableFuncRef):
+            df = self._compile_table_func(rel)
+            display = rel.alias or rel.name
+            info = self._make_rel_info(display, df, existing)
+            return df.alias(info.qualifier), [info]
         if isinstance(rel, ast.Join):
             left_df, left_rels = self._compile_relation(rel.left, existing)
             right_df, right_rels = self._compile_relation(
@@ -391,6 +398,29 @@ class Compiler:
             cond = self.compile_expr(rel.condition, scope)
             return left_df.join(right_df, cond, rel.kind), combined
         raise InvalidQueryException(f"Unsupported relation {type(rel).__name__}")
+
+    def _compile_table_func(self, rel: ast.TableFuncRef) -> DataFrame:
+        """FROM-clause table function: user-registered Python UDTF or the
+        builtin ``range(end)`` / ``range(start, end [, step])``."""
+        if rel.name == "range":
+            vals = []
+            for a in rel.args:
+                if not isinstance(a, ast.NumberLit) or not isinstance(
+                        a.value, int):
+                    raise InvalidQueryException(
+                        "range() takes integer literal arguments")
+                vals.append(a.value)
+            if not 1 <= len(vals) <= 3:
+                raise InvalidQueryException("range() takes 1-3 arguments")
+            return self.spark.range(*vals)
+        fn = self.user_table_functions.get(rel.name)
+        if fn is None:
+            raise InvalidQueryException(
+                f"Unknown table function {rel.name!r} (register it with "
+                f"engine.register_table_function)")
+        scope = Scope([])
+        args = [self.compile_expr(a, scope) for a in rel.args]
+        return fn(*args)
 
     def _make_rel_info(
         self, display: str, df: DataFrame, existing: list[RelationInfo]

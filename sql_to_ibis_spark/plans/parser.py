@@ -339,6 +339,16 @@ class _Parser:
             return ast.SubqueryRef(query=inner, alias=alias)
         if self.cur.kind in (IDENT, QIDENT):
             name = self.advance().text
+            # table function: FROM fn(args...) (UDTF / builtin range)
+            if self.at_op("(") :
+                self.advance()
+                args: list[ast.Expr] = []
+                if not self.at_op(")"):
+                    args = self._parse_expr_list()
+                self.expect_op(")")
+                alias = self._parse_alias_opt()
+                return ast.TableFuncRef(name=name.lower(), args=args,
+                                        alias=alias)
             alias = self._parse_alias_opt()
             return ast.TableRef(name=name, alias=alias)
         self._fail("expected table name or subquery in FROM")

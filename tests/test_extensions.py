@@ -146,3 +146,37 @@ def test_udaf_global_and_having(udf_engine):
         "HAVING p90(o_totalprice) > 100000"
     ).toPandas()
     assert len(grouped) >= 1
+
+
+def test_range_table_function(oracle):
+    oracle("SELECT id * 2 AS doubled FROM range(5)",
+           "SELECT range * 2 AS doubled FROM range(5)")
+    oracle("SELECT count(*) AS n FROM range(10, 20)",
+           "SELECT count(*) AS n FROM range(10, 20)")
+
+
+def test_user_udtf(udf_engine):
+    class Splitter:
+        def eval(self, text: str, sep: str):
+            for i, part in enumerate((text or "").split(sep)):
+                yield i, part
+
+    udf_engine.register_table_function(
+        "split_parts", Splitter, "idx: int, part: string")
+    got = udf_engine.query(
+        "SELECT idx, part FROM split_parts('a,b,c', ',')").toPandas()
+    assert list(got["part"]) == ["a", "b", "c"]
+    assert list(got["idx"]) == [0, 1, 2]
+
+
+def test_udtf_joined_with_table(udf_engine):
+    got = udf_engine.query(
+        "SELECT r.r_name, g.id FROM region r "
+        "JOIN range(3) g ON r.r_regionkey = g.id ORDER BY g.id").toPandas()
+    assert len(got) == 3
+
+
+def test_unknown_table_function_raises(engine):
+    from sql_to_ibis_spark.errors import InvalidQueryException
+    with pytest.raises(InvalidQueryException):
+        engine.query("SELECT * FROM no_such_fn(1)")
