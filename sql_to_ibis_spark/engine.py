@@ -111,8 +111,26 @@ class SqlEngine:
 
     # -- query --------------------------------------------------------------
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Compile and return the physical plan string — the feedback loop
+        for plan-shape review (pushdown, pruning, join strategy, codegen
+        spans) without executing anything."""
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            self.query(sql).explain(mode)
+        return buf.getvalue()
+
     def query(self, sql: str) -> DataFrame:
-        """Compile SQL to a lazy DataFrame (logical plan into Catalyst)."""
+        """Compile SQL to a lazy DataFrame (logical plan into Catalyst).
+
+        Works identically over streaming relations: register a
+        ``readStream`` DataFrame as a table and the compiled plan is a
+        streaming DataFrame ready for ``writeStream`` (Structured
+        Streaming's unified model — the compiler emits only declarative
+        ops, so batch/stream is an input property, not a dialect)."""
         node = parse(sql)
         return Compiler(self.catalog, self.spark,
                         user_functions=self.functions,

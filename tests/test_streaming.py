@@ -100,3 +100,31 @@ def test_stateful_dedup_batch_fallback(events):
     doubled = events.limit(100).union(events.limit(100))
     out = stateful_dedup_stream(doubled)
     assert out.count() == 100
+
+
+def test_sql_over_streaming_relation(spark, engine, events):
+    """The SQL compiler emits only declarative ops, so a query over a
+    registered readStream table IS a streaming DataFrame — batch/stream is
+    an input property, not a dialect."""
+    from sql_to_ibis_spark import SqlEngine
+
+    eng = SqlEngine(spark)
+    stream = stream_from_table(spark, events.limit(300).coalesce(2))
+    eng.register_temp_table(stream, "live_events")
+    sdf = eng.query(
+        "SELECT event_type, count(*) AS n FROM live_events GROUP BY event_type")
+    assert sdf.isStreaming
+    q = (sdf.writeStream.format("memory").queryName("t_sql_stream")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["n"]
+           for r in spark.table("t_sql_stream").collect()}
+    expected = {r["event_type"]: r["n"] for r in events.limit(300).groupBy(
+        "event_type").count().withColumnRenamed("count", "n").collect()}
+    assert got == expected
+
+
+def test_engine_explain_helper(engine):
+    plan = engine.explain(
+        "SELECT l_orderkey FROM lineitem WHERE l_quantity > 40")
+    assert "PushedFilters" in plan
