@@ -785,12 +785,15 @@ class Compiler:
                     return k
             return None
 
-        # ---- select list → (post-agg expression, output name)
-        agg_cols: list[tuple[Column, str]] = []   # placeholder aggregates
+        # ---- select list → (post-agg expression, output name, is_pandas)
+        agg_cols: list[tuple[Column, str, bool]] = []
 
         def placeholder(agg_expr: ast.Expr) -> Column:
             name = f"__agg_{len(agg_cols)}"
-            agg_cols.append((self.compile_expr(agg_expr, scope), name))
+            is_pandas = (isinstance(agg_expr, ast.FuncCall)
+                         and agg_expr.name in self.user_aggregates)
+            agg_cols.append((self.compile_expr(agg_expr, scope), name,
+                             is_pandas))
             return F.col(name)
 
         def lower_post_agg(expr: ast.Expr) -> Column:
@@ -804,7 +807,7 @@ class Compiler:
                 # scalar-subquery value is constant per group; carry it
                 # through the aggregation with FIRST
                 name = f"__agg_{len(agg_cols)}"
-                agg_cols.append((F.first(F.col(_bq(expr.name))), name))
+                agg_cols.append((F.first(F.col(_bq(expr.name))), name, False))
                 return F.col(name)
             if isinstance(expr, ast.FuncCall) and (
                 self._is_agg_name(expr.name) or expr.is_star
@@ -874,8 +877,43 @@ class Compiler:
         key_exprs = [k["col"].alias(k["out"]) for k in keys]
         if not agg_cols:
             # aggregates may be only in HAVING; need at least one agg column
-            agg_cols.append((F.count(F.lit(1)), f"__agg_{len(agg_cols)}"))
-        agg_exprs = [c.alias(n) for c, n in agg_cols]
+            agg_cols.append((F.count(F.lit(1)), f"__agg_{len(agg_cols)}",
+                             False))
+        agg_exprs = [c.alias(n) for c, n, _ in agg_cols]
+        pandas_cols = [(c, n) for c, n, p in agg_cols if p]
+        jvm_cols = [(c, n) for c, n, p in agg_cols if not p]
+        if pandas_cols and jvm_cols:
+            # Spark can't mix grouped-agg pandas UDFs with JVM aggregates in
+            # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — split into two
+            # aggregations over the same keys and join them back on the
+            # keys (null-safe: NULL group keys are real groups). Costs a
+            # second shuffle; documented trade for the mixed case.
+            if node.group_mode is not None:
+                raise InvalidQueryException(
+                    "user aggregates cannot be combined with "
+                    "ROLLUP/CUBE/GROUPING SETS")
+            jvm_exprs = [c.alias(n) for c, n in jvm_cols]
+            pd_exprs = [c.alias(n) for c, n in pandas_cols]
+            if keys:
+                a = df.groupBy(*key_exprs).agg(*jvm_exprs)
+                rk = [k["col"].alias(f"__rk_{i}") for i, k in enumerate(keys)]
+                b = df.groupBy(*rk).agg(*pd_exprs)
+                cond = None
+                for i, k in enumerate(keys):
+                    piece = F.col(_bq(k["out"])).eqNullSafe(
+                        F.col(f"__rk_{i}"))
+                    cond = piece if cond is None else (cond & piece)
+                agged = a.join(b, cond, "inner").drop(
+                    *[f"__rk_{i}" for i in range(len(keys))])
+            else:
+                agged = df.agg(*jvm_exprs).crossJoin(df.agg(*pd_exprs))
+            if having_col is not None:
+                agged = agged.filter(having_col)
+            final_mixed: list[Column] = []
+            for item, (col, out) in zip(node.items, selected):
+                final_mixed.append(F.col(_bq(out)) if col is None
+                                   else col.alias(out))
+            return agged.select(*final_mixed)
         if keys and node.group_mode is not None:
             # multidimensional grouping (extension; SURVEY §2.4 "Not
             # present") — Catalyst expands these into an Expand node, one

@@ -180,3 +180,29 @@ def test_unknown_table_function_raises(engine):
     from sql_to_ibis_spark.errors import InvalidQueryException
     with pytest.raises(InvalidQueryException):
         engine.query("SELECT * FROM no_such_fn(1)")
+
+
+def test_udaf_mixed_with_jvm_aggregates(udf_engine):
+    """Spark forbids mixing grouped-agg pandas UDFs with JVM aggregates in
+    one agg(); the compiler splits into two aggregations joined on the
+    group keys, so the SQL surface has no such restriction."""
+
+    def p90(v: pd.Series) -> float:
+        return float(v.quantile(0.9))
+
+    udf_engine.register_aggregate("p90", p90, "double")
+    got = udf_engine.query(
+        "SELECT o_orderpriority, count(*) AS n, "
+        "round(avg(o_totalprice), 2) AS avg_price, "
+        "round(p90(o_totalprice), 2) AS p90_price "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).toPandas()
+    assert list(got.columns) == ["o_orderpriority", "n", "avg_price",
+                                 "p90_price"]
+    assert len(got) == 5
+    assert (got["p90_price"] >= got["avg_price"]).all()
+    # global (no GROUP BY) mixed case
+    g = udf_engine.query(
+        "SELECT count(*) AS n, round(p90(o_totalprice), 2) AS p "
+        "FROM orders").toPandas()
+    assert g["n"][0] > 0 and g["p"][0] > 0
