@@ -245,12 +245,68 @@ class Compiler:
         else:
             if node.having is not None:
                 raise NeedsAggOrGroupQueryException("HAVING")
+            pre_projection = df
             df = self._compile_projection(df, node, scope)
+            if node.order_by and not node.distinct:
+                # ORDER BY may reference non-selected input columns
+                # (reference sorts against the parent table,
+                # sql_parser.py:748-750; `select wind … order by temp`):
+                # carry hidden sort columns through the projection, sort,
+                # drop them after limit/offset
+                out = self._order_by_with_hidden(
+                    pre_projection, df, node, scope)
+                if out is not None:
+                    return out
 
         if node.distinct:
             df = df.distinct()
         df = self._apply_order_by(df, node.order_by)
         return self._apply_limit_offset(df, node.limit, node.offset)
+
+    def _order_by_with_hidden(
+        self, pre_df: DataFrame, projected: DataFrame,
+        node: ast.SelectNode, scope: Scope
+    ) -> DataFrame | None:
+        """Handle ORDER BY expressions not resolvable against the projected
+        output. Returns None when plain output-level ordering suffices."""
+        out_cols = {c.lower() for c in projected.columns}
+
+        def resolvable_in_output(item: ast.OrderItem) -> bool:
+            e = item.expr
+            if isinstance(e, ast.ColumnRef):
+                if e.table is not None and \
+                        f"{e.table}.{e.name}".lower() in out_cols:
+                    return True
+                return e.name.lower() in out_cols
+            return True  # ordinals/expressions resolve against output
+
+        if all(resolvable_in_output(i) for i in node.order_by):
+            return None
+        pairs = self._select_list(node, scope)
+        hidden: list[tuple[Column, str]] = []
+        sort_cols: list[Column] = []
+        for item in node.order_by:
+            if resolvable_in_output(item):
+                col = self._resolve_output_expr(
+                    item.expr, projected,
+                    Scope([RelationInfo(qualifier="", display="",
+                                        columns=list(projected.columns))]))
+            else:
+                name = f"__sort_{next(self._tmp_counter)}"
+                hidden.append((self.compile_expr(item.expr, scope), name))
+                col = F.col(name)
+            if item.ascending:
+                nf = item.nulls_first if item.nulls_first is not None else False
+                col = col.asc_nulls_first() if nf else col.asc_nulls_last()
+            else:
+                nf = item.nulls_first if item.nulls_first is not None else False
+                col = col.desc_nulls_first() if nf else col.desc_nulls_last()
+            sort_cols.append(col)
+        df = pre_df.select(*[c.alias(n) for c, n in pairs],
+                           *[c.alias(n) for c, n in hidden])
+        df = df.orderBy(*sort_cols)
+        df = self._apply_limit_offset(df, node.limit, node.offset)
+        return df.drop(*[n for _, n in hidden])
 
     # ----------------------------------------------------- scalar subqueries
 

@@ -188,7 +188,21 @@ class _Parser:
             node = self.parse_set_expr()
             self.expect_op(")")
             return node
-        return self.parse_select(allow_order=False)
+        node = self.parse_select(allow_order=False)
+        # reference-parity: ORDER BY / LIMIT may appear on a set operand
+        # without parentheses (`a ORDER BY x LIMIT 5 UNION b`,
+        # reference test_set_ops.py); they bind to the operand when another
+        # set operand follows, else to the whole set expression
+        # (SQL-standard) via parse_set_expr's trailing-clause handling
+        if self.at_kw("order", "limit"):
+            save = self._pos
+            order = self._parse_order_by_opt()
+            limit, offset = self._parse_limit_offset_opt()
+            if self.at_kw("union", "except", "intersect"):
+                node.order_by, node.limit, node.offset = order, limit, offset
+            else:
+                self._pos = save
+        return node
 
     def parse_select(self, allow_order: bool = True) -> ast.SelectNode:
         self.expect_kw("select")
@@ -481,9 +495,12 @@ class _Parser:
 
     def _parse_in_rhs(self, operand: ast.Expr, negated: bool) -> ast.Expr:
         self.expect_op("(")
-        if self.at_kw("select") or self.at_op("("):
-            sub = self.parse_set_expr()
+        if self.at_kw("select", "with") or self.at_op("("):
+            sub = self._parse_with_or_set_expr()
             self.expect_op(")")
+            # reference grammar permits a (meaningless) alias after an
+            # IN-subquery: `x IN (SELECT ...) t1` — accept and discard
+            self._parse_alias_opt()
             return ast.InSubquery(operand=operand, subquery=sub, negated=negated)
         items = self._parse_expr_list()
         self.expect_op(")")

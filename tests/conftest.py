@@ -8,6 +8,7 @@ against DuckDB on the driver's parquet testdata; reference-parity semantics
 
 from __future__ import annotations
 
+import datetime as _dt
 import glob
 import os
 
@@ -64,6 +65,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             first = s.dropna().head(1)
             if len(first) and isinstance(first.iloc[0], (int,)):
                 out[col] = s.astype("Int64")
+            elif len(first) and isinstance(first.iloc[0], _dt.date) \
+                    and not isinstance(first.iloc[0], _dt.datetime):
+                # Spark DATE → datetime.date objects; DuckDB DATE →
+                # datetime64 — unify
+                out[col] = pd.to_datetime(s).astype("datetime64[us]")
     out = out[sorted(out.columns)]
     if len(out):
         out = out.sort_values(by=list(out.columns), na_position="last",
