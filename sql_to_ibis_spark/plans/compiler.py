@@ -295,13 +295,7 @@ class Compiler:
                 name = f"__sort_{next(self._tmp_counter)}"
                 hidden.append((self.compile_expr(item.expr, scope), name))
                 col = F.col(name)
-            if item.ascending:
-                nf = item.nulls_first if item.nulls_first is not None else False
-                col = col.asc_nulls_first() if nf else col.asc_nulls_last()
-            else:
-                nf = item.nulls_first if item.nulls_first is not None else False
-                col = col.desc_nulls_first() if nf else col.desc_nulls_last()
-            sort_cols.append(col)
+            sort_cols.append(_directed(col, item))
         df = pre_df.select(*[c.alias(n) for c, n in pairs],
                            *[c.alias(n) for c, n in hidden])
         df = df.orderBy(*sort_cols)
@@ -1023,16 +1017,11 @@ class Compiler:
             return df
         out_scope = Scope([RelationInfo(qualifier="", display="",
                                         columns=list(df.columns))])
-        sort_cols: list[Column] = []
-        for item in items:
-            col = self._resolve_output_expr(item.expr, df, out_scope)
-            if item.ascending:
-                nulls_first = item.nulls_first if item.nulls_first is not None else False
-                col = col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
-            else:
-                nulls_first = item.nulls_first if item.nulls_first is not None else False
-                col = col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
-            sort_cols.append(col)
+        sort_cols = [
+            _directed(self._resolve_output_expr(item.expr, df, out_scope),
+                      item)
+            for item in items
+        ]
         return df.orderBy(*sort_cols)
 
     def _resolve_output_expr(
@@ -1266,10 +1255,12 @@ class Compiler:
             spec = resolved
         func = expr.func
         parts = [recurse(p) for p in spec.partition_by]
-        orders: list[Column] = []
-        for item in spec.order_by:
-            col = recurse(item.expr)
-            orders.append(col.asc() if item.ascending else col.desc())
+        # same NULL placement as top-level ORDER BY (NULLS LAST default,
+        # the convention the oracle uses; Spark's bare .asc() would be
+        # NULLS FIRST) and honor explicit NULLS FIRST/LAST
+        orders: list[Column] = [
+            _directed(recurse(item.expr), item) for item in spec.order_by
+        ]
 
         if func.name in RANKING_FUNCTIONS:
             builder, min_a, max_a = RANKING_FUNCTIONS[func.name]
@@ -1334,6 +1325,16 @@ class Compiler:
             # RANGE over unordered partition: all rows are peers
             return w.rowsBetween(UP, UF)
         return w.rangeBetween(start, end)
+
+
+def _directed(col: Column, item: ast.OrderItem) -> Column:
+    """Apply sort direction + NULL placement (engine default: NULLS LAST in
+    both directions, matching the DuckDB oracle; explicit NULLS FIRST/LAST
+    overrides)."""
+    nulls_first = item.nulls_first if item.nulls_first is not None else False
+    if item.ascending:
+        return col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
+    return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
 
 
 def _transform_expr(expr: ast.Expr, fn) -> ast.Expr:

@@ -52,7 +52,16 @@ def _forest_fires(n=120) -> pd.DataFrame:
                          np.round(RNG.uniform(0.1, 6.4, n), 1)),
         "area": np.where(RNG.random(n) < 0.5, 0.0,
                          np.round(RNG.uniform(0.1, 1090, n), 2)),
-    })
+    }).assign(
+        # real NULLs (not NaN) in one numeric and one string column —
+        # load-bearing for IS [NOT] NULL parity (FIXTURES.md notes;
+        # reference test_typing.py:54-67). object dtype so both Spark and
+        # DuckDB ingest them as SQL NULL.
+        temp=lambda d: d["temp"].astype(object).mask(
+            pd.Series(RNG.random(len(d)) < 0.08, index=d.index), None),
+        month=lambda d: d["month"].astype(object).mask(
+            pd.Series(RNG.random(len(d)) < 0.05, index=d.index), None),
+    )
 
 
 def _digimon_mon_list(n=40) -> pd.DataFrame:
@@ -172,6 +181,13 @@ ORACLE = [
     "select * from forest_fires where month = 'mar' and temp > 8.0 and "
     "rain >= 0 and area != 0 and dc < 100 and ffmc <= 90.1",
     "select * from forest_fires where wind between 5 and 6",
+    # IS [NOT] NULL over real NULLs (reference test_typing.py:54-67)
+    "select count(*) as n from forest_fires where temp is null",
+    "select count(*) as n from forest_fires where temp is not null",
+    "select month, count(*) as n from forest_fires where month is not null "
+    "group by month",
+    "select coalesce(month, 'unknown') as m, count(*) as n "
+    "from forest_fires group by coalesce(month, 'unknown')",
     "select * from forest_fires where X in (5, 9)",
     "select case when wind > 5 then 'strong' when wind = 5 then 'mid' "
     "else 'weak' end as wind_strength from forest_fires",
