@@ -220,3 +220,11 @@ class TestCorrelatedSubqueries:
                       (SELECT l.l_orderkey FROM lineitem l
                        WHERE l.l_orderkey = o.o_orderkey)
             """)
+
+
+def test_scalar_subquery_in_having(oracle):
+    oracle("""
+        SELECT l_returnflag, count(*) AS n FROM lineitem
+        GROUP BY l_returnflag
+        HAVING count(*) > (SELECT count(*) / 4 FROM lineitem)
+    """)
