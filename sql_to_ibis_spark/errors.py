@@ -46,9 +46,21 @@ class ColumnNotFoundError(SqlEngineError):
     (``parsing/transformers.py:167-193``).
     """
 
-    def __init__(self, column_name: str, tables: list[str] | None = None):
+    def __init__(self, column_name: str, tables: list[str] | None = None,
+                 known_columns: list[str] | None = None):
         scope = f" in tables {sorted(tables)}" if tables else ""
-        super().__init__(f"Column '{column_name}' not found{scope}")
+        hint = ""
+        if known_columns:
+            import difflib
+
+            close = difflib.get_close_matches(
+                column_name.lower(),
+                {c.lower(): c for c in known_columns}, n=3, cutoff=0.6)
+            if close:
+                originals = {c.lower(): c for c in known_columns}
+                names = ", ".join(repr(originals[c]) for c in close)
+                hint = f" — did you mean {names}?"
+        super().__init__(f"Column '{column_name}' not found{scope}{hint}")
         self.column_name = column_name
 
 

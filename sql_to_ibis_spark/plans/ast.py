@@ -267,6 +267,18 @@ class SetOpNode(Node):
 
 
 @dataclass
+class ShowTablesNode(Node):
+    """``SHOW TABLES`` — catalog introspection (extension)."""
+
+
+@dataclass
+class DescribeNode(Node):
+    """``DESCRIBE <table>`` — schema introspection (extension)."""
+
+    table: str = ""
+
+
+@dataclass
 class WithNode(Node):
     """``WITH name AS (query) [, ...] body`` — common table expressions
     (extension: absent from the reference grammar entirely; SURVEY §2.10

@@ -95,12 +95,15 @@ class Scope:
                 if rel.display.lower() == qlow or rel.qualifier.lower() == qlow:
                     if low in rel.colmap:
                         return rel, rel.colmap[low]
-                    raise ColumnNotFoundError(name, [rel.display])
+                    raise ColumnNotFoundError(name, [rel.display],
+                                              known_columns=rel.columns)
             raise ColumnNotFoundError(f"{qualifier}.{name}",
                                       [r.display for r in self.relations])
         owners = [(rel, rel.colmap[low]) for rel in self.relations if low in rel.colmap]
         if not owners:
-            raise ColumnNotFoundError(name, [r.display for r in self.relations])
+            raise ColumnNotFoundError(
+                name, [r.display for r in self.relations],
+                known_columns=[c for r in self.relations for c in r.columns])
         if len(owners) > 1:
             raise AmbiguousColumnException(name, {r.display for r, _ in owners})
         return owners[0]
@@ -157,6 +160,16 @@ class Compiler:
     def compile(
         self, node: ast.SelectNode | ast.SetOpNode | ast.WithNode
     ) -> DataFrame:
+        if isinstance(node, ast.ShowTablesNode):
+            return self.spark.createDataFrame(
+                [(n,) for n in sorted(self.catalog.names())],
+                "table_name: string")
+        if isinstance(node, ast.DescribeNode):
+            entry = self.catalog.get(node.table)
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString(), f.nullable)
+                 for f in entry.df.schema.fields],
+                "col_name: string, data_type: string, nullable: boolean")
         if isinstance(node, ast.WithNode):
             return self._compile_with(node)
         if isinstance(node, ast.SetOpNode):
@@ -1038,7 +1051,8 @@ class Compiler:
             for cand in candidates:
                 if cand in colmap:
                     return F.col(_bq(colmap[cand]))
-            raise ColumnNotFoundError(expr.name, list(df.columns))
+            raise ColumnNotFoundError(expr.name,
+                                      known_columns=list(df.columns))
         if isinstance(expr, ast.NumberLit) and isinstance(expr.value, int):
             # ORDER BY ordinal (extension)
             idx = expr.value

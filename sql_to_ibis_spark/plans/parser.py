@@ -118,8 +118,17 @@ class _Parser:
 
     # ------------------------------------------------------------ statements
 
-    def parse_statement(self) -> ast.SelectNode | ast.SetOpNode | ast.WithNode:
-        node = self._parse_with_or_set_expr()
+    def parse_statement(self) -> ast.Node:
+        if self.at_kw("show"):
+            self.advance()
+            self.expect_kw("tables")
+            node: ast.Node = ast.ShowTablesNode()
+        elif self.at_kw("describe", "desc") and self.peek().kind in (
+                IDENT, QIDENT):
+            self.advance()
+            node = ast.DescribeNode(table=self.advance().text)
+        else:
+            node = self._parse_with_or_set_expr()
         self.accept_op(";")
         if self.cur.kind != EOF:
             self._fail("unexpected trailing input")

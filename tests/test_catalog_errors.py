@@ -77,3 +77,23 @@ def test_query_is_lazy(engine):
     # no action should run at compile time
     df = engine.query("SELECT r_name FROM region")
     assert hasattr(df, "collect")  # plain lazy DataFrame
+
+
+def test_show_tables(engine):
+    got = engine.query("SHOW TABLES").toPandas()
+    assert "lineitem" in set(got["table_name"])
+    assert list(got.columns) == ["table_name"]
+
+
+def test_describe_table(engine):
+    got = engine.query("DESCRIBE lineitem").toPandas()
+    assert list(got.columns) == ["col_name", "data_type", "nullable"]
+    assert "l_orderkey" in set(got["col_name"])
+
+
+def test_column_error_suggests_close_match(engine):
+    import pytest as _p
+
+    from sql_to_ibis_spark.errors import ColumnNotFoundError
+    with _p.raises(ColumnNotFoundError, match="did you mean"):
+        engine.query("SELECT l_quantty FROM lineitem")
