@@ -445,6 +445,22 @@ class Compiler:
             info = self._make_rel_info(rel.alias, inner, existing)
             return inner.alias(info.qualifier), [info]
         if isinstance(rel, ast.TableFuncRef):
+            if rel.name == "broadcast":
+                # explicit broadcast hint: FROM a JOIN broadcast(b) ON …
+                # (AQE converts joins at runtime by measured size; the hint
+                # is for when the author knows the side is small — e.g. a
+                # pre-filtered dim — before any stats exist)
+                if len(rel.args) != 1 or not isinstance(
+                        rel.args[0], ast.ColumnRef) \
+                        or rel.args[0].table is not None:
+                    raise InvalidQueryException(
+                        "broadcast() in FROM takes a single table name")
+                tname = rel.args[0].name
+                cte = self._cte_frames.get(tname.lower())
+                inner = cte if cte is not None else self.catalog.get(tname).df
+                display = rel.alias or tname
+                info = self._make_rel_info(display, inner, existing)
+                return F.broadcast(inner.alias(info.qualifier)), [info]
             df = self._compile_table_func(rel)
             display = rel.alias or rel.name
             info = self._make_rel_info(display, df, existing)

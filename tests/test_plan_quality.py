@@ -132,3 +132,21 @@ def test_bucketed_tables_join_without_shuffle(engine, spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_items")
+
+
+def test_explicit_broadcast_hint(engine, spark):
+    """FROM ... JOIN broadcast(t) forces a broadcast join even when the
+    planner wouldn't pick one (threshold disabled)."""
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        unhinted = engine.query(
+            "SELECT c.c_name, n.n_name FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey")
+        hinted = engine.query(
+            "SELECT c.c_name, n.n_name FROM customer c "
+            "JOIN broadcast(nation) n ON c.c_nationkey = n.n_nationkey")
+        assert "BroadcastHashJoin" not in plan_of(unhinted, "simple")
+        assert "BroadcastHashJoin" in plan_of(hinted, "simple")
+        assert hinted.count() == unhinted.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
