@@ -384,6 +384,15 @@ _PAIRS["subquery_scalar"] = (
     "round(avg(l_quantity) - (SELECT avg(l_quantity) FROM lineitem), 4) AS delta "
     "FROM lineitem GROUP BY l_returnflag", None)
 
+_PAIRS["group_by_all"] = (
+    "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+    "CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s "
+    "FROM lineitem GROUP BY ALL", None)
+_PAIRS["window_qualify_topn"] = (
+    "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+    "QUALIFY row_number() OVER (PARTITION BY l_orderkey "
+    "ORDER BY l_quantity DESC, l_linenumber) <= 2", None)
+
 _PAIRS["subquery_correlated_exists_q4"] = (
     "SELECT o_orderpriority, count(*) AS order_count FROM orders o "
     "WHERE o_orderdate >= TIMESTAMP('1995-01-01') "

@@ -248,7 +248,9 @@ class SelectNode(Node):
     # None = plain GROUP BY; 'rollup' | 'cube' | 'grouping_sets' (extensions)
     group_mode: str | None = None
     grouping_sets: list[list[Expr]] = field(default_factory=list)
+    group_by_all: bool = False  # GROUP BY ALL (keys derived from SELECT list)
     having: Expr | None = None
+    qualify: Expr | None = None  # QUALIFY (filter on window results)
     order_by: list[OrderItem] = field(default_factory=list)
     limit: int | None = None
     offset: int | None = None

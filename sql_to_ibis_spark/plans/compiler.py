@@ -244,6 +244,16 @@ class Compiler:
 
         df = self._bind_scalar_subqueries(df, node, scope)
 
+        if node.group_by_all:
+            # GROUP BY ALL: keys are every non-aggregate select item
+            # (modern convenience; DuckDB-compatible)
+            for item in node.items:
+                if isinstance(item.expr, ast.Star):
+                    raise InvalidQueryException(
+                        "GROUP BY ALL cannot be combined with *")
+                if not self._contains_aggregate(item.expr):
+                    node.group_by.append(item.expr)
+
         if node.where is not None:
             df = self._apply_where(df, node.where, scope)
 
@@ -254,7 +264,21 @@ class Compiler:
         )
 
         if has_aggregate:
+            if node.qualify is not None:
+                raise InvalidQueryException(
+                    "QUALIFY combined with GROUP BY aggregation is not "
+                    "supported")
             df = self._compile_aggregation(df, node, scope)
+        elif node.qualify is not None:
+            # QUALIFY: filter on window-function results post-projection
+            # (windows can't appear in WHERE; QUALIFY is the standard-ish
+            # escape hatch, DuckDB-compatible)
+            pairs = self._select_list(node, scope)
+            qname = f"__qualify_{next(self._tmp_counter)}"
+            qcol = self.compile_expr(node.qualify, scope)
+            df = (df.select(*[c.alias(n) for c, n in pairs],
+                            qcol.alias(qname))
+                  .filter(F.col(qname)).drop(qname))
         else:
             if node.having is not None:
                 raise NeedsAggOrGroupQueryException("HAVING")

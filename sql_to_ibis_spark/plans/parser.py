@@ -36,6 +36,7 @@ RESERVED = {
     "ilike", "rlike", "exists", "distinct", "all", "cast", "over", "partition",
     "rows", "range", "unbounded", "preceding", "following", "current", "by",
     "interval", "using", "natural", "window", "true", "false", "with",
+    "qualify",
 }
 
 _JOIN_TYPES = {"inner", "left", "right", "full", "cross"}
@@ -226,9 +227,16 @@ class _Parser:
         if self.at_kw("group"):
             self.advance()
             self.expect_kw("by")
-            self._parse_group_by_into(node)
+            if self.at_kw("all"):
+                self.advance()
+                node.group_by_all = True
+            else:
+                self._parse_group_by_into(node)
         if self.accept_kw("having"):
             node.having = self.parse_expr()
+        if self.at_kw("qualify"):
+            self.advance()
+            node.qualify = self.parse_expr()
         if self.at_kw("window"):
             self.advance()
             while True:

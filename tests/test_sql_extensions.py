@@ -228,3 +228,43 @@ def test_scalar_subquery_in_having(oracle):
         GROUP BY l_returnflag
         HAVING count(*) > (SELECT count(*) / 4 FROM lineitem)
     """)
+
+
+class TestModernClauses:
+    def test_group_by_all(self, oracle):
+        oracle("""
+            SELECT l_returnflag, l_linestatus, count(*) AS n,
+                   CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s
+            FROM lineitem GROUP BY ALL
+        """)
+
+    def test_group_by_all_with_expression_key(self, oracle):
+        oracle("""
+            SELECT year(o_orderdate) AS y, count(*) AS n
+            FROM orders GROUP BY ALL
+        """)
+
+    def test_qualify_top_n_per_group(self, oracle):
+        oracle("""
+            SELECT l_orderkey, l_linenumber, l_quantity
+            FROM lineitem
+            QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                                       ORDER BY l_quantity DESC,
+                                       l_linenumber) <= 2
+        """)
+
+    def test_qualify_with_where(self, oracle):
+        oracle("""
+            SELECT o_custkey, o_orderkey, o_totalprice
+            FROM orders WHERE o_totalprice > 100000
+            QUALIFY rank() OVER (PARTITION BY o_custkey
+                                 ORDER BY o_totalprice DESC) = 1
+        """)
+
+    def test_qualify_with_aggregation_raises(self, engine):
+        with pytest.raises(InvalidQueryException):
+            engine.query("""
+                SELECT l_returnflag, count(*) AS n FROM lineitem
+                GROUP BY l_returnflag
+                QUALIFY row_number() OVER (ORDER BY count(*)) = 1
+            """)
