@@ -101,6 +101,29 @@ class SqlEngine:
         self.catalog.register(table_name, df)
         return df
 
+    def register_csv(self, table_name: str, path: str, **options) -> DataFrame:
+        """Register a CSV-backed table (header + schema inference on by
+        default; pass Spark reader options to override)."""
+        from sql_to_ibis_spark.sources.readers import read_csv
+
+        df = read_csv(self.spark, path, **options)
+        self.catalog.register(table_name, df)
+        return df
+
+    def register_json(self, table_name: str, path: str, **options) -> DataFrame:
+        from sql_to_ibis_spark.sources.readers import read_json
+
+        df = read_json(self.spark, path, **options)
+        self.catalog.register(table_name, df)
+        return df
+
+    def register_orc(self, table_name: str, path: str, **options) -> DataFrame:
+        from sql_to_ibis_spark.sources.readers import read_orc
+
+        df = read_orc(self.spark, path, **options)
+        self.catalog.register(table_name, df)
+        return df
+
     def register_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
         """Register every ``<name>.parquet`` in a directory (the layout of
         /root/testdata/sf*)."""

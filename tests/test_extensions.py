@@ -206,3 +206,22 @@ def test_udaf_mixed_with_jvm_aggregates(udf_engine):
         "SELECT count(*) AS n, round(p90(o_totalprice), 2) AS p "
         "FROM orders").toPandas()
     assert g["n"][0] > 0 and g["p"][0] > 0
+
+
+def test_register_csv_json_orc_roundtrip(spark, engine, tmp_path):
+    src = engine.query("SELECT r_regionkey, r_name FROM region")
+    csv_p, json_p, orc_p = (str(tmp_path / x) for x in ("c", "j", "o"))
+    sinks.write_csv(src, csv_p)
+    sinks.write_json(src, json_p)
+    sinks.write_orc(src, orc_p)
+    eng = SqlEngine(spark)
+    eng.register_csv("r_csv", csv_p)
+    eng.register_json("r_json", json_p)
+    eng.register_orc("r_orc", orc_p)
+    for t in ("r_csv", "r_json", "r_orc"):
+        got = eng.query(f"SELECT count(*) AS n FROM {t}").toPandas()
+        assert got["n"][0] == 5, t
+    joined = eng.query(
+        "SELECT a.r_name FROM r_csv a JOIN r_orc b "
+        "ON a.r_regionkey = b.r_regionkey")
+    assert joined.count() == 5
