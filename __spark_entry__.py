@@ -699,6 +699,19 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM sess GROUP BY user_id, session_id
     """
 
+    # skew-mitigation: two-phase salted aggregation must equal the plain
+    # aggregate (salting changes physical distribution only)
+    def skew_salted_count(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.operators import skew
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        return skew.skewed_group_count(ev, "user_id", salt=8)
+
+    out["pipeline_skew_salted_count"] = skew_salted_count
+    _PIPELINE_ORACLES["pipeline_skew_salted_count"] = \
+        "SELECT user_id, count(*) AS n FROM events GROUP BY user_id"
+
     # custom stateful operator (applyInPandasWithState on streams; this
     # entry exercises the batch-fallback path — first row per key — over a
     # deliberately duplicated input)

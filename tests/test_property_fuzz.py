@@ -101,3 +101,33 @@ def test_random_case_expression_matches_duckdb(engine, ddb, pred, expr):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+JOIN_KINDS = ["JOIN", "LEFT JOIN", "RIGHT JOIN", "FULL OUTER JOIN"]
+
+
+@given(kind=st.sampled_from(JOIN_KINDS), pred=_predicate(1))
+@FUZZ
+def test_random_join_with_predicate_matches_duckdb(engine, ddb, kind, pred):
+    sql = (f"SELECT count(*) AS n, count(o_orderkey) AS n_o, "
+           f"count(l_orderkey) AS n_l "
+           f"FROM lineitem l {kind} orders o ON l.l_orderkey = o.o_orderkey "
+           f"WHERE {pred}")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(kind=st.sampled_from(JOIN_KINDS),
+       keys=st.lists(st.sampled_from(["l_returnflag", "l_linestatus",
+                                      "o_orderpriority"]),
+                     min_size=1, max_size=2, unique=True))
+@FUZZ
+def test_random_join_groupby_matches_duckdb(engine, ddb, kind, keys):
+    key_sql = ", ".join(keys)
+    sql = (f"SELECT {key_sql}, count(*) AS n "
+           f"FROM lineitem l {kind} orders o ON l.l_orderkey = o.o_orderkey "
+           f"GROUP BY {key_sql}")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
