@@ -548,6 +548,17 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_dedup_minhash_lsh"] = dedup_minhash
 
+    # full near-dup collapse: LSH candidates → Jaccard verify → connected
+    # components → one row per cluster (graph transitivity is
+    # LSH-dependent → rows-only)
+    def dedup_clusters(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        out_df = dedup.dedup_clusters(_docs(spark, sf_dir),
+                                      jaccard_threshold=0.7)
+        return out_df.select("doc_id", "lang", "source")
+
+    out["pipeline_dedup_clusters"] = dedup_clusters
+
     def dedup_simhash(spark, sf_dir):
         _engine_for(spark, sf_dir)
         return dedup.simhash_buckets(_docs(spark, sf_dir))

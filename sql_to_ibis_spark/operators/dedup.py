@@ -305,3 +305,93 @@ def ngram_jaccard_verify(
         .select("id_a", "id_b", F.round(jac, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+# ------------------------------------------------- duplicate-cluster collapse
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (id, component)
+    with ``component`` = min member id.
+
+    MinHash/SimHash emit *pairs*; deduplication needs *clusters* (A~B and
+    B~C must collapse to one canonical doc even if A~C was never emitted).
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors — a self-join per round,
+    converging in O(diameter) rounds. Duplicate clusters are short chains
+    in practice, so the loop exits early (per-round convergence check via
+    a cheap count aggregate); components are persisted per round and
+    lineage is kept flat so the plan doesn't grow superlinearly.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"),
+                            F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy(edges["src"].alias("id"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("nbr_component"), F.col("component")),
+                ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component"))
+                 < F.col("component")).alias("__changed"),
+            )
+            .persist()
+        )
+        changed = updated.filter(F.col("__changed")).limit(1).count()
+        new_labels = updated.drop("__changed").persist()
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    jaccard_threshold: float = 0.8,
+    **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end near-dup collapse: MinHash-LSH candidates → exact n-gram
+    Jaccard verification → connected components → one surviving row per
+    cluster (min id), all non-duplicates untouched.
+
+    Returns the input rows with duplicates removed — the operator a
+    pretraining pipeline actually runs. Each stage shuffles only on
+    bucket/pair/component keys; nothing is ever collected to the driver.
+    """
+    candidates = minhash_lsh_candidates(df, text_col, id_col,
+                                        **minhash_kwargs)
+    verified = ngram_jaccard_verify(df, candidates.select("id_a", "id_b"),
+                                    text_col, id_col,
+                                    threshold=jaccard_threshold)
+    components = connected_components(verified)
+    losers = components.filter(F.col("id") != F.col("component")) \
+                       .select(F.col("id").alias("__loser"))
+    return (
+        df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
+    )

@@ -247,3 +247,45 @@ def test_ivf_unknown_query_raises(embs):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         similarity.ivf_ann_topk(embs, query_vec_id=10**9)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from sql_to_ibis_spark.operators import dedup
+
+    # chain 1-2-3-4, pair (10,11), singleton 20 appears in no pair
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a: long, id_b: long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_transitive_star(spark):
+    from sql_to_ibis_spark.operators import dedup
+
+    # star around 100 plus a bridge merging two stars
+    edges = [(100, i) for i in range(101, 106)] + \
+            [(200, i) for i in range(201, 206)] + [(105, 201)]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert set(got.values()) == {100}
+
+
+def test_dedup_clusters_end_to_end(spark):
+    from sql_to_ibis_spark.operators import dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away into the deep dark forest tonight")
+    rows = [
+        (1, base), (2, base + " extra"), (3, base),  # near-dup cluster
+        (4, "completely different content about spark distributed "
+            "query engines and large scale data processing pipelines"),
+        (5, "yet another unrelated document mentioning nothing similar "
+            "to the others with its own unique words entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = dedup.dedup_clusters(df, jaccard_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.collect())
+    # cluster {1,2,3} collapses to min id 1; 4 and 5 survive untouched
+    assert kept == [1, 4, 5]
