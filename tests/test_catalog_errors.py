@@ -97,3 +97,24 @@ def test_column_error_suggests_close_match(engine):
     from sql_to_ibis_spark.errors import ColumnNotFoundError
     with _p.raises(ColumnNotFoundError, match="did you mean"):
         engine.query("SELECT l_quantty FROM lineitem")
+
+
+def test_module_level_drop_in_api(spark):
+    """The reference's exact three-function surface (__init__.py:6):
+    register_temp_table(table, name) / query(sql) / remove_temp_table(name)
+    work at module level for drop-in migration."""
+    import sql_to_ibis_spark as stis
+
+    # point the default engine at the shared test session
+    stis.engine._default_engine = stis.SqlEngine(spark)
+    try:
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+        stis.register_temp_table(df, "mod_level_t")
+        got = stis.query("SELECT v FROM mod_level_t WHERE id = 2").collect()
+        assert [r["v"] for r in got] == ["b"]
+        stis.remove_temp_table("mod_level_t")
+        from sql_to_ibis_spark.errors import TableNotFoundError
+        with pytest.raises(TableNotFoundError):
+            stis.query("SELECT * FROM mod_level_t")
+    finally:
+        stis.engine._default_engine = None
