@@ -131,3 +131,43 @@ def test_random_join_groupby_matches_duckdb(engine, ddb, kind, keys):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+@given(
+    lo=st.integers(min_value=0, max_value=5),
+    hi=st.integers(min_value=0, max_value=5),
+    fn=st.sampled_from(["sum", "min", "max", "count", "avg"]),
+    part=st.sampled_from(["l_returnflag", "l_linestatus"]),
+)
+@FUZZ
+def test_random_rows_frame_matches_duckdb(engine, ddb, lo, hi, fn, part):
+    # ROWS frames need a TOTAL ordering to be deterministic; the synthetic
+    # lineitem has ~1k duplicate (l_orderkey, l_linenumber) pairs, so the
+    # order includes quantity+price (verified unique as a 4-tuple)
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn}(l_quantity) OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        f"ROWS BETWEEN {lo} PRECEDING AND {hi} FOLLOWING) AS w "
+        f"FROM lineitem WHERE l_orderkey < 300"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    fn=st.sampled_from(["rank()", "dense_rank()", "row_number()", "ntile(4)",
+                        "lag(l_quantity)", "lead(l_quantity, 2)"]),
+)
+@FUZZ
+def test_random_ranking_function_matches_duckdb(engine, ddb, fn):
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn} OVER (PARTITION BY l_returnflag "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) "
+        f"AS w FROM lineitem WHERE l_orderkey < 300"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
