@@ -548,6 +548,21 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_dedup_minhash_lsh"] = dedup_minhash
 
+    # end-to-end curation composition (quality gate → language filter →
+    # exact dedup → near-dup collapse → token accounting); heuristic
+    # stages → rows-only
+    def curate_docs(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.operators import curate
+
+        out_df = curate.curate_documents(_docs(spark, sf_dir),
+                                         min_quality=0.4,
+                                         jaccard_threshold=0.7)
+        return out_df.select("doc_id", "lang_pred", "quality_score",
+                             "n_tokens")
+
+    out["pipeline_curate_documents"] = curate_docs
+
     # full near-dup collapse: LSH candidates → Jaccard verify → connected
     # components → one row per cluster (graph transitivity is
     # LSH-dependent → rows-only)

@@ -289,3 +289,29 @@ def test_dedup_clusters_end_to_end(spark):
     kept = sorted(r["doc_id"] for r in out.collect())
     # cluster {1,2,3} collapses to min id 1; 4 and 5 survive untouched
     assert kept == [1, 4, 5]
+
+
+def test_curate_documents_end_to_end(docs):
+    from sql_to_ibis_spark.operators import curate
+
+    out = curate.curate_documents(docs, min_quality=0.4,
+                                  jaccard_threshold=0.7)
+    got = out.toPandas()
+    n_in = docs.count()
+    assert 0 < len(got) <= n_in
+    assert {"quality_score", "lang_pred", "n_tokens"} <= set(got.columns)
+    assert (got["quality_score"] >= 0.4).all()
+    # no surviving exact duplicates by normalized text
+    from sql_to_ibis_spark.operators.dedup import normalized_text
+    from pyspark.sql import functions as F
+    norms = out.select(normalized_text(F.col("text")).alias("n"))
+    assert norms.count() == norms.distinct().count()
+
+
+def test_curate_language_filter(docs):
+    from sql_to_ibis_spark.operators import curate
+
+    out = curate.curate_documents(docs, min_quality=0.0, languages=["en"],
+                                  with_token_stats=False)
+    langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
+    assert langs <= {"en"}
