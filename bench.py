@@ -4,7 +4,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Timing methodology: each query executes via a noop sink (full plan runs, no
-driver-side result transfer); best of 2 runs per query after a shared session
+driver-side result transfer); best of 3 runs per query after a shared session
 warm-up, so JVM/codegen startup isn't billed to any single query.
 """
 
@@ -67,7 +67,7 @@ def main() -> None:
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             _execute(fn(spark, sf_dir))
             best = min(best, time.perf_counter() - t0)
