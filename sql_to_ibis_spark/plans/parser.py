@@ -605,6 +605,18 @@ class _Parser:
             return ast.BoolLit(value=False)
         if kw == "interval":
             return self._parse_interval()
+        if kw == "extract" and self.peek().kind == OP \
+                and self.peek().text == "(":
+            # ANSI EXTRACT(unit FROM expr) → unit(expr)
+            self.advance()
+            self.advance()
+            if self.cur.kind != IDENT:
+                self._fail("expected time unit in EXTRACT")
+            unit = self.advance().text.lower()
+            self.expect_kw("from")
+            operand = self.parse_expr()
+            self.expect_op(")")
+            return ast.FuncCall(name=unit, args=[operand])
         if kw == "timestamp" and self.peek().kind == OP and self.peek().text == "(":
             # TIMESTAMP('YYYY-MM-DD'[, 'HH:MM:SS']) literal (reference
             # grammar sql.lark:147-156)

@@ -119,3 +119,16 @@ def test_auto_name_counters_reset_per_query(engine):
 def test_select_star_preserves_schema(engine):
     df = engine.query("SELECT * FROM lineitem")
     assert df.columns == engine.catalog.get("lineitem").df.columns
+
+
+def test_extract_ansi_form(oracle):
+    oracle(
+        "SELECT EXTRACT(year FROM o_orderdate) AS y, "
+        "EXTRACT(month FROM o_orderdate) AS m, "
+        "EXTRACT(day FROM o_orderdate) AS d, count(*) AS n "
+        "FROM orders GROUP BY ALL",
+        "SELECT EXTRACT(year FROM o_orderdate) AS y, "
+        "EXTRACT(month FROM o_orderdate) AS m, "
+        "EXTRACT(day FROM o_orderdate) AS d, count(*) AS n "
+        "FROM orders GROUP BY 1, 2, 3",
+    )
