@@ -605,6 +605,65 @@ class _Parser:
             return ast.BoolLit(value=False)
         if kw == "interval":
             return self._parse_interval()
+        if kw == "substring" and self.peek().kind == OP \
+                and self.peek().text == "(":
+            # ANSI SUBSTRING(x FROM a [FOR b]) (plain substring(x, a, b)
+            # is handled by the generic call path)
+            save = self._pos
+            self.advance()
+            self.advance()
+            operand = self.parse_expr()
+            if not self.at_kw("from"):
+                self._pos = save
+            else:
+                self.advance()
+                start = self.parse_expr()
+                args = [operand, start]
+                if self.accept_kw("for"):
+                    args.append(self.parse_expr())
+                else:
+                    args.append(ast.NumberLit(value=2147483647))
+                self.expect_op(")")
+                return ast.FuncCall(name="substring", args=args)
+        if kw == "position" and self.peek().kind == OP \
+                and self.peek().text == "(":
+            # ANSI POSITION(needle IN haystack)
+            save = self._pos
+            self.advance()
+            self.advance()
+            # concat-level parse: IN must stay unconsumed as the separator
+            needle = self._parse_concat()
+            if not self.at_kw("in"):
+                self._pos = save
+            else:
+                self.advance()
+                haystack = self.parse_expr()
+                self.expect_op(")")
+                # instr-style (haystack, needle) argument order
+                return ast.FuncCall(name="instr", args=[haystack, needle])
+        if kw == "trim" and self.peek().kind == OP and self.peek().text == "(":
+            # ANSI TRIM([BOTH|LEADING|TRAILING] [chars] FROM x)
+            save = self._pos
+            self.advance()
+            self.advance()
+            side = "both"
+            if self.at_kw("both", "leading", "trailing"):
+                side = self.advance().text.lower()
+            chars: ast.Expr | None = None
+            if not self.at_kw("from"):
+                if self.at_op(")"):  # plain trim(x) fell through oddly
+                    self._pos = save
+                else:
+                    chars = self.parse_expr()
+            if self.at_kw("from"):
+                self.advance()
+                operand = self.parse_expr()
+                self.expect_op(")")
+                fname = {"both": "trim", "leading": "ltrim",
+                         "trailing": "rtrim"}[side]
+                args = [operand] if chars is None else [operand, chars]
+                return ast.FuncCall(name=fname, args=args)
+            self._pos = save
         if kw == "extract" and self.peek().kind == OP \
                 and self.peek().text == "(":
             # ANSI EXTRACT(unit FROM expr) → unit(expr)

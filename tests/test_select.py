@@ -132,3 +132,22 @@ def test_extract_ansi_form(oracle):
         "EXTRACT(day FROM o_orderdate) AS d, count(*) AS n "
         "FROM orders GROUP BY 1, 2, 3",
     )
+
+
+def test_ansi_string_forms(oracle):
+    oracle(
+        "SELECT SUBSTRING(r_name FROM 2 FOR 3) AS mid, "
+        "SUBSTRING(r_name FROM 3) AS tail_, "
+        "POSITION('A' IN r_name) AS pos_a, "
+        "TRIM('AE' FROM r_name) AS trimmed, "
+        "TRIM(LEADING 'A' FROM r_name) AS no_lead_a "
+        "FROM region",
+        "SELECT SUBSTRING(r_name FROM 2 FOR 3) AS mid, "
+        "SUBSTRING(r_name FROM 3) AS tail_, "
+        "POSITION('A' IN r_name) AS pos_a, "
+        "TRIM('AE' FROM r_name) AS trimmed, "
+        "TRIM(LEADING 'A' FROM r_name) AS no_lead_a "
+        "FROM region",
+    )
+    # plain call forms still work
+    oracle("SELECT trim('  x  ') AS t, substring('hello', 2, 3) AS s")
