@@ -118,6 +118,17 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
     "string_functions": (
         "SELECT upper(r_name) AS up, lower(r_name) AS lo, length(r_name) AS len, "
         "substring(r_name, 1, 3) AS pre, r_name || '!' AS bang FROM region", None),
+    "string_ansi_forms": (
+        "SELECT SUBSTRING(r_name FROM 2 FOR 3) AS mid, "
+        "POSITION('A' IN r_name) AS pos_a, "
+        "TRIM(LEADING 'A' FROM r_name) AS no_lead_a FROM region", None),
+    "date_extract": (
+        "SELECT EXTRACT(year FROM o_orderdate) AS y, "
+        "EXTRACT(quarter FROM o_orderdate) AS q, count(*) AS n "
+        "FROM orders GROUP BY ALL",
+        "SELECT EXTRACT(year FROM o_orderdate) AS y, "
+        "EXTRACT(quarter FROM o_orderdate) AS q, count(*) AS n "
+        "FROM orders GROUP BY 1, 2"),
     "date_functions": (
         "SELECT year(o_orderdate) AS y, month(o_orderdate) AS m, "
         "day(o_orderdate) AS d, count(*) AS n FROM orders "
