@@ -171,3 +171,18 @@ def test_random_ranking_function_matches_duckdb(engine, ddb, fn):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+@given(op=st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+                           "EXCEPT ALL"]),
+       p1=_predicate(1), p2=_predicate(1))
+@FUZZ
+def test_random_set_operation_matches_duckdb(engine, ddb, op, p1, p2):
+    sql = (f"SELECT l_returnflag, l_linestatus, l_linenumber "
+           f"FROM lineitem WHERE {p1} "
+           f"{op} "
+           f"SELECT l_returnflag, l_linestatus, l_linenumber "
+           f"FROM lineitem WHERE {p2}")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
