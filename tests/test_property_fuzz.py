@@ -186,3 +186,23 @@ def test_random_set_operation_matches_duckdb(engine, ddb, op, p1, p2):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+@given(
+    keys=st.lists(st.sampled_from(["l_returnflag", "l_linestatus",
+                                   "l_linenumber % 3", "l_orderkey % 10"]),
+                  min_size=1, max_size=3, unique=True),
+    fn=st.sampled_from(["sum", "min", "max", "count", "avg"]),
+    having_n=st.one_of(st.none(), st.integers(min_value=0, max_value=5000)),
+)
+@FUZZ
+def test_random_groupby_having_matches_duckdb(engine, ddb, keys, fn, having_n):
+    key_sql = ", ".join(keys)
+    having = f" HAVING count(*) > {having_n}" if having_n is not None else ""
+    sql = (f"SELECT {key_sql}, round({fn}(l_quantity), 4) AS a, "
+           f"count(*) AS n FROM lineitem GROUP BY {key_sql}{having}")
+    actual = engine.query(sql).toPandas()
+    # expression keys auto-name differently per engine — align positionally
+    expected = ddb.execute(sql).fetchdf()
+    expected.columns = list(actual.columns)
+    compare_frames(actual, expected)
