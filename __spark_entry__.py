@@ -512,6 +512,20 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents
     """
 
+    def term_freq(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.term_frequencies(_docs(spark, sf_dir), top_k=50)
+
+    out["pipeline_text_term_frequencies"] = term_freq
+    _PIPELINE_ORACLES["pipeline_text_term_frequencies"] = r"""
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(
+            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents) t
+        WHERE term != ''
+        GROUP BY term ORDER BY n DESC, term LIMIT 50
+    """
+
     def doc_fingerprint(spark, sf_dir):
         _engine_for(spark, sf_dir)
         return text.fingerprint(_docs(spark, sf_dir))

@@ -128,3 +128,24 @@ def rolling_hash_fingerprints(
     return df.select(
         F.col(id_col), F.explode(kept).alias("fp_hash")
     )
+
+
+def term_frequencies(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Corpus-level term frequencies: tokenize → explode → count.
+
+    The classic shuffle-heavy corpus statistic done scale-correctly:
+    map-side partial aggregation collapses each partition's term counts
+    before the shuffle (so the shuffle carries |vocab| rows per partition,
+    not |tokens|), and the optional top-k plans as TakeOrderedAndProject.
+    """
+    terms = df.select(
+        F.explode(F.split(normalized_text(F.col(text_col)), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    out = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    if top_k is not None:
+        out = out.orderBy(F.col("n").desc(), F.col("term").asc()).limit(top_k)
+    return out

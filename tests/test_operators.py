@@ -315,3 +315,19 @@ def test_curate_language_filter(docs):
                                   with_token_stats=False)
     langs = {r["lang_pred"] for r in out.select("lang_pred").distinct().collect()}
     assert langs <= {"en"}
+
+
+def test_term_frequencies_vs_duckdb(docs, ddb):
+    from sql_to_ibis_spark.operators import text as text_ops
+
+    got = text_ops.term_frequencies(docs, top_k=30).toPandas()
+    expected = ddb.execute(r"""
+        SELECT term, count(*) AS n FROM (
+          SELECT unnest(regexp_split_to_array(
+            lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents) t
+        WHERE term != ''
+        GROUP BY term ORDER BY n DESC, term LIMIT 30
+    """).fetchdf()
+    assert list(got["term"]) == list(expected["term"])
+    assert list(got["n"]) == list(expected["n"])
