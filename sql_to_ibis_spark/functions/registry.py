@@ -106,6 +106,11 @@ RANKING_FUNCTIONS: dict[str, tuple[ColumnBuilder, int, int]] = {
     "nth_value": (F.nth_value, 2, 2),
 }
 
+# value functions are frame-sensitive in Spark (F.first/F.last/F.nth_value
+# evaluate over the window frame, like aggregates); ranking/offset functions
+# are not and must reject an explicit frame clause
+FRAME_SENSITIVE_VALUE_FUNCTIONS = {"first_value", "last_value", "nth_value"}
+
 
 # ------------------------------------------------------------------ scalars
 

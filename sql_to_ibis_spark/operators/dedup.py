@@ -21,6 +21,8 @@ Scale design notes (the whole point of these implementations):
 
 from __future__ import annotations
 
+import warnings
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -340,6 +342,7 @@ def connected_components(
         .withColumn("component", F.col("id"))
         .persist()
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -364,8 +367,20 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
+    if not converged:
+        # labels may be non-minimal → silent under-deduplication downstream;
+        # surface it loudly instead of returning quietly
+        warnings.warn(
+            f"connected_components did not converge within {max_iterations} "
+            f"iterations; component labels may be non-minimal — raise "
+            f"max_iterations (chains longer than the cap exist in the "
+            f"candidate graph)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -1,11 +1,11 @@
 """Multimodal column operators: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-The container has no image/audio codecs, so the *decode* steps are stubbed
-behind ``use_stub_decoder`` (a deterministic fake) or raise
-``NotImplementedError`` — but the Spark-side plumbing is real and tested:
-schemas, Arrow batch shapes, ``mapInPandas`` signatures, and partition sizing
-are exactly what a production pipeline with PIL/ffmpeg plugged in would use.
+Uncompressed formats need no external codec, so BMP (images) and WAV/PCM
+(audio) are decoded for real with pure-Python/numpy header parsing inside
+the same ``mapInPandas`` plumbing a PIL/ffmpeg deployment would use.
+Compressed/exotic codecs are stubbed behind ``use_stub_decoder`` (a
+deterministic fake) or raise ``NotImplementedError``.
 
 Scale notes: media bytes dominate row size, so these operators (a) never
 collect, (b) use ``mapInPandas`` so one Arrow batch holds few rows of big

@@ -165,8 +165,11 @@ class FuncCall(Expr):
 
 @dataclass
 class FrameBound(Node):
-    kind: str  # 'unbounded_preceding' | 'unbounded_following' | 'current_row' | 'offset'
+    kind: str  # 'unbounded_preceding' | 'unbounded_following' | 'current_row' | 'offset' | 'interval'
     offset: int = 0  # signed: negative = preceding, positive = following
+    # kind == 'interval': RANGE BETWEEN INTERVAL n unit PRECEDING/FOLLOWING
+    # over a timestamp ORDER BY key; offset holds the sign (-1/+1)
+    interval: "IntervalLit | None" = None
 
 
 @dataclass

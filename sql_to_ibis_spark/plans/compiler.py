@@ -52,6 +52,7 @@ from sql_to_ibis_spark.errors import (
 )
 from sql_to_ibis_spark.functions.registry import (
     AGGREGATE_FUNCTIONS,
+    FRAME_SENSITIVE_VALUE_FUNCTIONS,
     NUMERIC_ONLY_AGGREGATES,
     RANKING_FUNCTIONS,
     SCALAR_FUNCTIONS,
@@ -283,7 +284,10 @@ class Compiler:
             if node.having is not None:
                 raise NeedsAggOrGroupQueryException("HAVING")
             pre_projection = df
-            df = self._compile_projection(df, node, scope)
+            # compile the select list ONCE: the hidden-sort path reuses these
+            # pairs so _colN/_literalN counters advance exactly once per item
+            pairs = self._select_list(node, scope)
+            df = pre_projection.select(*[c.alias(n) for c, n in pairs])
             if node.order_by and not node.distinct:
                 # ORDER BY may reference non-selected input columns
                 # (reference sorts against the parent table,
@@ -291,7 +295,7 @@ class Compiler:
                 # carry hidden sort columns through the projection, sort,
                 # drop them after limit/offset
                 out = self._order_by_with_hidden(
-                    pre_projection, df, node, scope)
+                    pre_projection, df, node, scope, pairs)
                 if out is not None:
                     return out
 
@@ -302,7 +306,8 @@ class Compiler:
 
     def _order_by_with_hidden(
         self, pre_df: DataFrame, projected: DataFrame,
-        node: ast.SelectNode, scope: Scope
+        node: ast.SelectNode, scope: Scope,
+        pairs: list[tuple[Column, str]],
     ) -> DataFrame | None:
         """Handle ORDER BY expressions not resolvable against the projected
         output. Returns None when plain output-level ordering suffices."""
@@ -319,7 +324,6 @@ class Compiler:
 
         if all(resolvable_in_output(i) for i in node.order_by):
             return None
-        pairs = self._select_list(node, scope)
         hidden: list[tuple[Column, str]] = []
         sort_cols: list[Column] = []
         for item in node.order_by:
@@ -353,14 +357,23 @@ class Compiler:
         Correlated (equality correlation + aggregate select, the TPC-H
         Q2/Q17 shape): classic decorrelation — aggregate the inner relation
         grouped by its correlation keys, left-join on them. One shuffle on
-        the keys instead of a per-outer-row subquery."""
+        the keys instead of a per-outer-row subquery.
+
+        Non-equality correlation ("magic set" decorrelation): the scalar
+        value depends only on the outer columns referenced by the
+        correlation predicates, so aggregate once per DISTINCT outer key
+        tuple (keys ⋈ inner on the full predicate, grouped by keys) and
+        join the results back on null-safe key equality — a range/theta
+        join over the small distinct-keys side instead of a per-row
+        subquery."""
         joins: list[tuple[DataFrame, Column | None]] = []
 
         def bind(e: ast.Expr) -> ast.Expr:
             if not isinstance(e, ast.ScalarSubquery):
                 return e
             if self._is_correlated(e.subquery, scope):
-                return self._bind_correlated_scalar(e.subquery, scope, joins)
+                return self._bind_correlated_scalar(e.subquery, scope, joins,
+                                                    df)
             sub = self.compile(e.subquery)
             if len(sub.columns) != 1:
                 raise InvalidQueryException(
@@ -393,6 +406,7 @@ class Compiler:
     def _bind_correlated_scalar(
         self, sub: ast.SelectNode, scope: Scope,
         joins: list[tuple[DataFrame, Column | None]],
+        outer_df: DataFrame,
     ) -> ast.Expr:
         if len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star):
             raise InvalidQueryException(
@@ -408,36 +422,46 @@ class Compiler:
                 "(e.g. (SELECT avg(x) FROM t WHERE t.k = outer.k))")
         inner_df, inner_scope, _, correlated = \
             self._compile_inner_from(sub, scope)
-        key_cols: list[Column] = []
-        key_names: list[str] = []
-        cond: Column | None = None
-        for conj in correlated:
-            if not (isinstance(conj, ast.BinaryOp) and conj.op == "="):
-                raise InvalidQueryException(
-                    "correlated scalar subqueries support only equality "
-                    "correlation (inner_col = outer_col)")
-            li = self._resolves_in(conj.left, inner_scope)
-            ri = self._resolves_in(conj.right, inner_scope)
-            lo = self._resolves_in(conj.left, scope)
-            ro = self._resolves_in(conj.right, scope)
-            if li and ro and not (ri and lo):
-                inner_e, outer_e = conj.left, conj.right
-            elif ri and lo:
-                inner_e, outer_e = conj.right, conj.left
-            else:
-                raise InvalidQueryException(
-                    "correlation predicate must compare an inner column "
-                    "with an outer column")
-            kname = f"__ck_{next(self._tmp_counter)}"
-            key_cols.append(self.compile_expr(inner_e, inner_scope).alias(kname))
-            key_names.append(kname)
-            outer_col = self.compile_expr(outer_e, scope)
-            piece = outer_col == F.col(_bq(kname))
-            cond = piece if cond is None else (cond & piece)
+        all_equality = all(
+            isinstance(c, ast.BinaryOp) and c.op == "=" for c in correlated)
         name = f"__scalar_{next(self._tmp_counter)}"
         value = self.compile_expr(sub.items[0].expr, inner_scope)
-        grouped = inner_df.groupBy(*key_cols).agg(value.alias(name))
-        joins.append((grouped, cond))
+        if all_equality:
+            # fast path: group the inner by its correlation keys — one
+            # shuffle on the keys, no distinct over the outer needed
+            key_cols: list[Column] = []
+            cond: Column | None = None
+            for conj in correlated:
+                li = self._resolves_in(conj.left, inner_scope)
+                ri = self._resolves_in(conj.right, inner_scope)
+                lo = self._resolves_in(conj.left, scope)
+                ro = self._resolves_in(conj.right, scope)
+                if li and ro and not (ri and lo):
+                    inner_e, outer_e = conj.left, conj.right
+                elif ri and lo:
+                    inner_e, outer_e = conj.right, conj.left
+                else:
+                    raise InvalidQueryException(
+                        "correlation predicate must compare an inner column "
+                        "with an outer column")
+                kname = f"__ck_{next(self._tmp_counter)}"
+                key_cols.append(
+                    self.compile_expr(inner_e, inner_scope).alias(kname))
+                outer_col = self.compile_expr(outer_e, scope)
+                piece = outer_col == F.col(_bq(kname))
+                cond = piece if cond is None else (cond & piece)
+            grouped = inner_df.groupBy(*key_cols).agg(value.alias(name))
+            joins.append((grouped, cond))
+        else:
+            # general path (non-equality / range correlation): the scalar
+            # depends only on the outer columns the predicates reference —
+            # aggregate once per DISTINCT outer key tuple, then join back
+            # null-safe on those keys. The keys ⋈ inner theta join runs
+            # over the (small) distinct-key side, not per outer row.
+            grouped, cond = self._decorrelate_by_outer_keys(
+                outer_df, inner_df, inner_scope, scope, correlated,
+                value, name)
+            joins.append((grouped, cond))
         ref: ast.Expr = ast.ScalarRef(name=name)
         root = sub.items[0].expr
         if isinstance(root, ast.FuncCall) and (root.name == "count"
@@ -448,6 +472,53 @@ class Compiler:
             ref = ast.FuncCall(name="coalesce",
                                args=[ref, ast.NumberLit(value=0)])
         return ref
+
+    def _decorrelate_by_outer_keys(
+        self, outer_df: DataFrame, inner_df: DataFrame, inner_scope: Scope,
+        scope: Scope, correlated: list[ast.Expr], value: Column, name: str,
+    ) -> tuple[DataFrame, Column]:
+        """Magic-set decorrelation for arbitrary correlation predicates.
+
+        Returns ``(grouped, cond)`` where ``grouped`` holds one aggregated
+        scalar per distinct outer-key tuple and ``cond`` joins it back to
+        the outer frame with null-safe key equality."""
+        # collect the distinct outer column refs used by the predicates
+        okeys: dict[tuple, tuple[str, ast.ColumnRef]] = {}
+
+        def classify(e: ast.Expr) -> ast.Expr:
+            if not isinstance(e, ast.ColumnRef):
+                return e
+            if self._resolves_in(e, inner_scope):
+                return e  # inner wins on ambiguity, standard SQL scoping
+            if not self._resolves_in(e, scope):
+                raise ColumnNotFoundError(e.name)
+            ident = self._canon(e, scope)
+            if ident not in okeys:
+                okeys[ident] = (f"__ok_{next(self._tmp_counter)}", e)
+            return ast.ColumnRef(name=okeys[ident][0], table=None)
+
+        rewritten = [_transform_expr(_copy_expr(c), classify)
+                     for c in correlated]
+        key_exprs = [self.compile_expr(ref, scope).alias(kname)
+                     for kname, ref in okeys.values()]
+        keys_df = outer_df.select(*key_exprs).distinct()
+        keys_scope = Scope([RelationInfo(qualifier="", display="",
+                                         columns=list(keys_df.columns))])
+        chain = ChainScope(inner_scope, keys_scope)
+        cond: Column | None = None
+        for conj in rewritten:
+            col = self.compile_expr(conj, chain)
+            cond = col if cond is None else (cond & col)
+        grouped = (
+            keys_df.join(inner_df, cond, "inner")
+            .groupBy(*[F.col(kname) for kname, _ in okeys.values()])
+            .agg(value.alias(name))
+        )
+        back: Column | None = None
+        for kname, ref in okeys.values():
+            piece = self.compile_expr(ref, scope).eqNullSafe(F.col(kname))
+            back = piece if back is None else (back & piece)
+        return grouped, back
 
     # -------------------------------------------------------------- FROM/join
 
@@ -804,14 +875,6 @@ class Compiler:
             return f"_literal{next(self._literal_counter)}"
         return f"_col{next(self._col_counter)}"
 
-    def _compile_projection(
-        self, df: DataFrame, node: ast.SelectNode, scope: Scope
-    ) -> DataFrame:
-        # SELECT * over a single relation returns it unchanged (reference
-        # handle_selection fast path, parsing/sql_parser.py:493-504)
-        pairs = self._select_list(node, scope)
-        return df.select(*[c.alias(n) for c, n in pairs])
-
     # ----------------------------------------------------------- aggregation
 
     def _is_agg_name(self, name: str) -> bool:
@@ -928,8 +991,10 @@ class Compiler:
                 return F.col(_bq(k["out"]))
             return self._compile_expr_generic(expr, lower_post_agg)
 
-        selected: list[tuple[Column, str]] = []
-        selected_key_ids: list[tuple] = []
+        # selected: (post-agg Column or None-for-key, output name, key dict
+        # or None) — select-list order throughout
+        selected: list[tuple[Column | None, str, dict | None]] = []
+        keys_with_out: set[int] = set()
         has_select_agg = False
         for item in node.items:
             if isinstance(item.expr, ast.Star):
@@ -945,9 +1010,13 @@ class Compiler:
                     out = item.expr.name
                 else:
                     out = self._output_name(item, set())
-                k["out"] = out
-                selected.append((None, out))  # placeholder — resolved below
-                selected_key_ids.append(k["identity"])
+                # the first select item naming a key fixes the key's column
+                # name in the aggregated frame; later mentions of the same
+                # key re-alias from it (SELECT a, a AS a2 ... GROUP BY a)
+                if id(k) not in keys_with_out:
+                    k["out"] = out
+                    keys_with_out.add(id(k))
+                selected.append((None, out, k))
                 continue
             if not self._contains_aggregate(item.expr):
                 if isinstance(item.expr, ast.ColumnRef):
@@ -956,20 +1025,15 @@ class Compiler:
             has_select_agg = True
             dups: set[str] = set()
             selected.append((lower_post_agg(item.expr),
-                             self._output_name(item, dups)))
+                             self._output_name(item, dups), None))
 
-        # ---- GROUP BY without aggregates → DISTINCT over selected keys
+        # ---- GROUP BY without aggregates → DISTINCT over selected keys,
+        # in SELECT-list order (reference drop_duplicates over selected order)
         if not has_select_agg and node.having is None and not agg_cols \
                 and node.group_mode is None:
-            key_pairs = []
-            for k in keys:
-                if k["identity"] in selected_key_ids:
-                    key_pairs.append((k["col"], k["out"]))
-            if len(key_pairs) != len(selected):
-                raise NeedsAggOrGroupQueryException(
-                    "all selected columns must be group keys"
-                )
-            return df.select(*[c.alias(n) for c, n in key_pairs]).distinct()
+            return df.select(
+                *[k["col"].alias(out) for _, out, k in selected]
+            ).distinct()
 
         # ---- HAVING
         having_col: Column | None = None
@@ -1013,9 +1077,9 @@ class Compiler:
             if having_col is not None:
                 agged = agged.filter(having_col)
             final_mixed: list[Column] = []
-            for item, (col, out) in zip(node.items, selected):
-                final_mixed.append(F.col(_bq(out)) if col is None
-                                   else col.alias(out))
+            for col, out, k in selected:
+                final_mixed.append(F.col(_bq(k["out"])).alias(out)
+                                   if col is None else col.alias(out))
             return agged.select(*final_mixed)
         if keys and node.group_mode is not None:
             # multidimensional grouping (extension; SURVEY §2.4 "Not
@@ -1054,13 +1118,11 @@ class Compiler:
         # ---- final projection: select-list order; drops unselected keys
         # (reference sql_parser.py:461-467) and HAVING-only aggregates
         final: list[Column] = []
-        sel_idx = 0
-        for item, (col, out) in zip(node.items, selected):
+        for col, out, k in selected:
             if col is None:
-                final.append(F.col(_bq(out)))
+                final.append(F.col(_bq(k["out"])).alias(out))
             else:
                 final.append(col.alias(out))
-            sel_idx += 1
         return agged.select(*final)
 
     # ------------------------------------------------------------- order/limit
@@ -1312,16 +1374,13 @@ class Compiler:
         # same NULL placement as top-level ORDER BY (NULLS LAST default,
         # the convention the oracle uses; Spark's bare .asc() would be
         # NULLS FIRST) and honor explicit NULLS FIRST/LAST
+        undirected: list[Column] = [recurse(item.expr) for item in spec.order_by]
         orders: list[Column] = [
-            _directed(recurse(item.expr), item) for item in spec.order_by
+            _directed(col, item) for col, item in zip(undirected, spec.order_by)
         ]
 
         if func.name in RANKING_FUNCTIONS:
             builder, min_a, max_a = RANKING_FUNCTIONS[func.name]
-            w = Window.partitionBy(*parts) if parts else Window.partitionBy()
-            # Spark requires ordering for ranking functions; a constant key
-            # reproduces the reference's "no ORDER BY → everything ties" case
-            w = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
             raw_args: list = []
             for a in func.args:
                 if isinstance(a, (ast.NumberLit, ast.StringLit)):
@@ -1332,6 +1391,21 @@ class Compiler:
                 raise InvalidQueryException(
                     f"{func.name}() takes {min_a}-{max_a} arguments"
                 )
+            w = Window.partitionBy(*parts) if parts else Window.partitionBy()
+            if func.name in FRAME_SENSITIVE_VALUE_FUNCTIONS:
+                # first_value/last_value/nth_value evaluate over the frame
+                # (default: RANGE UNBOUNDED PRECEDING..CURRENT ROW when
+                # ordered — the SQL-standard "last_value needs an explicit
+                # frame" behavior, matching DuckDB)
+                w = self._apply_window_frame(w, spec, orders, undirected)
+                return builder(*raw_args).over(w)
+            if spec.frame_type is not None:
+                raise InvalidQueryException(
+                    f"{func.name}() does not accept a window frame clause"
+                )
+            # Spark requires ordering for ranking functions; a constant key
+            # reproduces the reference's "no ORDER BY → everything ties" case
+            w = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
             return builder(*raw_args).over(w)
 
         if func.name not in AGGREGATE_FUNCTIONS and not func.is_star:
@@ -1344,11 +1418,12 @@ class Compiler:
             agg = AGGREGATE_FUNCTIONS[func.name](*[recurse(a) for a in func.args])
 
         w = Window.partitionBy(*parts) if parts else Window.partitionBy()
-        w = self._apply_window_frame(w, spec, orders)
+        w = self._apply_window_frame(w, spec, orders, undirected)
         return agg.over(w)
 
     def _apply_window_frame(
-        self, w: WindowSpec, spec: ast.WindowSpec, orders: list[Column]
+        self, w: WindowSpec, spec: ast.WindowSpec, orders: list[Column],
+        undirected: list[Column] | None = None,
     ) -> WindowSpec:
         UP, UF, CR = (Window.unboundedPreceding, Window.unboundedFollowing,
                       Window.currentRow)
@@ -1360,7 +1435,34 @@ class Compiler:
                 return UF
             if b.kind == "current_row":
                 return CR
+            if b.kind == "interval":
+                return b.offset * _interval_micros(b.interval)
             return b.offset
+
+        has_interval = any(
+            b is not None and b.kind == "interval"
+            for b in (spec.frame_start, spec.frame_end)
+        )
+        if has_interval:
+            # RANGE over time: Spark's rangeBetween takes numeric offsets
+            # only, so order by unix_micros(ts) and convert the interval to
+            # microseconds — identical frame semantics, stays JVM-side
+            if spec.frame_type != "range":
+                raise InvalidQueryException(
+                    "INTERVAL frame bounds require a RANGE frame")
+            if undirected is None or len(undirected) != 1:
+                raise InvalidQueryException(
+                    "RANGE with INTERVAL bounds requires exactly one "
+                    "ORDER BY key (a timestamp column)")
+            item = spec.order_by[0]
+            if not item.ascending:
+                raise InvalidQueryException(
+                    "RANGE with INTERVAL bounds requires ascending order")
+            num = F.unix_micros(undirected[0].cast("timestamp"))
+            w = w.orderBy(_directed(num, item))
+            start = bound(spec.frame_start) if spec.frame_start else UP
+            end = bound(spec.frame_end) if spec.frame_end else CR
+            return w.rangeBetween(start, end)
 
         if spec.frame_type is None:
             # reference default: RANGE UNBOUNDED PRECEDING → CURRENT ROW,
@@ -1389,6 +1491,35 @@ def _directed(col: Column, item: ast.OrderItem) -> Column:
     if item.ascending:
         return col.asc_nulls_first() if nulls_first else col.asc_nulls_last()
     return col.desc_nulls_first() if nulls_first else col.desc_nulls_last()
+
+
+_INTERVAL_MICROS = {
+    "microsecond": 1,
+    "millisecond": 1_000,
+    "second": 1_000_000,
+    "minute": 60 * 1_000_000,
+    "hour": 3_600 * 1_000_000,
+    "day": 86_400 * 1_000_000,
+    "week": 7 * 86_400 * 1_000_000,
+}
+
+
+def _interval_micros(iv: ast.IntervalLit) -> int:
+    """Fixed-length interval → microseconds (frame bounds must be constant
+    widths; month/year vary by calendar and are rejected)."""
+    if iv is None or iv.unit not in _INTERVAL_MICROS:
+        unit = iv.unit if iv is not None else "?"
+        raise InvalidQueryException(
+            f"INTERVAL frame bounds support fixed-length units "
+            f"(microsecond..week), got {unit!r}")
+    return int(iv.value * _INTERVAL_MICROS[iv.unit])
+
+
+def _copy_expr(expr: ast.Expr) -> ast.Expr:
+    """Deep-copy an AST expression (``_transform_expr`` mutates in place)."""
+    import copy
+
+    return copy.deepcopy(expr)
 
 
 def _transform_expr(expr: ast.Expr, fn) -> ast.Expr:

@@ -777,6 +777,15 @@ class _Parser:
                 return ast.FrameBound(kind="offset", offset=-n)
             self.expect_kw("following")
             return ast.FrameBound(kind="offset", offset=n)
+        if self.at_kw("interval"):
+            # RANGE BETWEEN INTERVAL 'n' unit PRECEDING ... (time frames
+            # over a timestamp ORDER BY key; extension — reference grammar
+            # has no frames at all)
+            iv = self._parse_interval()
+            if self.accept_kw("preceding"):
+                return ast.FrameBound(kind="interval", offset=-1, interval=iv)
+            self.expect_kw("following")
+            return ast.FrameBound(kind="interval", offset=1, interval=iv)
         self._fail("expected frame bound")
 
     def _parse_case(self) -> ast.Expr:

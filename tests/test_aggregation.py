@@ -121,3 +121,23 @@ def test_approx_percentile_close_to_exact(engine):
     exact, approx = got["exact_p50"][0], got["approx_p50"][0]
     # sketch error bound: well under 1% at this accuracy
     assert abs(exact - approx) / exact < 0.01
+
+
+# ---- GROUP BY without aggregates: SELECT-list order + duplicate key select
+
+
+def test_groupby_no_agg_select_order(oracle):
+    # output columns must follow the SELECT list, not GROUP BY order
+    df = oracle("SELECT l_linestatus, l_returnflag FROM lineitem "
+                "GROUP BY l_returnflag, l_linestatus")
+    assert list(df.columns) == ["l_linestatus", "l_returnflag"]
+
+
+def test_groupby_no_agg_key_selected_twice(oracle):
+    oracle("SELECT l_returnflag, l_returnflag AS flag2 FROM lineitem "
+           "GROUP BY l_returnflag")
+
+
+def test_groupby_agg_key_selected_twice(oracle):
+    oracle("SELECT l_returnflag, l_returnflag AS flag2, count(*) AS n "
+           "FROM lineitem GROUP BY l_returnflag")

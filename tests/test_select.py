@@ -151,3 +151,12 @@ def test_ansi_string_forms(oracle):
     )
     # plain call forms still work
     oracle("SELECT trim('  x  ') AS t, substring('hello', 2, 3) AS s")
+
+
+def test_hidden_sort_does_not_shift_auto_names(engine):
+    # _colN counters must advance once per select item even when ORDER BY
+    # references a non-selected column (hidden-sort path compiles the
+    # select list exactly once)
+    df = engine.query("SELECT o_orderkey + 1 FROM orders ORDER BY o_totalprice "
+                      "LIMIT 5")
+    assert df.columns == ["_col0"]

@@ -268,3 +268,32 @@ class TestModernClauses:
                 GROUP BY l_returnflag
                 QUALIFY row_number() OVER (ORDER BY count(*)) = 1
             """)
+
+
+# ---- correlated scalar subqueries with NON-equality (range) correlation:
+# magic-set decorrelation over distinct outer key tuples
+
+
+def test_correlated_scalar_range_correlation(oracle):
+    # avg over strictly-smaller orderkeys of the same custkey: mixed
+    # equality + range correlation
+    oracle("SELECT o_orderkey, "
+           "(SELECT count(*) FROM orders o2 "
+           " WHERE o2.o_custkey = o1.o_custkey "
+           " AND o2.o_orderkey < o1.o_orderkey) AS n_before "
+           "FROM orders o1 WHERE o_orderkey < 200")
+
+
+def test_correlated_scalar_pure_range_correlation(oracle):
+    oracle("SELECT n_nationkey, "
+           "(SELECT count(*) FROM region r "
+           " WHERE r.r_regionkey < n.n_regionkey) AS n_smaller "
+           "FROM nation n")
+
+
+def test_correlated_scalar_range_avg(oracle):
+    oracle("SELECT o_orderkey, "
+           "round((SELECT avg(o2.o_totalprice) FROM orders o2 "
+           " WHERE o2.o_custkey = o1.o_custkey "
+           " AND o2.o_totalprice > o1.o_totalprice), 4) AS avg_bigger "
+           "FROM orders o1 WHERE o_orderkey < 500")
