@@ -815,6 +815,25 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_multimodal_decode_images"] = decode_images
 
+    # REAL decode path: synthesize an actual 24bpp BMP per doc_id
+    # (deterministic closed form), decode it with the real header+numpy
+    # parser — the oracle recomputes the closed form, so a decode bug
+    # (stride, padding, offset) breaks the hash match
+    def decode_bmp_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        blobs = multimodal.synthesize_bmp_blobs(_docs(spark, sf_dir))
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_bmp"] = decode_bmp_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_bmp"] = """
+        SELECT doc_id,
+               CAST(4 + doc_id % 16 AS int) AS width,
+               CAST(4 + (doc_id // 16) % 16 AS int) AS height,
+               3 AS channels,
+               CAST(doc_id % 256 AS double) AS mean_pixel
+        FROM documents
+    """
+
     # streaming operators, batch-parity path (identical expressions run on
     # readStream frames with watermarks; see streaming/ops.py + tests)
     def streaming_tumbling(spark, sf_dir):

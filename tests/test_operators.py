@@ -331,3 +331,56 @@ def test_term_frequencies_vs_duckdb(docs, ddb):
     """).fetchdf()
     assert list(got["term"]) == list(expected["term"])
     assert list(got["n"]) == list(expected["n"])
+
+
+# ---------------------------------------------- real BMP / WAV decoders
+
+
+def test_bmp_roundtrip_local():
+    blob = multimodal.encode_bmp(7, 5, 200)  # width with row padding (7*3=21)
+    w, h, c, mean = multimodal.decode_bmp(blob)
+    assert (w, h, c) == (7, 5, 3)
+    assert mean == 200.0  # padding bytes must NOT leak into the mean
+
+
+def test_bmp_decode_distributed(spark, docs):
+    synth = multimodal.synthesize_bmp_blobs(docs.limit(64))
+    out = multimodal.decode_images(synth).collect()
+    assert len(out) == 64
+    for r in out:
+        i = r["doc_id"]
+        assert r["width"] == 4 + i % 16
+        assert r["height"] == 4 + (i // 16) % 16
+        assert r["channels"] == 3
+        assert r["mean_pixel"] == float(i % 256)
+
+
+def test_wav_roundtrip_local():
+    import numpy as np
+
+    samples = np.full(16000, 1000, dtype=np.int16)
+    blob = multimodal.encode_wav(samples)
+    rate, channels, decoded = multimodal.decode_wav(blob)
+    assert (rate, channels) == (16000, 1)
+    assert np.array_equal(decoded, samples)
+
+
+def test_wav_rms_distributed(spark):
+    import numpy as np
+
+    rows = []
+    for i, amp in enumerate([0, 1000, 20000]):
+        samples = np.full(8000, amp, dtype=np.int16)
+        rows.append((i, bytearray(multimodal.encode_wav(samples))))
+    df = spark.createDataFrame(rows, ["doc_id", "blob"])
+    out = multimodal.sample_audio_frames(df, frames=4)
+    got = {(r["doc_id"], r["frame_idx"]): r["rms"] for r in out.collect()}
+    assert len(got) == 12
+    for (i, _), rms in got.items():
+        assert rms == pytest.approx([0.0, 1000.0, 20000.0][i])
+
+
+def test_non_bmp_without_stub_still_raises(blobs):
+    with pytest.raises(Exception) as exc:
+        multimodal.decode_images(blobs).collect()
+    assert "BMP" in str(exc.value) or isinstance(exc.value, NotImplementedError)
