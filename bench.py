@@ -44,6 +44,12 @@ HEADLINE = [
     "pipeline_dedup_minhash_lsh",
     "pipeline_ann_cosine_topk",
     "pipeline_text_token_stats",
+    # round 2 additions (kept at the tail so r01 per-query deltas line up)
+    "tpch_q20_potential_part_promotion",
+    "tpch_q21_suppliers_kept_waiting",
+    "tpch_q22_global_sales_opportunity",
+    "window_range_interval",
+    "pipeline_multimodal_decode_bmp",
 ]
 
 
@@ -63,6 +69,15 @@ def main() -> None:
     # warm-up: JVM, codegen, parquet footers (not billed per-query)
     _execute(qs["select_star"](spark, sf_dir))
 
+    # measured fixed floor: the cheapest possible plan (1-row scan → noop)
+    # still pays Spark's task-scheduling/codegen cost — per-query ratios vs
+    # DuckDB are only meaningful after subtracting this constant
+    floor = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _execute(spark.range(1))
+        floor = min(floor, time.perf_counter() - t0)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -79,6 +94,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "floor_sec": round(floor, 4),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -111,8 +111,14 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
 
 def _perm(a: int, b: int):
     """Unary lambda for F.transform (pyspark introspects lambda arity, so
-    the constants must be closed over, not default-arg captured)."""
-    return lambda h: h * F.lit(a) + F.lit(b)
+    the constants must be closed over, not default-arg captured).
+
+    The pmod is ESSENTIAL: without it ``a·h + b`` is monotonic in ``h`` and
+    every "permutation" picks the same argmin shingle — the signature
+    degenerates to 64 copies of one minhash (planted-dup recall gate in
+    tests/test_quality_gates.py caught this). Reducing mod a prime breaks
+    monotonicity and makes each (a, b) an independent universal hash."""
+    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_HASH_SPACE))
 
 
 def minhash_signature(
@@ -322,12 +328,13 @@ def connected_components(
 
     MinHash/SimHash emit *pairs*; deduplication needs *clusters* (A~B and
     B~C must collapse to one canonical doc even if A~C was never emitted).
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors — a self-join per round,
-    converging in O(diameter) rounds. Duplicate clusters are short chains
-    in practice, so the loop exits early (per-round convergence check via
-    a cheap count aggregate); components are persisted per round and
-    lineage is kept flat so the plan doesn't grow superlinearly.
+    Each round combines min-label propagation (every node adopts the
+    smallest label among itself and its neighbors) with POINTER JUMPING
+    (``component := component's component``) so long chains converge in
+    O(log diameter) rounds, not O(diameter). Labels are
+    ``localCheckpoint``-ed per round — truncating the lineage is what keeps
+    the plan from growing superlinearly (a persisted-but-unchecked chain of
+    20 self-joins overflows Catalyst's plan-string stack).
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -340,7 +347,7 @@ def connected_components(
         edges.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("component", F.col("id"))
-        .persist()
+        .localCheckpoint()
     )
     converged = False
     for _ in range(max_iterations):
@@ -360,12 +367,21 @@ def connected_components(
                 (F.coalesce(F.col("nbr_component"), F.col("component"))
                  < F.col("component")).alias("__changed"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = updated.filter(F.col("__changed")).limit(1).count()
-        new_labels = updated.drop("__changed").persist()
-        labels.unpersist()
-        labels = new_labels
+        stepped = updated.drop("__changed")
+        # pointer jumping: follow the label one hop (labels cover every
+        # node id, so the join always matches) — doubles the effective
+        # propagation distance each round
+        ptr = stepped.select(F.col("id").alias("cid"),
+                             F.col("component").alias("cc"))
+        labels = (
+            stepped.join(ptr, stepped["component"] == ptr["cid"], "left")
+            .select("id",
+                    F.coalesce("cc", "component").alias("component"))
+            .localCheckpoint()
+        )
         if changed == 0:
             converged = True
             break

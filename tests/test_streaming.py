@@ -128,3 +128,104 @@ def test_engine_explain_helper(engine):
     plan = engine.explain(
         "SELECT l_orderkey FROM lineitem WHERE l_quantity > 40")
     assert "PushedFilters" in plan
+
+
+# ---- real availableNow replay with a PLANTED LATE EVENT: the late row
+# arrives a micro-batch after newer events but within the watermark, so the
+# stream must still fold it into its (already-open) window — stream output
+# must equal batch output exactly
+
+
+def _write_ordered_batches(spark, tmpdir, batches, schema_df):
+    """Write each batch as its own parquet file with strictly increasing
+    mtimes so the file source replays them in order (oldest first)."""
+    import os
+    import time
+
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, schema_df.schema)
+        df.coalesce(1).write.mode("append").parquet(tmpdir)
+        # force deterministic replay order via mtime
+        t = time.time() + i * 10
+        for f in os.listdir(tmpdir):
+            if f.endswith(".parquet"):
+                p = os.path.join(tmpdir, f)
+                if os.path.getmtime(p) > t - 5:
+                    os.utime(p, (t, t))
+    return (spark.readStream.schema(schema_df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(tmpdir))
+
+
+def test_tumbling_availablenow_with_late_event(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minutes, user=1, etype="click", value=1.0, eid=0):
+        return (eid, user, etype, t0 + dt.timedelta(minutes=minutes), value,
+                "{}")
+    batch_a = [ev(5, eid=1), ev(20, eid=2), ev(70, eid=3)]
+    # late event (00:40) arrives AFTER the 02:15 event but within the
+    # 2-hour watermark relative to batch A's max (01:10) → must count
+    batch_b = [ev(135, eid=4), ev(40, eid=5)]
+    # future sentinel pushes the final watermark past every real window so
+    # append mode emits them all
+    sentinel_min = 36 * 60
+    batch_c = [ev(sentinel_min, eid=6)]
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    all_rows = batch_a + batch_b + batch_c
+    batch_df = spark.createDataFrame(all_rows, cols)
+
+    stream = _write_ordered_batches(
+        spark, str(tmp_path / "src"), [batch_a, batch_b, batch_c], batch_df)
+    result = run_stream_to_memory(
+        spark, tumbling_counts(stream), "t_late_tumbling",
+        output_mode="append")
+
+    sentinel_ts = t0 + dt.timedelta(minutes=sentinel_min)
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+           for r in result.collect()
+           if r["window_start"] <= sentinel_ts - dt.timedelta(hours=1)}
+    expected = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+                for r in tumbling_counts(batch_df).collect()
+                if r["window_start"] <= sentinel_ts - dt.timedelta(hours=1)}
+    assert got == expected
+    # the late event landed in its hour-0 window: 3 events there, not 2
+    assert got[(t0, "click")][0] == 3
+
+
+def test_sessionize_availablenow_with_late_event(spark, tmp_path):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(minutes, user=1, eid=0):
+        return (eid, user, "click", t0 + dt.timedelta(minutes=minutes), 1.0,
+                "{}")
+    # user 1: events at 00:00 and 00:10; a LATE event at 00:25 arrives in
+    # batch B (after 03:00) and must EXTEND the same session (gap 30m)
+    batch_a = [ev(0, eid=1), ev(10, eid=2), ev(180, user=2, eid=3)]
+    batch_b = [ev(25, eid=4)]
+    batch_c = [ev(36 * 60, user=9, eid=5)]  # watermark sentinel
+
+    cols = ["event_id", "user_id", "event_type", "ts", "value", "props"]
+    batch_df = spark.createDataFrame(batch_a + batch_b + batch_c, cols)
+
+    stream = _write_ordered_batches(
+        spark, str(tmp_path / "src"), [batch_a, batch_b, batch_c], batch_df)
+    result = run_stream_to_memory(
+        spark, sessionize(stream, gap="30 minutes"), "t_late_sessions",
+        output_mode="append")
+
+    got = {(r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+           for r in result.collect() if r["user_id"] != 9}
+    expected = {(r["user_id"], r["session_start"],
+                 r["session_end"] + dt.timedelta(minutes=30), r["n_events"])
+                for r in sessionize(batch_df, gap="30 minutes").collect()
+                if r["user_id"] != 9}
+    # session_window's end = last_event + gap; the batch lag-cumsum path
+    # reports end = last event ts — align before comparing
+    assert got == expected
+    # the late 00:25 event extended user 1's first session to 3 events
+    assert (1, t0, t0 + dt.timedelta(minutes=55), 3) in got
