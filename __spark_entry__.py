@@ -456,6 +456,127 @@ _PAIRS["subquery_correlated_scalar_q17"] = (
     "(SELECT 0.5 * avg(l2.l_quantity) FROM lineitem l2 "
     "WHERE l2.l_orderkey = l1.l_orderkey)", None)
 
+# Q7 shape: two-nation shipping volume — dual nation join + OR of ANDs +
+# year() bucketing over a FROM-subquery
+_PAIRS["tpch_q7_volume_shipping"] = (
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(sum(CAST(volume AS decimal(18,4))) AS double) AS revenue FROM ("
+    "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "         year(l.l_shipdate) AS l_year, "
+    "         l.l_extendedprice * (1 - l.l_discount) AS volume "
+    "  FROM supplier s "
+    "  JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+    "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "  JOIN customer c ON c.c_custkey = o.o_custkey "
+    "  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "  AND l.l_shipdate BETWEEN TIMESTAMP('1995-01-01') "
+    "                       AND TIMESTAMP('1997-12-31')) shipping "
+    "GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year",
+    "SELECT supp_nation, cust_nation, l_year, "
+    "CAST(sum(CAST(volume AS decimal(18,4))) AS double) AS revenue FROM ("
+    "  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+    "         year(l.l_shipdate) AS l_year, "
+    "         l.l_extendedprice * (1 - l.l_discount) AS volume "
+    "  FROM supplier s "
+    "  JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+    "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "  JOIN customer c ON c.c_custkey = o.o_custkey "
+    "  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+    "      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+    "  AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01' "
+    "                       AND TIMESTAMP '1997-12-31') shipping "
+    "GROUP BY supp_nation, cust_nation, l_year "
+    "ORDER BY supp_nation, cust_nation, l_year")
+
+# Q8 shape: market share — conditional aggregation ratio (identical-double
+# division is hash-exact; decimal sums keep both operands exact)
+_PAIRS["tpch_q8_market_share"] = (
+    "SELECT o_year, "
+    "CAST(sum(CASE WHEN nation = 'NATION_5' THEN CAST(volume AS decimal(18,4)) "
+    "         ELSE CAST(0 AS decimal(18,4)) END) AS double) / "
+    "CAST(sum(CAST(volume AS decimal(18,4))) AS double) AS mkt_share FROM ("
+    "  SELECT year(o.o_orderdate) AS o_year, "
+    "         l.l_extendedprice * (1 - l.l_discount) AS volume, "
+    "         n1.n_name AS nation "
+    "  FROM part p "
+    "  JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "  JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "  JOIN customer c ON o.o_custkey = c.c_custkey "
+    "  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey "
+    "  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey "
+    "  JOIN region r ON n2.n_regionkey = r.r_regionkey "
+    "  WHERE r.r_name = 'ASIA' AND p.p_type = 'PROMO') all_nations "
+    "GROUP BY o_year ORDER BY o_year", None)
+
+# Q10 shape: returned-item reporting — 4-way join, group incl. measure
+# columns, revenue top-20
+_PAIRS["tpch_q10_returned_items"] = (
+    "SELECT c.c_custkey, c.c_name, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) "
+    "AS double) AS revenue, c.c_acctbal, n.n_name "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderdate >= TIMESTAMP('1995-01-01') "
+    "AND o.o_orderdate < TIMESTAMP('1995-07-01') "
+    "AND l.l_returnflag = 'R' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue DESC, c.c_custkey LIMIT 20",
+    "SELECT c.c_custkey, c.c_name, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) "
+    "AS double) AS revenue, c.c_acctbal, n.n_name "
+    "FROM customer c "
+    "JOIN orders o ON c.c_custkey = o.o_custkey "
+    "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "WHERE o.o_orderdate >= TIMESTAMP '1995-01-01' "
+    "AND o.o_orderdate < TIMESTAMP '1995-07-01' "
+    "AND l.l_returnflag = 'R' "
+    "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+    "ORDER BY revenue DESC, c.c_custkey LIMIT 20")
+
+# Q14 shape: promo revenue share — CASE-conditional aggregate ratio
+_PAIRS["tpch_q14_promo_effect"] = (
+    "SELECT 100.0 * "
+    "CAST(sum(CASE WHEN p.p_type = 'PROMO' "
+    "         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4)) "
+    "         ELSE CAST(0 AS decimal(18,4)) END) AS double) / "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) "
+    "AS double) AS promo_revenue "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP('1995-09-01') "
+    "AND l.l_shipdate < TIMESTAMP('1995-10-01')",
+    "SELECT 100.0 * "
+    "CAST(sum(CASE WHEN p.p_type = 'PROMO' "
+    "         THEN CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4)) "
+    "         ELSE CAST(0 AS decimal(18,4)) END) AS double) / "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS decimal(18,4))) "
+    "AS double) AS promo_revenue "
+    "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' "
+    "AND l.l_shipdate < TIMESTAMP '1995-10-01'")
+
+# Q19 shape: discounted revenue over OR'd bracket predicates (join + complex
+# disjunctive pushdown)
+_PAIRS["tpch_q19_discounted_revenue"] = (
+    "SELECT CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+    "AS decimal(18,4))) AS double) AS revenue "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    "WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5 "
+    "       AND l.l_quantity BETWEEN 1 AND 11) "
+    "   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 "
+    "       AND l.l_quantity BETWEEN 10 AND 20) "
+    "   OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15 "
+    "       AND l.l_quantity BETWEEN 20 AND 30)", None)
+
 # ---- TPC-H Q20/Q21/Q22 shapes, adapted to the driver testdata schema
 # (no partsupp/l_receiptdate/c_phone columns; same decorrelation structure)
 
@@ -832,6 +953,20 @@ def _add_pipeline_operators(out: dict) -> None:
                3 AS channels,
                CAST(doc_id % 256 AS double) AS mean_pixel
         FROM documents
+    """
+
+    # REAL audio decode path: synthesized constant-amplitude PCM WAV per
+    # doc_id → RIFF parse + per-frame RMS; RMS of constant amplitude a is
+    # exactly a, so the oracle is closed-form
+    def audio_rms_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        blobs = multimodal.synthesize_wav_blobs(_docs(spark, sf_dir))
+        return multimodal.sample_audio_frames(blobs, frames=2)
+
+    out["pipeline_multimodal_audio_rms"] = audio_rms_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_audio_rms"] = """
+        SELECT doc_id, f.frame_idx, CAST(doc_id % 1000 AS double) AS rms
+        FROM documents, (VALUES (0), (1)) f(frame_idx)
     """
 
     # streaming operators, batch-parity path (identical expressions run on

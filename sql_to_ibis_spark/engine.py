@@ -34,11 +34,15 @@ class SqlEngine:
                           vectorized: bool = True) -> None:
         """Register a Python function as a SQL-callable scalar function.
 
-        ``vectorized=True`` wraps it as an Arrow-batched pandas UDF
-        (``fn(pd.Series, ...) -> pd.Series`` — the fast path, ~10-100× faster
-        than row-at-a-time); ``vectorized=False`` as a plain row UDF
-        (``fn(value, ...) -> value``). The reference has no UDF surface at
-        all (SURVEY §2.9) — this is a Spark-native extension.
+        Keep the default ``vectorized=True``: it wraps ``fn`` as an
+        Arrow-batched pandas UDF (``fn(pd.Series, ...) -> pd.Series``),
+        ~10-100× faster than row-at-a-time and the only variant that
+        belongs in a hot path at scale. ``vectorized=False`` registers a
+        plain row-wise UDF (``fn(value, ...) -> value``) — an explicit
+        opt-out for quick prototypes or functions that genuinely can't be
+        expressed over Series; expect per-row Python/JVM serialization
+        cost. The reference has no UDF surface at all (SURVEY §2.9) — this
+        is a Spark-native extension.
         """
         from pyspark.sql import functions as F
 

@@ -213,6 +213,29 @@ def decode_wav(data: bytes) -> tuple[int, int, "np.ndarray"]:
     return rate, channels, samples
 
 
+def synthesize_wav_blobs(df: DataFrame, id_col: str = "doc_id",
+                         n_samples: int = 8000) -> DataFrame:
+    """Deterministically synthesize a real 16-bit PCM WAV blob per row from
+    its id (constant amplitude = id % 1000) — gives the audio decode path
+    an oracle: every frame's RMS must equal exactly ``id % 1000``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = [
+                encode_wav(np.full(n_samples, int(i) % 1000, dtype=np.int16))
+                for i in ids
+            ]
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
 def sample_audio_frames(
     df: DataFrame,
     blob_col: str = "blob",
