@@ -30,13 +30,18 @@ def _run_json(cmd: list[str]) -> dict:
     return json.loads(out[-1])
 
 
+def _unwrap(d: dict) -> dict:
+    # driver BENCH_r*.json wraps the bench line under "parsed"
+    return d.get("parsed", d)
+
+
 def _latest_prev() -> dict | None:
     cands = sorted(glob.glob(os.path.join(ROOT, "BENCH_r*.json")),
                    key=lambda p: int(re.search(r"r(\d+)", p).group(1)))
     if not cands:
         return None
     with open(cands[-1]) as f:
-        return json.load(f)
+        return _unwrap(json.load(f))
 
 
 def main() -> None:
@@ -47,7 +52,8 @@ def main() -> None:
     else:
         bench = _run_json([sys.executable, "bench.py"])
         base = _run_json([sys.executable, "scripts/baseline_duckdb.py"])
-    prev = json.load(open(args[2])) if len(args) >= 3 else _latest_prev()
+    prev = _unwrap(json.load(open(args[2]))) if len(args) >= 3 \
+        else _latest_prev()
 
     floor = bench.get("floor_sec", 0.0)
     prev_q = (prev or {}).get("queries", {})
