@@ -206,3 +206,66 @@ def test_random_groupby_having_matches_duckdb(engine, ddb, keys, fn, having_n):
     expected = ddb.execute(sql).fetchdf()
     expected.columns = list(actual.columns)
     compare_frames(actual, expected)
+
+
+@given(
+    fn=st.sampled_from(["first_value(l_quantity)", "last_value(l_quantity)",
+                        "nth_value(l_quantity, 3)"]),
+    frame=st.sampled_from([
+        "",  # default frame (RANGE UNBOUNDED..CURRENT)
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING",
+        "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND 3 FOLLOWING",
+        "ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING",
+    ]),
+)
+@FUZZ
+def test_random_value_function_frame_matches_duckdb(engine, ddb, fn, frame):
+    # value functions are frame-sensitive; every frame form must agree
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, "
+        f"{fn} OVER (PARTITION BY l_returnflag "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+        f"{frame}) AS w FROM lineitem WHERE l_orderkey < 300"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    amount=st.integers(min_value=1, max_value=180),
+    unit=st.sampled_from(["MINUTE", "HOUR"]),
+    side=st.sampled_from(["PRECEDING AND CURRENT ROW",
+                          "PRECEDING AND INTERVAL '10' MINUTE FOLLOWING"]),
+)
+@FUZZ
+def test_random_range_interval_frame_matches_duckdb(engine, ddb, amount,
+                                                    unit, side):
+    sql = (
+        f"SELECT event_id, count(*) OVER (PARTITION BY user_id ORDER BY ts "
+        f"RANGE BETWEEN INTERVAL '{amount}' {unit} {side}) AS n "
+        f"FROM events WHERE user_id < 40"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    agg=st.sampled_from(["count(*)", "avg(o2.o_totalprice)",
+                         "max(o2.o_totalprice)"]),
+    op=st.sampled_from(["<", "<=", ">", ">="]),
+)
+@FUZZ
+def test_random_range_correlated_scalar_matches_duckdb(engine, ddb, agg, op):
+    # magic-set decorrelation with mixed equality + range correlation
+    sql = (
+        f"SELECT o_orderkey, "
+        f"(SELECT {agg} FROM orders o2 WHERE o2.o_custkey = o1.o_custkey "
+        f" AND o2.o_orderkey {op} o1.o_orderkey) AS s "
+        f"FROM orders o1 WHERE o_orderkey < 300"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
