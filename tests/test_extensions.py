@@ -225,3 +225,50 @@ def test_register_csv_json_orc_roundtrip(spark, engine, tmp_path):
         "SELECT a.r_name FROM r_csv a JOIN r_orc b "
         "ON a.r_regionkey = b.r_regionkey")
     assert joined.count() == 5
+
+
+def test_csv_json_orc_roundtrip(spark, engine, tmp_path):
+    from sql_to_ibis_spark.sources import readers, sinks
+
+    src = engine.query(
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation")
+    expect = sorted(map(tuple, src.collect()))
+
+    p_csv, p_json, p_orc = (str(tmp_path / x) for x in ["c", "j", "o"])
+    sinks.write_csv(src, p_csv)
+    sinks.write_json(src, p_json)
+    sinks.write_orc(src, p_orc)
+
+    got_csv = readers.read_csv(spark, p_csv)
+    got_json = readers.read_json(spark, p_json)
+    got_orc = readers.read_orc(spark, p_orc)
+    assert sorted(map(tuple, got_orc.collect())) == expect
+    # CSV/JSON are schemaless-ish: compare values after aligning column order
+    for got in [got_csv, got_json]:
+        rows = sorted(map(tuple, got.select(
+            "n_nationkey", "n_name", "n_regionkey").collect()))
+        assert rows == expect
+
+
+def test_partitioned_parquet_prunes(spark, engine, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sql_to_ibis_spark.sources import readers, sinks
+
+    src = engine.query("SELECT o_orderkey, o_orderpriority FROM orders")
+    path = str(tmp_path / "part_orders")
+    sinks.write_parquet(src, path, partition_by=["o_orderpriority"])
+    back = readers.read_parquet(spark, path)
+    one = back.filter(F.col("o_orderpriority") == "1-URGENT")
+    # partition pruning: the filtered scan must read only matching partition
+    # directories (PartitionFilters in the physical plan)
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        one.explain(True)
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "1-URGENT" in plan
+    assert one.count() == src.filter(
+        F.col("o_orderpriority") == "1-URGENT").count()
