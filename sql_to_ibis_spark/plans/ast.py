@@ -205,6 +205,19 @@ class TableRef(Relation):
 class SubqueryRef(Relation):
     query: "SelectNode | SetOpNode"
     alias: str
+    # derived-column alias list: FROM (SELECT ...) t(a, b) (extension)
+    columns: "list[str] | None" = None
+
+
+@dataclass
+class ValuesRef(Relation):
+    """``FROM (VALUES (1, 'a'), (2, 'b')) t(id, name)`` — inline table
+    constructor (extension; not in reference grammar). Default column
+    names col0, col1, … match DuckDB."""
+
+    rows: list[list[Expr]]
+    alias: str
+    columns: "list[str] | None" = None
 
 
 @dataclass

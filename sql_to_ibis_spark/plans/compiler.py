@@ -537,6 +537,32 @@ class Compiler:
             return entry.df.alias(info.qualifier), [info]
         if isinstance(rel, ast.SubqueryRef):
             inner = self.compile(rel.query)
+            if rel.columns is not None:
+                if len(rel.columns) != len(inner.columns):
+                    raise InvalidQueryException(
+                        f"column alias list has {len(rel.columns)} names "
+                        f"but the derived table has {len(inner.columns)} "
+                        f"columns")
+                inner = inner.toDF(*rel.columns)
+            info = self._make_rel_info(rel.alias, inner, existing)
+            return inner.alias(info.qualifier), [info]
+        if isinstance(rel, ast.ValuesRef):
+            # inline constants: one 1-row source exploding an array of
+            # structs — a single local plan node, no per-row unions
+            width = len(rel.rows[0])
+            names = rel.columns or [f"col{i}" for i in range(width)]
+            if len(names) != width or any(len(r) != width for r in rel.rows):
+                raise InvalidQueryException(
+                    "VALUES rows/alias list must all have the same width")
+            empty = Scope([])
+            structs = [
+                F.struct(*[self.compile_expr(cell, empty).alias(names[i])
+                           for i, cell in enumerate(row)])
+                for row in rel.rows
+            ]
+            inner = (self.spark.range(1)
+                     .select(F.explode(F.array(*structs)).alias("__v"))
+                     .select("__v.*"))
             info = self._make_rel_info(rel.alias, inner, existing)
             return inner.alias(info.qualifier), [info]
         if isinstance(rel, ast.TableFuncRef):

@@ -326,6 +326,22 @@ class _Parser:
             return self.advance().text
         return None
 
+    def _parse_column_alias_list_opt(self) -> list[str] | None:
+        """Optional derived-column alias list ``(a, b, c)`` after a FROM
+        alias (extension)."""
+        if not self.at_op("("):
+            return None
+        self.advance()
+        cols = []
+        while True:
+            if self.cur.kind not in (IDENT, QIDENT):
+                self._fail("expected column name in alias list")
+            cols.append(self.advance().text)
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        return cols
+
     # ----------------------------------------------------------------- FROM
 
     def _parse_from_relations(self) -> list[ast.Relation]:
@@ -362,12 +378,29 @@ class _Parser:
     def _parse_relation_primary(self) -> ast.Relation:
         if self.at_op("("):
             self.advance()
+            if self.at_kw("values"):
+                # inline table constructor: (VALUES (..), (..)) t(a, b)
+                self.advance()
+                rows: list[list[ast.Expr]] = []
+                while True:
+                    self.expect_op("(")
+                    rows.append(self._parse_expr_list())
+                    self.expect_op(")")
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                alias = self._parse_alias_opt()
+                if alias is None:
+                    self._fail("VALUES table constructor requires an alias")
+                cols = self._parse_column_alias_list_opt()
+                return ast.ValuesRef(rows=rows, alias=alias, columns=cols)
             inner = self.parse_set_expr()
             self.expect_op(")")
             alias = self._parse_alias_opt()
             if alias is None:
                 self._fail("derived table (subquery in FROM) requires an alias")
-            return ast.SubqueryRef(query=inner, alias=alias)
+            cols = self._parse_column_alias_list_opt()
+            return ast.SubqueryRef(query=inner, alias=alias, columns=cols)
         if self.cur.kind in (IDENT, QIDENT):
             name = self.advance().text
             # table function: FROM fn(args...) (UDTF / builtin range)

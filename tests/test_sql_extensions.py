@@ -297,3 +297,31 @@ def test_correlated_scalar_range_avg(oracle):
            " WHERE o2.o_custkey = o1.o_custkey "
            " AND o2.o_totalprice > o1.o_totalprice), 4) AS avg_bigger "
            "FROM orders o1 WHERE o_orderkey < 500")
+
+
+# ---- VALUES table constructors + derived-column alias lists (extension)
+
+
+def test_values_relation(oracle):
+    oracle("SELECT id, name FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) "
+           "t(id, name) ORDER BY id", ordered=True)
+
+
+def test_values_default_column_names(oracle):
+    oracle("SELECT * FROM (VALUES (1, 'x'), (2, 'y')) t ORDER BY col0",
+           ordered=True)
+
+
+def test_values_join_with_table(oracle):
+    oracle("SELECT n.n_name, v.label FROM nation n "
+           "JOIN (VALUES (0, 'zero'), (1, 'one')) v(rk, label) "
+           "ON n.n_regionkey = v.rk")
+
+
+def test_values_expressions(oracle):
+    oracle("SELECT a + b AS s FROM (VALUES (1, 2), (10, 20)) t(a, b)")
+
+
+def test_derived_column_alias_list(oracle):
+    oracle("SELECT k2, cnt FROM (SELECT l_returnflag, count(*) FROM lineitem "
+           "GROUP BY l_returnflag) t(k2, cnt) WHERE cnt > 0")
