@@ -800,6 +800,17 @@ def _add_pipeline_operators(out: dict) -> None:
     _PIPELINE_ORACLES["pipeline_ann_ivf"] = \
         _PIPELINE_ORACLES["pipeline_ann_cosine_topk"]
 
+    # production IVF config (nprobe < nlist): approximate by design →
+    # rows-only for the driver; recall floor is gated in
+    # tests/test_quality_gates.py::test_ivf_recall_at_production_nprobe
+    def ann_ivf_nprobe(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return similarity.ivf_ann_topk(_embs(spark, sf_dir), query_vec_id=0,
+                                       k=10, nlist=8, nprobe=2) \
+            .select("vec_id", "sim")
+
+    out["pipeline_ann_ivf_nprobe"] = ann_ivf_nprobe
+
     # minhash-LSH near-dup candidates: no tractable SQL oracle → rows-only
     def dedup_minhash(spark, sf_dir):
         _engine_for(spark, sf_dir)

@@ -50,6 +50,11 @@ HEADLINE = [
     "tpch_q22_global_sales_opportunity",
     "window_range_interval",
     "pipeline_multimodal_decode_bmp",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q19_discounted_revenue",
 ]
 
 
