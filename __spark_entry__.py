@@ -402,6 +402,12 @@ _PAIRS["subquery_scalar"] = (
     "round(avg(l_quantity) - (SELECT avg(l_quantity) FROM lineitem), 4) AS delta "
     "FROM lineitem GROUP BY l_returnflag", None)
 
+_PAIRS["window_percent_cume"] = (
+    "SELECT o_orderkey, "
+    "percent_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS pr, "
+    "cume_dist() OVER (PARTITION BY o_custkey ORDER BY o_totalprice) AS cd "
+    "FROM orders", None)
+
 # time-based RANGE frame (the common event-pipeline window form): engine
 # maps it to unix_micros ordering + numeric rangeBetween, all JVM-side
 _PAIRS["window_range_interval"] = (

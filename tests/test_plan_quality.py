@@ -150,3 +150,52 @@ def test_explicit_broadcast_hint(engine, spark):
         assert hinted.count() == unhinted.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+
+
+def test_theta_correlated_exists_plans_semi_anti(engine):
+    # Q21 shape: EXISTS and NOT EXISTS with non-equality correlation must
+    # plan as distributed semi/anti joins on the equality key (theta part
+    # rides as a join filter) — never a per-row subquery or collect
+    df = engine.query(
+        "SELECT count(*) AS n FROM lineitem l1 "
+        "WHERE l1.l_returnflag = 'R' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "            WHERE l2.l_orderkey = l1.l_orderkey "
+        "            AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "                WHERE l3.l_orderkey = l1.l_orderkey "
+        "                AND l3.l_suppkey <> l1.l_suppkey "
+        "                AND l3.l_returnflag = 'R')")
+    plan = plan_of(df, "simple")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_equality_correlated_scalar_avoids_nested_loop(engine):
+    # Q17 shape: equality-correlated scalar must use the groupBy rewrite
+    # (hash join on the key), not a nested-loop join
+    df = engine.query(
+        "SELECT sum(l_extendedprice) AS s FROM lineitem l1 "
+        "WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) "
+        "FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey)")
+    plan = plan_of(df, "simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_disjunctive_predicates_pushed_to_scan(engine):
+    # Q19 shape: the OR-of-brackets predicate parts referencing only scan
+    # columns must reach the parquet scan as pushed filters
+    df = engine.query(
+        "SELECT count(*) AS n FROM part "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5) "
+        "   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10)")
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "Or(" in plan
+
+
+def test_values_relation_is_local_plan(engine):
+    # inline VALUES must not scan anything or shuffle
+    df = engine.query(
+        "SELECT id, name FROM (VALUES (1, 'a'), (2, 'b')) t(id, name)")
+    plan = plan_of(df, "simple")
+    assert "Exchange" not in plan and "parquet" not in plan.lower()
