@@ -986,6 +986,55 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents, (VALUES (0), (1)) f(frame_idx)
     """
 
+    # sampling / dataset-split operators: deterministic, engine-portable
+    # (md5-bucket membership — identical result in DuckDB)
+    def split_train_eval_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.operators import sampling
+
+        return sampling.tag_split(_docs(spark, sf_dir), "doc_id",
+                                  eval_per_mille=50) \
+            .select("doc_id", "split")
+
+    out["pipeline_split_train_eval"] = split_train_eval_entry
+    _PIPELINE_ORACLES["pipeline_split_train_eval"] = """
+        SELECT doc_id,
+               CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                         % 1000 < 50
+                    THEN 'eval' ELSE 'train' END AS split
+        FROM documents
+    """
+
+    def top_n_per_key_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.operators import sampling
+
+        return sampling.top_n_per_key(_docs(spark, sf_dir), "lang", 20,
+                                      "doc_id").select("doc_id", "lang")
+
+    out["pipeline_sample_top_n_per_key"] = top_n_per_key_entry
+    _PIPELINE_ORACLES["pipeline_sample_top_n_per_key"] = """
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR) || 'sample'), doc_id) AS rn
+          FROM documents) t WHERE rn <= 20
+    """
+
+    # Bernoulli stratified sampling: seeded but engine-specific RNG →
+    # rows-only (statistical bounds gated in tests/test_operators.py)
+    def stratified_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.operators import sampling
+
+        docs = _docs(spark, sf_dir)
+        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+        fractions = {lang: 0.25 for lang in langs}
+        return sampling.stratified_sample(docs, "lang", fractions) \
+            .select("doc_id", "lang")
+
+    out["pipeline_sample_stratified"] = stratified_entry
+
     # streaming operators, batch-parity path (identical expressions run on
     # readStream frames with watermarks; see streaming/ops.py + tests)
     def streaming_tumbling(spark, sf_dir):

@@ -1,0 +1,83 @@
+"""Sampling and dataset-split operators for training-data pipelines.
+
+At 100 TB the only splits that survive reruns, backfills, and incremental
+ingestion are DETERMINISTIC ones: a row's membership must be a pure function
+of its key, never of partition layout or RNG state. Everything here is
+expressed with JVM hash/window expressions — no Python, no collect, no
+nondeterministic ``rand()`` in the persisted path.
+
+Reference has no sampling surface at all; these are Spark-native extensions
+(brief: "operations a large-scale training-data pipeline would need").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _bucket_1000(key: Column) -> Column:
+    """Deterministic, engine-portable 0..999 bucket from a key: first 8 hex
+    chars of md5(key-as-string). md5 is identical everywhere (unlike
+    xxhash64 seeds), so a DuckDB/Presto/BigQuery job computes the SAME
+    split — the property that makes cross-system reproducibility work."""
+    return F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10) \
+        .cast("long") % 1000
+
+
+def split_train_eval(
+    df: DataFrame,
+    key_col: str,
+    eval_per_mille: int = 50,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic train/eval split: rows whose md5-bucket falls below
+    ``eval_per_mille`` (out of 1000) go to eval. Stable across runs,
+    cluster sizes, and engines; a key never migrates between splits when
+    data is re-ingested."""
+    bucket = _bucket_1000(F.col(key_col))
+    return (df.filter(bucket >= eval_per_mille),
+            df.filter(bucket < eval_per_mille))
+
+
+def tag_split(df: DataFrame, key_col: str,
+              eval_per_mille: int = 50) -> DataFrame:
+    """Same split as :func:`split_train_eval` but as a ``split`` column —
+    the form a single-pass curation job sinks partitioned-by-split."""
+    bucket = _bucket_1000(F.col(key_col))
+    return df.withColumn(
+        "split",
+        F.when(bucket < eval_per_mille, F.lit("eval")).otherwise(
+            F.lit("train")),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): e.g. downsample a
+    dominant language while keeping the rest. Executes map-side on each
+    partition — no shuffle. Seeded, but Bernoulli: exact counts vary
+    run-to-run within binomial bounds (use :func:`top_n_per_key` when an
+    exact per-stratum quota is required)."""
+    return df.sampleBy(strata_col, fractions=fractions, seed=seed)
+
+
+def top_n_per_key(
+    df: DataFrame,
+    key_col: str,
+    n: int,
+    id_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT deterministic quota per key: keep ``n`` rows per key, chosen
+    by a pseudorandom-but-stable order (md5 of id + salt). One shuffle on
+    the key; per-key state is a row_number counter, so skewed strata are
+    bounded by AQE skew-split like any window. Changing ``salt`` redraws
+    the sample; same salt always returns the same rows."""
+    order = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w = Window.partitionBy(key_col).orderBy(order, F.col(id_col))
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= n).drop("__rn"))

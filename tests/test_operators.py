@@ -384,3 +384,65 @@ def test_non_bmp_without_stub_still_raises(blobs):
     with pytest.raises(Exception) as exc:
         multimodal.decode_images(blobs).collect()
     assert "BMP" in str(exc.value) or isinstance(exc.value, NotImplementedError)
+
+
+# ------------------------------------------------------- sampling / splits
+
+
+def test_split_train_eval_deterministic_and_disjoint(docs):
+    from sql_to_ibis_spark.operators import sampling
+
+    train, ev = sampling.split_train_eval(docs, "doc_id", eval_per_mille=100)
+    n, nt, ne = docs.count(), train.count(), ev.count()
+    assert nt + ne == n
+    # ~10% eval with binomial slack
+    assert 0.05 * n < ne < 0.15 * n
+    # determinism: same membership on recompute
+    ev_ids = {r["doc_id"] for r in ev.select("doc_id").collect()}
+    _, ev2 = sampling.split_train_eval(docs, "doc_id", eval_per_mille=100)
+    assert {r["doc_id"] for r in ev2.select("doc_id").collect()} == ev_ids
+
+
+def test_tag_split_matches_split(docs):
+    from pyspark.sql import functions as F
+
+    from sql_to_ibis_spark.operators import sampling
+
+    tagged = sampling.tag_split(docs, "doc_id", eval_per_mille=100)
+    _, ev = sampling.split_train_eval(docs, "doc_id", eval_per_mille=100)
+    assert tagged.filter(F.col("split") == "eval").count() == ev.count()
+
+
+def test_top_n_per_key_exact_quota_and_deterministic(docs):
+    from sql_to_ibis_spark.operators import sampling
+
+    out = sampling.top_n_per_key(docs, "lang", 5, "doc_id")
+    counts = {r["lang"]: r["count"]
+              for r in out.groupBy("lang").count().collect()}
+    full = {r["lang"]: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    for lang, c in counts.items():
+        assert c == min(5, full[lang])
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in
+               sampling.top_n_per_key(docs, "lang", 5, "doc_id").collect())
+    assert a == b
+    # different salt redraws a different sample
+    c = sorted(r["doc_id"] for r in
+               sampling.top_n_per_key(docs, "lang", 5, "doc_id",
+                                      salt="other").collect())
+    assert a != c
+
+
+def test_stratified_sample_bounds(docs):
+    from sql_to_ibis_spark.operators import sampling
+
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    out = sampling.stratified_sample(docs, "lang", {l: 0.5 for l in langs},
+                                     seed=7)
+    n, k = docs.count(), out.count()
+    assert 0.35 * n < k < 0.65 * n
+    # seeded: same seed, same sample
+    again = sampling.stratified_sample(docs, "lang", {l: 0.5 for l in langs},
+                                       seed=7)
+    assert out.count() == again.count()
