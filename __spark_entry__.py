@@ -884,6 +884,49 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents
     """
 
+    # character chunking with overlap (context-window prep): map-side only
+    def chunk_docs(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.chunk_documents(_docs(spark, sf_dir), chunk_chars=512,
+                                    overlap=64)
+
+    out["pipeline_text_chunk_documents"] = chunk_docs
+    _PIPELINE_ORACLES["pipeline_text_chunk_documents"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (PARTITION BY doc_id ORDER BY s) - 1
+                    AS int) AS chunk_idx,
+               substring(text, CAST(s AS int), 512) AS chunk_text
+        FROM (SELECT doc_id, text,
+                     unnest(generate_series(1,
+                        greatest(length(text) - 64, 1), 448)) AS s
+              FROM documents) t
+    """
+
+    # PII redaction (emails/URLs/phones/SSNs → typed tokens), pure regex
+    def redact(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.redact_pii(_docs(spark, sf_dir))
+
+    out["pipeline_text_redact_pii"] = redact
+    _EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    _URL = r"https?://[^\s]+"
+    _PHONE = r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b"
+    _SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+    _PIPELINE_ORACLES["pipeline_text_redact_pii"] = f"""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                 text, '{_EMAIL}', '<EMAIL>', 'g'),
+                 '{_URL}', '<URL>', 'g'),
+                 '{_PHONE}', '<PHONE>', 'g'),
+                 '{_SSN}', '<SSN>', 'g') AS text_redacted,
+               CAST(len(regexp_extract_all(text, '{_EMAIL}'))
+                  + len(regexp_extract_all(text, '{_URL}'))
+                  + len(regexp_extract_all(text, '{_PHONE}'))
+                  + len(regexp_extract_all(text, '{_SSN}')) AS int)
+                 AS n_redactions
+        FROM documents
+    """
+
     # n-gram Jaccard verification of LSH candidates (candidate set is
     # LSH-dependent → rows-only)
     def ngram_jaccard(spark, sf_dir):

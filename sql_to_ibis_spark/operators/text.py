@@ -149,3 +149,70 @@ def term_frequencies(
     if top_k is not None:
         out = out.orderBy(F.col("n").desc(), F.col("term").asc()).limit(top_k)
     return out
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int = 512,
+    overlap: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split long documents into overlapping character chunks →
+    ``(doc_id, chunk_idx, chunk_text)`` — the pre-tokenization step of
+    every context-window-bounded training pipeline.
+
+    Pure JVM: ``sequence`` generates the chunk offsets per row and
+    ``posexplode`` fans them out, so the operator is map-side only (no
+    shuffle) and one long document never materializes more than its own
+    chunks. ``stride = chunk_chars - overlap`` must be positive.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    t = F.col(text_col)
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(t) - F.lit(overlap), F.lit(1)),
+        F.lit(stride),
+    )
+    return (
+        df.select(F.col(id_col), t.alias("__t"),
+                  F.posexplode(starts).alias("chunk_idx", "__start"))
+        .select(
+            F.col(id_col), F.col("chunk_idx"),
+            F.substring(F.col("__t"), F.col("__start"), chunk_chars)
+             .alias("chunk_text"),
+        )
+    )
+
+
+# conservative, deterministic redaction patterns (pre-training scrubbing);
+# each is a plain RE2-safe regex that both Spark and DuckDB interpret
+# identically
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"https?://[^\s]+", "<URL>"),
+    (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
+     "<PHONE>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Scrub common PII shapes (emails, URLs, phone numbers, SSNs) with
+    typed placeholder tokens → ``(doc_id, text_redacted, n_redactions)``.
+    Chained ``regexp_replace`` — stays in whole-stage codegen."""
+    t = F.col(text_col)
+    n = F.lit(0)
+    for pattern, _ in _PII_PATTERNS:
+        n = n + F.regexp_count(t, F.lit(pattern))
+    out = t
+    for pattern, token in _PII_PATTERNS:
+        out = F.regexp_replace(out, pattern, token)
+    return df.select(
+        F.col(id_col),
+        out.alias("text_redacted"),
+        n.cast("int").alias("n_redactions"),
+    )

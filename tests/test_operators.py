@@ -446,3 +446,47 @@ def test_stratified_sample_bounds(docs):
     again = sampling.stratified_sample(docs, "lang", {l: 0.5 for l in langs},
                                        seed=7)
     assert out.count() == again.count()
+
+
+# ---------------------------------------------- chunking / PII redaction
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    df = spark.createDataFrame([(1, "abcdefghij" * 10)], ["doc_id", "text"])
+    out = text.chunk_documents(df, chunk_chars=40, overlap=10).collect()
+    chunks = {r["chunk_idx"]: r["chunk_text"] for r in out}
+    assert chunks[0] == ("abcdefghij" * 10)[0:40]
+    # stride = 30: next chunk starts at offset 30 (10-char overlap)
+    assert chunks[1] == ("abcdefghij" * 10)[30:70]
+    # concatenating de-overlapped chunks reconstructs the document
+    rebuilt = chunks[0] + "".join(
+        chunks[i][10:] for i in range(1, len(chunks)))
+    assert rebuilt == "abcdefghij" * 10
+
+
+def test_chunk_short_doc_single_chunk(spark):
+    df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+    out = text.chunk_documents(df, chunk_chars=512, overlap=64).collect()
+    assert len(out) == 1 and out[0]["chunk_text"] == "short"
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_chars=10, overlap=10)
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at john.doe@example.com or call 555-123-4567; "
+             "see https://example.com/x?y=1 ssn 123-45-6789"),
+         (2, "nothing sensitive here")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    red = got[1]["text_redacted"]
+    assert "<EMAIL>" in red and "<URL>" in red and "<PHONE>" in red \
+        and "<SSN>" in red
+    assert "john.doe" not in red and "555-123-4567" not in red
+    assert got[1]["n_redactions"] == 4
+    assert got[2]["n_redactions"] == 0
+    assert got[2]["text_redacted"] == "nothing sensitive here"
