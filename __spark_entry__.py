@@ -663,7 +663,7 @@ _PRIORITY: list[str] = [
     "window_range_frame", "window_range_interval", "window_first_last_value",
     "intersect", "intersect_all", "except_distinct", "except_all",
     "agg_percentile",
-    "events_json_extract", "events_funnel_share",
+    "events_json_extract", "pipeline_multimodal_audio_rms",
     "pipeline_dedup_exact", "pipeline_text_token_stats",
     "pipeline_text_term_frequencies", "pipeline_doc_fingerprint",
     "pipeline_text_bpe_tokens", "pipeline_ann_cosine_topk",
@@ -671,8 +671,8 @@ _PRIORITY: list[str] = [
     "pipeline_multimodal_blob_dedup", "pipeline_multimodal_decode_bmp",
     "pipeline_streaming_tumbling", "pipeline_streaming_sessionize",
     "pipeline_skew_salted_count", "pipeline_stateful_dedup",
-    "pipeline_dedup_minhash_lsh", "pipeline_dedup_clusters",
-    "pipeline_text_language_id", "pipeline_curate_documents",
+    "pipeline_split_train_eval", "pipeline_sample_top_n_per_key",
+    "pipeline_text_chunk_documents", "pipeline_text_redact_pii",
 ]
 
 
