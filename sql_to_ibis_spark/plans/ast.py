@@ -297,6 +297,15 @@ class DescribeNode(Node):
 
 
 @dataclass
+class ExplainNode(Node):
+    """``EXPLAIN [FORMATTED|EXTENDED|SIMPLE|CODEGEN|COST] <query>`` — plan
+    introspection without execution (extension)."""
+
+    query: Node = None
+    mode: str = "formatted"
+
+
+@dataclass
 class WithNode(Node):
     """``WITH name AS (query) [, ...] body`` — common table expressions
     (extension: absent from the reference grammar entirely; SURVEY §2.10

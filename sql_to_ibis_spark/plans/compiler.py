@@ -171,6 +171,16 @@ class Compiler:
                 [(f.name, f.dataType.simpleString(), f.nullable)
                  for f in entry.df.schema.fields],
                 "col_name: string, data_type: string, nullable: boolean")
+        if isinstance(node, ast.ExplainNode):
+            import contextlib
+            import io
+
+            inner = self.compile(node.query)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                inner.explain(node.mode)
+            return self.spark.createDataFrame(
+                [(buf.getvalue(),)], "plan: string")
         if isinstance(node, ast.WithNode):
             return self._compile_with(node)
         if isinstance(node, ast.SetOpNode):

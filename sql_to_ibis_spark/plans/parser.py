@@ -128,6 +128,14 @@ class _Parser:
                 IDENT, QIDENT):
             self.advance()
             node = ast.DescribeNode(table=self.advance().text)
+        elif self.at_kw("explain"):
+            self.advance()
+            mode = "formatted"
+            if self.at_kw("formatted", "extended", "simple", "codegen",
+                          "cost"):
+                mode = self.advance().text.lower()
+            node = ast.ExplainNode(query=self._parse_with_or_set_expr(),
+                                   mode=mode)
         else:
             node = self._parse_with_or_set_expr()
         self.accept_op(";")

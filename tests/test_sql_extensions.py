@@ -325,3 +325,17 @@ def test_values_expressions(oracle):
 def test_derived_column_alias_list(oracle):
     oracle("SELECT k2, cnt FROM (SELECT l_returnflag, count(*) FROM lineitem "
            "GROUP BY l_returnflag) t(k2, cnt) WHERE cnt > 0")
+
+
+def test_explain_statement(engine):
+    row = engine.query(
+        "EXPLAIN SELECT l_orderkey FROM lineitem WHERE l_quantity > 30"
+    ).collect()[0]
+    assert "Physical Plan" in row["plan"] or "Scan" in row["plan"]
+    assert "PushedFilters" in row["plan"]
+
+
+def test_explain_simple_mode(engine):
+    row = engine.query("EXPLAIN SIMPLE SELECT count(*) AS n FROM nation") \
+        .collect()[0]
+    assert "HashAggregate" in row["plan"]
