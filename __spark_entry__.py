@@ -570,6 +570,45 @@ _PAIRS["tpch_q14_promo_effect"] = (
     "WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' "
     "AND l.l_shipdate < TIMESTAMP '1995-10-01'")
 
+# Q13 shape: customer order-count distribution — LEFT JOIN with an extra
+# non-key ON predicate, then aggregate-of-aggregate
+_PAIRS["tpch_q13_customer_distribution"] = (
+    "SELECT c_count, count(*) AS custdist FROM ("
+    "  SELECT c.c_custkey, count(o.o_orderkey) AS c_count "
+    "  FROM customer c "
+    "  LEFT JOIN orders o ON c.c_custkey = o.o_custkey "
+    "   AND o.o_orderpriority <> '1-URGENT' "
+    "  GROUP BY c.c_custkey) t "
+    "GROUP BY c_count ORDER BY custdist DESC, c_count DESC", None)
+
+# Q15 shape: top supplier by revenue — CTE referenced twice (join side +
+# scalar MAX subquery over the same CTE)
+_PAIRS["tpch_q15_top_supplier"] = (
+    "WITH revenue AS ("
+    "  SELECT l_suppkey AS supplier_no, "
+    "  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4))) "
+    "  AS double) AS total_revenue "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP('1996-01-01') "
+    "  AND l_shipdate < TIMESTAMP('1996-04-01') "
+    "  GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+    "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no "
+    "WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue) "
+    "ORDER BY s.s_suppkey",
+    "WITH revenue AS ("
+    "  SELECT l_suppkey AS supplier_no, "
+    "  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4))) "
+    "  AS double) AS total_revenue "
+    "  FROM lineitem "
+    "  WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+    "  AND l_shipdate < TIMESTAMP '1996-04-01' "
+    "  GROUP BY l_suppkey) "
+    "SELECT s.s_suppkey, s.s_name, r.total_revenue "
+    "FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no "
+    "WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue) "
+    "ORDER BY s.s_suppkey")
+
 # Q19 shape: discounted revenue over OR'd bracket predicates (join + complex
 # disjunctive pushdown)
 _PAIRS["tpch_q19_discounted_revenue"] = (
@@ -1098,6 +1137,28 @@ def _add_pipeline_operators(out: dict) -> None:
                event_type, count(*) AS n,
                round(sum(value), 4) AS total_value
         FROM events GROUP BY 1, 2, 3
+    """
+
+    def streaming_sliding(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from sql_to_ibis_spark.streaming.ops import sliding_counts
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        return sliding_counts(ev, window_duration="1 hour",
+                              slide="30 minutes")
+
+    out["pipeline_streaming_sliding"] = streaming_sliding
+    # each event lands in exactly two 1h/30m sliding windows: the one
+    # starting at its 30-minute bucket and the one 30 minutes earlier
+    _PIPELINE_ORACLES["pipeline_streaming_sliding"] = """
+        SELECT ws AS window_start, ws + INTERVAL 1 HOUR AS window_end,
+               event_type, count(*) AS n
+        FROM (SELECT event_type,
+                     unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS ws
+              FROM events) t
+        GROUP BY ws, event_type
     """
 
     def streaming_sessionize(spark, sf_dir):
