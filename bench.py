@@ -55,6 +55,12 @@ HEADLINE = [
     "tpch_q10_returned_items",
     "tpch_q14_promo_effect",
     "tpch_q19_discounted_revenue",
+    "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "pipeline_streaming_sliding",
+    "pipeline_split_train_eval",
+    "pipeline_text_chunk_documents",
+    "pipeline_text_redact_pii",
 ]
 
 
