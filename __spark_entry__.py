@@ -570,6 +570,59 @@ _PAIRS["tpch_q14_promo_effect"] = (
     "WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' "
     "AND l.l_shipdate < TIMESTAMP '1995-10-01'")
 
+# Q9 shape: product-type profit by nation/year (5-way join, derived amount,
+# LIKE filter; p_retailprice*quantity stands in for ps_supplycost)
+_PAIRS["tpch_q9_product_profit"] = (
+    "SELECT nation, o_year, "
+    "CAST(sum(CAST(amount AS decimal(18,4))) AS double) AS sum_profit FROM ("
+    "  SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year, "
+    "         l.l_extendedprice * (1 - l.l_discount) "
+    "         - 0.1 * p.p_retailprice * l.l_quantity AS amount "
+    "  FROM part p "
+    "  JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "  JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "  JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "  JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "  WHERE p.p_name LIKE '%5%') profit "
+    "GROUP BY nation, o_year ORDER BY nation, o_year DESC", None)
+
+# Q12 shape: shipping-priority line counts — join + dual conditional sums
+_PAIRS["tpch_q12_shipmode_priority"] = (
+    "SELECT l.l_returnflag, "
+    "CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' "
+    "         OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS high_line_count, "
+    "CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' "
+    "         AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS low_line_count "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_shipdate >= TIMESTAMP('1996-01-01') "
+    "AND l.l_shipdate < TIMESTAMP('1997-01-01') "
+    "GROUP BY l.l_returnflag ORDER BY l.l_returnflag",
+    "SELECT l.l_returnflag, "
+    "CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT' "
+    "         OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS high_line_count, "
+    "CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT' "
+    "         AND o.o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS low_line_count "
+    "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+    "WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' "
+    "AND l.l_shipdate < TIMESTAMP '1997-01-01' "
+    "GROUP BY l.l_returnflag ORDER BY l.l_returnflag")
+
+# Q16 shape: supplier count per part attribute — NOT IN subquery +
+# COUNT(DISTINCT) + multi-key group (lineitem stands in for partsupp)
+_PAIRS["tpch_q16_parts_supplier_relationship"] = (
+    "SELECT p.p_brand, p.p_type, p.p_size, "
+    "count(DISTINCT l.l_suppkey) AS supplier_cnt "
+    "FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey "
+    "WHERE p.p_brand <> 'Brand#1' AND p.p_size IN (1, 5, 9) "
+    "AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier "
+    "                        WHERE s_acctbal < 0.0) "
+    "GROUP BY p.p_brand, p.p_type, p.p_size "
+    "ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size", None)
+
 # Q13 shape: customer order-count distribution — LEFT JOIN with an extra
 # non-key ON predicate, then aggregate-of-aggregate
 _PAIRS["tpch_q13_customer_distribution"] = (
