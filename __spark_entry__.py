@@ -1253,6 +1253,28 @@ def _add_pipeline_operators(out: dict) -> None:
     _PIPELINE_ORACLES["pipeline_skew_salted_count"] = \
         "SELECT user_id, count(*) AS n FROM events GROUP BY user_id"
 
+    # salted JOIN must equal the plain join (salting redistributes the
+    # shuffle only); events.user_id joined to a per-user dim built from
+    # customer keys
+    def skew_salted_join(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.operators import skew
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet") \
+            .select("event_id", "user_id")
+        dim = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"))
+        return skew.salted_join(ev, dim, on="user_id", salt=8)
+
+    out["pipeline_skew_salted_join"] = skew_salted_join
+    _PIPELINE_ORACLES["pipeline_skew_salted_join"] = """
+        SELECT e.event_id, e.user_id, c.c_mktsegment AS segment
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """
+
     # custom stateful operator (applyInPandasWithState on streams; this
     # entry exercises the batch-fallback path — first row per key — over a
     # deliberately duplicated input)
