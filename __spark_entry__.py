@@ -196,6 +196,9 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
         "GROUP BY l_returnflag, l_linestatus", None),
     "agg_group_key_dropped": (
         "SELECT count(*) AS n FROM lineitem GROUP BY l_returnflag", None),
+    "agg_group_by_ordinal": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS n "
+        "FROM lineitem GROUP BY 1, 2", None),
     "agg_expression_mix": (
         "SELECT l_returnflag, "
         "CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) / count(*) "

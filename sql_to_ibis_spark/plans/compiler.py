@@ -967,8 +967,25 @@ class Compiler:
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
     ) -> DataFrame:
         # ---- group keys
-        keys: list[dict] = []  # {col, out, identity}
+        # GROUP BY ordinal (GROUP BY 1, 2) resolves against the select list,
+        # matching Spark's groupByOrdinal and DuckDB (a bare integer literal
+        # as a group key has no other sensible meaning)
+        group_by: list[ast.Expr] = []
         for g in node.group_by:
+            if isinstance(g, ast.NumberLit) and isinstance(g.value, int):
+                idx = g.value
+                if not 1 <= idx <= len(node.items):
+                    raise InvalidQueryException(
+                        f"GROUP BY position {idx} is not in the select list")
+                item = node.items[idx - 1]
+                if isinstance(item.expr, ast.Star):
+                    raise InvalidQueryException(
+                        "GROUP BY ordinal cannot reference *")
+                group_by.append(item.expr)
+            else:
+                group_by.append(g)
+        keys: list[dict] = []  # {col, out, identity}
+        for g in group_by:
             out_name = g.name if isinstance(g, ast.ColumnRef) else \
                 f"_col{next(self._col_counter)}"
             keys.append({

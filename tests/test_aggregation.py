@@ -141,3 +141,22 @@ def test_groupby_no_agg_key_selected_twice(oracle):
 def test_groupby_agg_key_selected_twice(oracle):
     oracle("SELECT l_returnflag, l_returnflag AS flag2, count(*) AS n "
            "FROM lineitem GROUP BY l_returnflag")
+
+
+def test_group_by_ordinal(oracle):
+    oracle("SELECT l_returnflag, l_linestatus, count(*) AS n "
+           "FROM lineitem GROUP BY 1, 2")
+
+
+def test_group_by_ordinal_expression(oracle):
+    oracle("SELECT l_linenumber % 3 AS m3, count(*) AS n "
+           "FROM lineitem GROUP BY 1")
+
+
+def test_group_by_ordinal_out_of_range(engine):
+    import pytest
+
+    from sql_to_ibis_spark.errors import InvalidQueryException
+
+    with pytest.raises(InvalidQueryException):
+        engine.query("SELECT l_returnflag FROM lineitem GROUP BY 5")
