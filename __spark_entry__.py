@@ -725,6 +725,14 @@ _PAIRS["tpch_q22_global_sales_opportunity"] = (
     "                  WHERE o.o_custkey = c.c_custkey)) t "
     "GROUP BY cntrycode ORDER BY cntrycode", None)
 
+# UNNEST lateral array expansion over the embeddings table
+_PAIRS["embeddings_unnest_dims"] = (
+    "SELECT vec_id, count(*) AS dim FROM embeddings e, "
+    "UNNEST(e.embedding) AS u(x) GROUP BY vec_id",
+    "SELECT vec_id, count(*) AS dim FROM "
+    "(SELECT vec_id, unnest(embedding) AS x FROM embeddings) t "
+    "GROUP BY vec_id")
+
 _PAIRS["events_json_extract"] = (
     "SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS int)) AS sum_k, "
     "count(*) AS n FROM events GROUP BY event_type",

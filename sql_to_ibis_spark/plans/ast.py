@@ -232,6 +232,17 @@ class TableFuncRef(Relation):
 
 
 @dataclass
+class UnnestRef(Relation):
+    """``FROM t, UNNEST(t.arr) AS u(x)`` — lateral array expansion
+    (extension; compiles to ``explode``). The argument may reference
+    columns of relations earlier in the FROM list."""
+
+    expr: Expr = None
+    alias: str = ""
+    columns: "list[str] | None" = None
+
+
+@dataclass
 class Join(Relation):
     left: Relation
     right: Relation

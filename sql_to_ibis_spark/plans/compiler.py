@@ -243,6 +243,19 @@ class Compiler:
             df: DataFrame | None = None
             rels: list[RelationInfo] = []
             for rel_ast in node.relations:
+                if isinstance(rel_ast, ast.UnnestRef):
+                    # lateral: explode over the frame built so far — the
+                    # argument may reference earlier FROM relations
+                    if df is None:
+                        df = self.spark.range(1).drop("id")
+                    col = self.compile_expr(rel_ast.expr, Scope(rels))
+                    out = (rel_ast.columns[0] if rel_ast.columns
+                           else rel_ast.alias)
+                    df = df.withColumn(out, F.explode(col))
+                    rels.append(RelationInfo(qualifier="",
+                                             display=rel_ast.alias,
+                                             columns=[out]))
+                    continue
                 rel_df, rel_infos = self._compile_relation(rel_ast, rels)
                 # comma-separated FROM list → chained cross joins
                 # (reference: parsing/sql_parser.py:674-693)

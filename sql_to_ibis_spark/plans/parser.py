@@ -409,6 +409,19 @@ class _Parser:
                 self._fail("derived table (subquery in FROM) requires an alias")
             cols = self._parse_column_alias_list_opt()
             return ast.SubqueryRef(query=inner, alias=alias, columns=cols)
+        if self.at_kw("unnest"):
+            # lateral array expansion: FROM t, UNNEST(t.arr) AS u(x)
+            self.advance()
+            self.expect_op("(")
+            expr = self.parse_expr()
+            self.expect_op(")")
+            alias = self._parse_alias_opt()
+            if alias is None:
+                self._fail("UNNEST requires an alias")
+            cols = self._parse_column_alias_list_opt()
+            if cols is not None and len(cols) != 1:
+                self._fail("UNNEST alias list must name exactly 1 column")
+            return ast.UnnestRef(expr=expr, alias=alias, columns=cols)
         if self.cur.kind in (IDENT, QIDENT):
             name = self.advance().text
             # table function: FROM fn(args...) (UDTF / builtin range)

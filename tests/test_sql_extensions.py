@@ -339,3 +339,37 @@ def test_explain_simple_mode(engine):
     row = engine.query("EXPLAIN SIMPLE SELECT count(*) AS n FROM nation") \
         .collect()[0]
     assert "HashAggregate" in row["plan"]
+
+
+# ---- UNNEST lateral array expansion (extension)
+
+
+def test_unnest_literal_array(oracle):
+    oracle("SELECT x FROM UNNEST(array(1, 2, 3)) AS u(x)",
+           "SELECT unnest([1, 2, 3]) AS x")
+
+
+def test_unnest_lateral_over_table(oracle, spark, engine):
+    # each embedding row fans out to its components
+    df = engine.query(
+        "SELECT vec_id, x FROM embeddings e, UNNEST(e.embedding) AS u(x) "
+        "WHERE vec_id < 3")
+    got = df.groupBy("vec_id").count().collect()
+    dims = {r["vec_id"]: r["count"] for r in got}
+    import duckdb  # direct check against duckdb's unnest
+
+    con = duckdb.connect()
+    exp = con.execute(
+        "SELECT vec_id, count(*) FROM (SELECT vec_id, unnest(embedding) "
+        "FROM read_parquet('/root/testdata/sf0.001/embeddings.parquet') "
+        "WHERE vec_id < 3) t GROUP BY vec_id").fetchall()
+    assert dims == {k: v for k, v in exp}
+
+
+def test_unnest_with_aggregate(oracle):
+    oracle("SELECT vec_id, round(sum(x), 4) AS s "
+           "FROM embeddings e, UNNEST(e.embedding) AS u(x) "
+           "WHERE vec_id < 5 GROUP BY vec_id",
+           "SELECT vec_id, round(sum(x), 4) AS s FROM ("
+           "  SELECT vec_id, unnest(embedding) AS x FROM embeddings "
+           "  WHERE vec_id < 5) t GROUP BY vec_id")
