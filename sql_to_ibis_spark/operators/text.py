@@ -64,11 +64,16 @@ def quality_score(df: DataFrame, text_col: str = "text",
     stop_ratio = stop_hits.cast("double") / F.nullif(n_tokens, F.lit(0)).cast("double")
     mean_word_len = (F.length(F.regexp_replace(normalized_text(t), " ", ""))
                      .cast("double") / F.nullif(n_tokens, F.lit(0)))
+    alpha_ratio = (F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+                   .cast("double") / F.nullif(n_chars, F.lit(0)))
     length_ok = F.when((n_tokens >= 10) & (n_tokens <= 100000), 1.0).otherwise(0.3)
-    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.5)
-    wordlen_ok = F.when((mean_word_len >= 2.5) & (mean_word_len <= 12), 1.0) \
-                  .otherwise(0.5)
-    score = (length_ok * 0.4 + punct_ok * 0.3 + wordlen_ok * 0.3)
+    # continuous components so pure-symbol garbage actually scores ~0
+    # (a hard 0.5 floor let 77%-punctuation docs through every gate)
+    alpha_c = F.least(alpha_ratio / 0.6, F.lit(1.0))
+    punct_c = F.greatest(F.lit(0.0),
+                         F.least(F.lit(1.0), (F.lit(0.5) - punct_ratio) / 0.4))
+    stop_c = F.least(stop_ratio / 0.04, F.lit(1.0))
+    score = (length_ok * 0.3 + alpha_c * 0.3 + punct_c * 0.25 + stop_c * 0.15)
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),

@@ -229,3 +229,32 @@ def test_quality_score_orders_good_above_garbage(spark):
     scores = {r["doc_id"]: r["quality_score"]
               for r in text.quality_score(df).collect()}
     assert scores[1] > scores[2]
+
+
+def test_curate_documents_planted_end_to_end(spark):
+    """Plant one of each failure mode and assert exactly the right
+    survivors come out of the full curation composition."""
+    from sql_to_ibis_spark.operators import curate
+
+    rng = random.Random(11)
+    base = ("the quick brown fox jumps over the lazy dog and then it runs "
+            "into the forest where " + _doc(rng, 60))
+    near = base.replace("lazy", "sleepy")          # near-dup of base
+    rows = [
+        (1, base),
+        (2, base),                                  # exact duplicate
+        (3, near),                                  # near duplicate
+        (4, "$$$ ### !!! ~~~ %%% ^^^ &&& *** ((("),  # garbage quality
+        (5, "der hund und die katze sind nicht in das haus und der "
+            "mann ist mit das auto und die frau ist für das kind "
+            + " und der die das" * 10),             # German
+        (6, "a completely different english document about " + _doc(rng, 60)),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = curate.curate_documents(df, min_quality=0.2, languages=["en"],
+                                  jaccard_threshold=0.6)
+    ids = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    # survivors: 1 (canonical of {1,2,3}) and 6; garbage/German/dups gone
+    assert ids == [1, 6], f"unexpected survivors {ids}"
+    row = {r["doc_id"]: r for r in out.collect()}
+    assert row[1]["lang_pred"] == "en" and row[1]["n_tokens"] > 0
