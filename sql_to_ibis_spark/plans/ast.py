@@ -33,9 +33,11 @@ class ColumnRef(Expr):
 
 @dataclass
 class Star(Expr):
-    """``*`` or ``table.*`` in a select list."""
+    """``*`` or ``table.*`` in a select list; ``exclude`` holds
+    ``* EXCLUDE (col, ...)`` column names (extension, DuckDB-style)."""
 
     table: str | None = None
+    exclude: "list[str] | None" = None
 
 
 @dataclass

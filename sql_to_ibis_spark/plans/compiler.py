@@ -890,11 +890,21 @@ class Compiler:
                     if r.display.lower() == qlow or r.qualifier.lower() == qlow]
             if not rels:
                 raise ColumnNotFoundError(f"{star.table}.*")
+        excluded = {e.lower() for e in (star.exclude or [])}
         out: list[tuple[Column, str]] = []
+        seen: set[str] = set()
         for rel in rels:
             for col in rel.columns:
+                if col.lower() in excluded:
+                    seen.add(col.lower())
+                    continue
                 name = f"{rel.display}.{col}" if col.lower() in dups else col
                 out.append((rel.col(col), name))
+        missing = excluded - seen
+        if missing:
+            raise ColumnNotFoundError(
+                ", ".join(sorted(missing)),
+                known_columns=[c for r in rels for c in r.columns])
         return out
 
     def _select_list(

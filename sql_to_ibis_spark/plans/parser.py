@@ -310,7 +310,8 @@ class _Parser:
     def _parse_select_item(self) -> ast.SelectItem:
         if self.at_op("*"):
             self.advance()
-            return ast.SelectItem(expr=ast.Star())
+            return ast.SelectItem(expr=ast.Star(
+                exclude=self._parse_star_exclude_opt()))
         # table.* (qualifier may be quoted)
         if self.cur.kind in (IDENT, QIDENT) and self.peek().kind == OP \
                 and self.peek().text == "." and self.peek(2).kind == OP \
@@ -318,10 +319,28 @@ class _Parser:
             table = self.advance().text
             self.advance()  # .
             self.advance()  # *
-            return ast.SelectItem(expr=ast.Star(table=table))
+            return ast.SelectItem(expr=ast.Star(
+                table=table, exclude=self._parse_star_exclude_opt()))
         expr = self.parse_expr()
         alias = self._parse_alias_opt()
         return ast.SelectItem(expr=expr, alias=alias)
+
+    def _parse_star_exclude_opt(self) -> list[str] | None:
+        """``* EXCLUDE (col, ...)`` — column exclusion (DuckDB-compatible
+        extension; EXCLUDE avoids the EXCEPT set-op ambiguity)."""
+        if not self.at_kw("exclude"):
+            return None
+        self.advance()
+        self.expect_op("(")
+        cols = []
+        while True:
+            if self.cur.kind not in (IDENT, QIDENT):
+                self._fail("expected column name in EXCLUDE list")
+            cols.append(self.advance().text)
+            if not self.accept_op(","):
+                break
+        self.expect_op(")")
+        return cols
 
     def _parse_alias_opt(self) -> str | None:
         if self.accept_kw("as"):

@@ -160,3 +160,30 @@ def test_hidden_sort_does_not_shift_auto_names(engine):
     df = engine.query("SELECT o_orderkey + 1 FROM orders ORDER BY o_totalprice "
                       "LIMIT 5")
     assert df.columns == ["_col0"]
+
+
+def test_star_exclude(oracle):
+    oracle("SELECT * EXCLUDE (n_comment) FROM nation"
+           if False else
+           "SELECT * EXCLUDE (n_regionkey) FROM nation",
+           "SELECT * EXCLUDE (n_regionkey) FROM nation")
+
+
+def test_star_exclude_multiple(engine):
+    df = engine.query("SELECT * EXCLUDE (n_regionkey, n_name) FROM nation")
+    assert df.columns == ["n_nationkey"]
+
+
+def test_table_star_exclude(engine):
+    df = engine.query("SELECT n.* EXCLUDE (n_regionkey) FROM nation n "
+                      "JOIN region r ON n.n_regionkey = r.r_regionkey")
+    assert df.columns == ["n_nationkey", "n_name"]
+
+
+def test_star_exclude_unknown_column(engine):
+    import pytest
+
+    from sql_to_ibis_spark.errors import ColumnNotFoundError
+
+    with pytest.raises(ColumnNotFoundError):
+        engine.query("SELECT * EXCLUDE (nope) FROM nation")
