@@ -3,6 +3,7 @@ from sql_to_ibis_spark.streaming.ops import (
     sliding_counts,
     stateful_dedup_stream,
     stream_from_table,
+    stream_to_parquet,
     tumbling_counts,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "sliding_counts",
     "stateful_dedup_stream",
     "stream_from_table",
+    "stream_to_parquet",
     "tumbling_counts",
 ]

@@ -209,3 +209,33 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_to_parquet(
+    streaming_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str = "sink",
+    partition_by: list[str] | None = None,
+    available_now: bool = True,
+):
+    """Checkpointed parquet sink: the production way to land a stream.
+
+    The checkpoint directory holds source offsets + sink commit log, so a
+    crashed/restarted job resumes exactly where it stopped and never
+    duplicates a committed micro-batch (end-to-end exactly-once for file
+    sinks). ``available_now=True`` drains everything available then stops —
+    the bounded-backfill mode; ``False`` runs continuously.
+
+    Returns the started ``StreamingQuery`` (call ``awaitTermination()``).
+    """
+    w = (streaming_df.writeStream.format("parquet")
+         .option("path", path)
+         .option("checkpointLocation", checkpoint_dir)
+         .queryName(query_name)
+         .outputMode("append"))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

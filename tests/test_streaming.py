@@ -229,3 +229,23 @@ def test_sessionize_availablenow_with_late_event(spark, tmp_path):
     assert got == expected
     # the late 00:25 event extended user 1's first session to 3 events
     assert (1, t0, t0 + dt.timedelta(minutes=55), 3) in got
+
+
+def test_stream_to_parquet_checkpoint_no_duplicates(spark, events, tmp_path):
+    from sql_to_ibis_spark.streaming import stream_to_parquet
+
+    src_rows = events.limit(200)
+    stream = stream_from_table(spark, src_rows.repartition(3))
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = stream_to_parquet(stream, sink, ckpt, query_name="t_sink")
+    q.awaitTermination()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == src_rows.count()
+
+    # restart against the SAME checkpoint: all offsets committed → the
+    # resumed query must add ZERO duplicate rows (exactly-once file sink)
+    q2 = stream_to_parquet(stream, sink, ckpt, query_name="t_sink2")
+    q2.awaitTermination()
+    assert spark.read.parquet(sink).count() == n1
