@@ -734,9 +734,11 @@ _PAIRS["embeddings_unnest_dims"] = (
     "GROUP BY vec_id")
 
 _PAIRS["events_json_extract"] = (
-    "SELECT event_type, sum(CAST(get_json_object(props, '$.k') AS int)) AS sum_k, "
+    "SELECT event_type, "
+    "CAST(sum(CAST(get_json_object(props, '$.k') AS int)) AS bigint) AS sum_k, "
     "count(*) AS n FROM events GROUP BY event_type",
-    "SELECT event_type, sum(CAST(json_extract_string(props, '$.k') AS int)) AS sum_k, "
+    "SELECT event_type, "
+    "CAST(sum(CAST(json_extract_string(props, '$.k') AS int)) AS bigint) AS sum_k, "
     "count(*) AS n FROM events GROUP BY event_type",
 )
 
@@ -753,29 +755,34 @@ _PAIRS["events_funnel_share"] = (
 # subqueries, grouping extensions, window frames, and the pipeline operators —
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
+    # round-3 fixes to confirm green (BIGINT casts both sides)
+    "events_json_extract", "pipeline_streaming_sessionize",
+    # entries never yet covered by a driver window (r01 = original first 50,
+    # r02 = previous _PRIORITY): every entry gets a driver row at least once
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship", "tpch_q19_discounted_revenue",
+    "agg_group_by_ordinal", "window_percent_cume",
+    "events_tumbling_window", "events_user_daily", "events_funnel_share",
+    "embeddings_unnest_dims",
+    "pipeline_dedup_minhash_lsh", "pipeline_dedup_simhash",
+    "pipeline_dedup_ngram_jaccard", "pipeline_dedup_clusters",
+    "pipeline_embedding_near_dup", "pipeline_ann_lsh_bucketed",
+    "pipeline_ann_ivf_nprobe", "pipeline_text_language_id",
+    "pipeline_text_quality_score", "pipeline_curate_documents",
+    "pipeline_multimodal_decode_images", "pipeline_sample_stratified",
+    "pipeline_streaming_sliding", "pipeline_skew_salted_join",
+    # flagship re-confirmations (green in r02's window)
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
     "tpch_q18_large_volume_customer", "tpch_q20_potential_part_promotion",
     "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
-    "subquery_correlated_exists_q4", "subquery_correlated_not_exists",
-    "subquery_correlated_scalar_q17", "subquery_scalar",
-    "subquery_from_nested", "subquery_join", "cte_chained",
+    "subquery_correlated_exists_q4", "subquery_correlated_scalar_q17",
     "group_rollup", "group_cube_grouping", "group_grouping_sets",
-    "group_by_all",
-    "window_qualify_topn", "window_named", "window_rows_frame",
-    "window_range_frame", "window_range_interval", "window_first_last_value",
-    "intersect", "intersect_all", "except_distinct", "except_all",
-    "agg_percentile",
-    "events_json_extract", "pipeline_multimodal_audio_rms",
-    "pipeline_dedup_exact", "pipeline_text_token_stats",
-    "pipeline_text_term_frequencies", "pipeline_doc_fingerprint",
-    "pipeline_text_bpe_tokens", "pipeline_ann_cosine_topk",
-    "pipeline_ann_ivf", "pipeline_multimodal_blob_metadata",
-    "pipeline_multimodal_blob_dedup", "pipeline_multimodal_decode_bmp",
-    "pipeline_streaming_tumbling", "pipeline_streaming_sessionize",
-    "pipeline_skew_salted_count", "pipeline_stateful_dedup",
-    "pipeline_split_train_eval", "pipeline_sample_top_n_per_key",
-    "pipeline_text_chunk_documents", "pipeline_text_redact_pii",
+    "window_rows_frame", "window_range_frame", "window_range_interval",
+    "pipeline_dedup_exact", "pipeline_ann_cosine_topk",
 ]
 
 
@@ -1242,8 +1249,9 @@ def _add_pipeline_operators(out: dict) -> None:
           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
         ), sess AS (
           SELECT user_id, ts,
-                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                 CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
           FROM marked
         )
         SELECT user_id, session_id, min(ts) AS session_start,

@@ -68,6 +68,21 @@ def main() -> int:
             print(f"FAIL {name}: oracle error: {str(e)[:200]}")
             n_fail += 1
             continue
+        # The driver hashes values WITH their dtypes, so an int64-vs-float64
+        # (e.g. Spark BIGINT vs DuckDB HUGEINT) mismatch fails its gate even
+        # when values are equal. Flag dtype-kind drift before normalizing.
+        kind_drift = []
+        for col in set(actual.columns) & set(expected.columns):
+            ka = actual[col].dtype.kind
+            ke = expected[col].dtype.kind
+            if {ka, ke} <= {"i", "u", "f"} and (ka in "iu") != (ke in "iu"):
+                kind_drift.append(f"{col}: engine {actual[col].dtype} vs "
+                                  f"oracle {expected[col].dtype}")
+        if kind_drift:
+            print(f"FAIL {name}: dtype drift (driver hash would differ): "
+                  f"{'; '.join(kind_drift)}")
+            n_fail += 1
+            continue
         a, e = normalize(actual), normalize(expected)
         if list(a.columns) != list(e.columns):
             print(f"FAIL {name}: columns {list(a.columns)} vs {list(e.columns)}")
