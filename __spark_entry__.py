@@ -971,14 +971,78 @@ def _add_pipeline_operators(out: dict) -> None:
         return text.language_id(_docs(spark, sf_dir))
 
     out["pipeline_text_language_id"] = lang_id
+    # hash-exact oracle: the heuristic is pure set/regex algebra, so DuckDB
+    # reproduces it (list_intersect ≡ array_intersect, both distinct-set).
+    # CASE order must match the engine's when-chain: zh, en, de, fr, es.
+    _PIPELINE_ORACLES["pipeline_text_language_id"] = r"""
+        WITH s AS (
+          SELECT doc_id, lang, text,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                              ' ') AS toks
+          FROM documents
+        ), sc AS (
+          SELECT doc_id, lang, text,
+            len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','that'])) AS s_en,
+            len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS s_de,
+            len(list_intersect(toks, ['le','la','les','et','est','pas','un','une','pour','dans'])) AS s_fr,
+            len(list_intersect(toks, ['el','la','los','y','es','no','un','una','para','con'])) AS s_es
+          FROM s
+        )
+        SELECT doc_id,
+          CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+               WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+               WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+               WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+               WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+               ELSE 'unknown' END AS lang_pred,
+          lang
+        FROM sc
+    """
 
-    # quality scoring: rows-only (stopword lists / punct classes are
-    # engine-specific heuristics, not SQL-standard)
     def text_quality(spark, sf_dir):
         _engine_for(spark, sf_dir)
         return text.quality_score(_docs(spark, sf_dir))
 
     out["pipeline_text_quality_score"] = text_quality
+    # hash-exact oracle: every ratio is exact-int division and every output
+    # is floor-truncated (see text._trunc) — IEEE-identical across engines,
+    # unlike round() whose half-boundary behavior differs. Java \p{Punct}
+    # == RE2 [[:punct:]] (both ASCII-only POSIX punct).
+    _PIPELINE_ORACLES["pipeline_text_quality_score"] = r"""
+        WITH b AS (
+          SELECT doc_id, text,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt,
+                 length(text) AS nc
+          FROM documents
+        ), c AS (
+          SELECT doc_id, text, nt, nc,
+                 string_split(nt, ' ') AS toks,
+                 len(string_split(nt, ' ')) AS n_tokens
+          FROM b
+        ), r AS (
+          SELECT doc_id, n_tokens,
+            CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS double)
+              / nullif(nc, 0) AS punct_ratio,
+            CAST(len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','that'])) AS double)
+              / CAST(nullif(n_tokens, 0) AS double) AS stop_ratio,
+            CAST(length(replace(nt, ' ', '')) AS double)
+              / nullif(n_tokens, 0) AS mean_word_len,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double)
+              / nullif(nc, 0) AS alpha_ratio
+          FROM c
+        )
+        SELECT doc_id, n_tokens,
+          floor(punct_ratio * 1e6) / 1e6 AS punct_ratio,
+          floor(stop_ratio * 1e6) / 1e6 AS stopword_ratio,
+          floor(mean_word_len * 1e4) / 1e4 AS mean_word_len,
+          floor((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000
+                      THEN 1.0 ELSE 0.3 END * 0.3
+                 + least(alpha_ratio / 0.6, 1.0) * 0.3
+                 + greatest(0.0, least(1.0, (0.5 - punct_ratio) / 0.4)) * 0.25
+                 + least(stop_ratio / 0.04, 1.0) * 0.15) * 1e4) / 1e4
+            AS quality_score
+        FROM r
+    """
 
     # BPE-ish sub-word token counting (oracle: regexp_extract_all)
     def bpe_tokens(spark, sf_dir):
@@ -1174,19 +1238,32 @@ def _add_pipeline_operators(out: dict) -> None:
           FROM documents) t WHERE rn <= 20
     """
 
-    # Bernoulli stratified sampling: seeded but engine-specific RNG →
-    # rows-only (statistical bounds gated in tests/test_operators.py)
+    # deterministic stratified sampling: membership = pure function of
+    # (doc_id, salt) via md5 thresholds, so DuckDB reproduces the EXACT
+    # same sample (the Bernoulli sampleBy variant stays available as
+    # sampling.stratified_sample for callers who want cheap RNG).
     def stratified_entry(spark, sf_dir):
         _engine_for(spark, sf_dir)
         from sql_to_ibis_spark.operators import sampling
 
         docs = _docs(spark, sf_dir)
-        langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
-        fractions = {lang: 0.25 for lang in langs}
-        return sampling.stratified_sample(docs, "lang", fractions) \
-            .select("doc_id", "lang")
+        fractions = {"en": 0.1, "de": 0.5, "fr": 0.5, "es": 0.5, "zh": 0.5}
+        return sampling.stratified_sample_deterministic(
+            docs, "lang", fractions, id_col="doc_id"
+        ).select("doc_id", "lang")
 
     out["pipeline_sample_stratified"] = stratified_entry
+    # thresholds: format(int(frac * 16**8), "08x") — en 0.1 → 19999999,
+    # others 0.5 → 80000000; lowercase-hex string order == numeric order
+    _PIPELINE_ORACLES["pipeline_sample_stratified"] = """
+        SELECT doc_id, lang FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR) || 'strat'), 1, 8) <
+              CASE lang WHEN 'en' THEN '19999999'
+                        WHEN 'de' THEN '80000000'
+                        WHEN 'fr' THEN '80000000'
+                        WHEN 'es' THEN '80000000'
+                        WHEN 'zh' THEN '80000000' END
+    """
 
     # streaming operators, batch-parity path (identical expressions run on
     # readStream frames with watermarks; see streaming/ops.py + tests)

@@ -65,6 +65,35 @@ def stratified_sample(
     return df.sampleBy(strata_col, fractions=fractions, seed=seed)
 
 
+def stratified_sample_deterministic(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    id_col: str,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum sampling where membership is a pure function of
+    ``(id, salt)``: keep a row iff the first 8 hex chars of
+    ``md5(id || salt)`` sort below the stratum's fraction threshold
+    (lowercase-hex string order == numeric order). Unlike Bernoulli
+    ``sampleBy``, the SAME rows are selected on every rerun, every
+    partition layout, and every engine that computes md5 — so a DuckDB/
+    Trino audit job reproduces the sample exactly. Map-side filter, no
+    shuffle. Strata absent from ``fractions`` are dropped (``sampleBy``
+    semantics). Changing ``salt`` redraws the sample."""
+    key = F.substring(
+        F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 8)
+    cond = F.lit(False)
+    for stratum, frac in fractions.items():
+        in_stratum = F.col(strata_col) == stratum
+        if frac >= 1.0:
+            cond = cond | in_stratum
+        else:
+            thresh = format(int(frac * 16 ** 8), "08x")
+            cond = cond | (in_stratum & (key < F.lit(thresh)))
+    return df.filter(cond)
+
+
 def top_n_per_key(
     df: DataFrame,
     key_col: str,

@@ -19,6 +19,18 @@ _STOPWORDS = {
 }
 
 
+def _trunc(col: Column, digits: int) -> Column:
+    """Truncate a double to ``digits`` decimals via floor-scaling.
+
+    Used instead of ``round`` for oracle-compared outputs: IEEE multiply +
+    floor is bit-identical across engines, while round-half behavior on
+    doubles differs between Spark (BigDecimal HALF_UP) and other engines
+    at representable half-boundaries (e.g. 1/128 * 1e6 = 7812.5 exactly).
+    """
+    scale = float(10 ** digits)
+    return F.floor(col * scale) / scale
+
+
 def token_stats(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count, char count, alphabetic-character ratio."""
@@ -77,10 +89,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         n_tokens.alias("n_tokens"),
-        F.round(punct_ratio, 6).alias("punct_ratio"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(mean_word_len, 4).alias("mean_word_len"),
-        F.round(score, 4).alias("quality_score"),
+        _trunc(punct_ratio, 6).alias("punct_ratio"),
+        _trunc(stop_ratio, 6).alias("stopword_ratio"),
+        _trunc(mean_word_len, 4).alias("mean_word_len"),
+        _trunc(score, 4).alias("quality_score"),
     )
 
 

@@ -448,6 +448,44 @@ def test_stratified_sample_bounds(docs):
     assert out.count() == again.count()
 
 
+def test_stratified_sample_deterministic_exact_and_portable(docs):
+    from sql_to_ibis_spark.operators import sampling
+
+    fracs = {"en": 0.1, "de": 0.5, "fr": 0.5}
+    out = sampling.stratified_sample_deterministic(
+        docs, "lang", fracs, id_col="doc_id")
+    rows = out.collect()
+    # strata absent from fractions are dropped entirely
+    assert {r["lang"] for r in rows} <= set(fracs)
+    # identical rows on rerun (pure function of id+salt, not RNG state)
+    ids = sorted(r["doc_id"] for r in rows)
+    again = sorted(r["doc_id"] for r in sampling.stratified_sample_deterministic(
+        docs, "lang", fracs, id_col="doc_id").collect())
+    assert ids == again
+    # fraction bounds hold per stratum (md5 uniformity, generous band)
+    import collections
+    per = collections.Counter(r["lang"] for r in rows)
+    totals = collections.Counter(
+        r["lang"] for r in docs.select("lang").collect())
+    for lang, frac in fracs.items():
+        if totals[lang] >= 30:
+            got = per[lang] / totals[lang]
+            assert abs(got - frac) < 0.25
+    # frac >= 1.0 keeps every row of the stratum
+    full = sampling.stratified_sample_deterministic(
+        docs, "lang", {"en": 1.0}, id_col="doc_id")
+    assert full.count() == totals["en"]
+    # membership is reproducible OUTSIDE Spark: same md5-threshold rule in
+    # plain Python selects the same ids (the cross-engine audit property)
+    import hashlib
+    expect = sorted(
+        r["doc_id"] for r in docs.select("doc_id", "lang").collect()
+        if r["lang"] in fracs
+        and hashlib.md5(f"{r['doc_id']}strat".encode()).hexdigest()[:8]
+        < format(int(fracs[r["lang"]] * 16 ** 8), "08x"))
+    assert ids == expect
+
+
 # ---------------------------------------------- chunking / PII redaction
 
 
