@@ -163,6 +163,10 @@ class FuncCall(Expr):
     args: list[Expr] = field(default_factory=list)
     distinct: bool = False
     is_star: bool = False  # count(*)
+    # SQL:2003 agg FILTER (WHERE cond): only matching rows are aggregated
+    filter_where: Expr | None = None
+    # IGNORE NULLS on lag/lead/first_value/last_value/nth_value
+    ignore_nulls: bool = False
 
 
 @dataclass

@@ -1382,7 +1382,16 @@ class Compiler:
             if name != "count":
                 raise InvalidQueryException(f"{name}(*) is not supported")
             # COUNT(*) (reference CountStar — sql_value_objects.py:371-374)
+            if expr.filter_where is not None:
+                return F.count(F.when(recurse(expr.filter_where), F.lit(1)))
             return F.count(F.lit(1))
+        if expr.ignore_nulls and name not in RANKING_FUNCTIONS:
+            raise InvalidQueryException(
+                "IGNORE NULLS only applies to window value functions")
+        if expr.filter_where is not None and name not in AGGREGATE_FUNCTIONS \
+                and name not in self.user_aggregates:
+            raise InvalidQueryException(
+                "FILTER (WHERE ...) only applies to aggregate functions")
         if name in RANKING_FUNCTIONS:
             raise InvalidQueryException(
                 f"{name}() requires an OVER(...) window clause"
@@ -1423,6 +1432,13 @@ class Compiler:
                     raise UnsupportedColumnOperation(name.upper(), true,
                                                      dtype.simpleString())
         args = [recurse(a) for a in expr.args]
+        if expr.filter_where is not None:
+            # FILTER (WHERE c): aggregates skip NULL inputs, so masking
+            # non-matching rows to NULL is exactly the filtered aggregate —
+            # stays a single partial-aggregatable JVM expression (no
+            # pre-filter subplan, no extra shuffle)
+            cond = recurse(expr.filter_where)
+            args = [F.when(cond, a) for a in args]
         if name == "count" and expr.distinct:
             return F.countDistinct(*args)
         if expr.distinct:
@@ -1474,7 +1490,32 @@ class Compiler:
                 # ordered — the SQL-standard "last_value needs an explicit
                 # frame" behavior, matching DuckDB)
                 w = self._apply_window_frame(w, spec, orders, undirected)
+                if func.ignore_nulls:
+                    ign = {"first_value": lambda c: F.first(c, ignorenulls=True),
+                           "last_value": lambda c: F.last(c, ignorenulls=True),
+                           "nth_value": lambda c, n: F.nth_value(
+                               c, n, ignoreNulls=True)}[func.name]
+                    return ign(*raw_args).over(w)
                 return builder(*raw_args).over(w)
+            if func.name in ("lag", "lead") and func.ignore_nulls:
+                # Spark's lag/lead expose no ignoreNulls in the Column API;
+                # offset-1 IGNORE NULLS is exactly last/first non-null over
+                # the preceding/following frame, which Spark evaluates
+                # natively (no extra shuffle beyond the window sort)
+                offset = raw_args[1] if len(raw_args) > 1 else 1
+                if offset != 1 or len(raw_args) > 2:
+                    raise InvalidQueryException(
+                        f"{func.name}() IGNORE NULLS supports offset 1 "
+                        f"and no default value")
+                w2 = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
+                if func.name == "lag":
+                    w2 = w2.rowsBetween(Window.unboundedPreceding, -1)
+                    return F.last(raw_args[0], ignorenulls=True).over(w2)
+                w2 = w2.rowsBetween(1, Window.unboundedFollowing)
+                return F.first(raw_args[0], ignorenulls=True).over(w2)
+            if func.ignore_nulls:
+                raise InvalidQueryException(
+                    f"{func.name}() does not accept IGNORE NULLS")
             if spec.frame_type is not None:
                 raise InvalidQueryException(
                     f"{func.name}() does not accept a window frame clause"
@@ -1489,9 +1530,16 @@ class Compiler:
                 f"{func.name}() is not a window-able function"
             )
         if func.is_star:
-            agg = F.count(F.lit(1))
+            if func.filter_where is not None:
+                agg = F.count(F.when(recurse(func.filter_where), F.lit(1)))
+            else:
+                agg = F.count(F.lit(1))
         else:
-            agg = AGGREGATE_FUNCTIONS[func.name](*[recurse(a) for a in func.args])
+            wargs = [recurse(a) for a in func.args]
+            if func.filter_where is not None:
+                wcond = recurse(func.filter_where)
+                wargs = [F.when(wcond, a) for a in wargs]
+            agg = AGGREGATE_FUNCTIONS[func.name](*wargs)
 
         w = Window.partitionBy(*parts) if parts else Window.partitionBy()
         w = self._apply_window_frame(w, spec, orders, undirected)

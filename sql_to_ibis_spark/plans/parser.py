@@ -796,6 +796,22 @@ class _Parser:
             args = self._parse_expr_list()
         self.expect_op(")")
         call = ast.FuncCall(name=fname, args=args, distinct=distinct, is_star=is_star)
+        # SQL:2003 FILTER (WHERE cond) — only treat as the clause when the
+        # '(' follows, so `count(x) filter` can still be an alias
+        if self.at_kw("filter") and self.peek().kind == OP \
+                and self.peek().text == "(":
+            self.advance()
+            self.advance()
+            self.expect_kw("where")
+            call.filter_where = self.parse_expr()
+            self.expect_op(")")
+        # IGNORE NULLS / RESPECT NULLS (lag/lead/first_value/last_value/
+        # nth_value); RESPECT NULLS is the default → parsed and dropped
+        if self.at_kw("ignore", "respect") and \
+                self.peek().kind == IDENT and \
+                self.peek().text.lower() == "nulls":
+            call.ignore_nulls = self.advance().text.lower() == "ignore"
+            self.advance()
         if self.at_kw("over"):
             self.advance()
             # OVER w → named-window reference (resolved at compile time
