@@ -78,6 +78,12 @@ def main() -> int:
             if {ka, ke} <= {"i", "u", "f"} and (ka in "iu") != (ke in "iu"):
                 kind_drift.append(f"{col}: engine {actual[col].dtype} vs "
                                   f"oracle {expected[col].dtype}")
+            elif ka in "iu" and ke in "iu" and \
+                    actual[col].dtype.itemsize != expected[col].dtype.itemsize:
+                # driver hashes values WITH width, so INT32 vs BIGINT fails
+                # its gate even when values are equal
+                kind_drift.append(f"{col}: engine {actual[col].dtype} vs "
+                                  f"oracle {expected[col].dtype} (int width)")
         if kind_drift:
             print(f"FAIL {name}: dtype drift (driver hash would differ): "
                   f"{'; '.join(kind_drift)}")

@@ -66,6 +66,17 @@ def _bq(name: str) -> str:
     return "`" + name.replace("`", "``") + "`"
 
 
+# Aggregates whose default evaluation does NOT skip NULL inputs. For
+# FILTER (WHERE ...) / IGNORE NULLS these need explicit ignorenulls=True:
+# the NULL-masking trick is only equivalent to row filtering when the
+# aggregate skips NULLs.
+_NULL_KEEPING_AGGREGATES = {
+    "first": lambda c: F.first(c, ignorenulls=True),
+    "last": lambda c: F.last(c, ignorenulls=True),
+    "any_value": lambda c: F.any_value(c, ignoreNulls=True),
+}
+
+
 @dataclass
 class RelationInfo:
     """One FROM-clause relation in scope."""
@@ -1397,6 +1408,13 @@ class Compiler:
                 f"{name}() requires an OVER(...) window clause"
             )
         if name in self.user_aggregates:
+            if expr.filter_where is not None:
+                # a user UDAF's NULL semantics are unknown, so the
+                # mask-to-NULL trick used for built-ins could silently
+                # change results — reject instead of guessing
+                raise InvalidQueryException(
+                    "FILTER (WHERE ...) is not supported for "
+                    "user-registered aggregates")
             return self.user_aggregates[name](*[recurse(a) for a in expr.args])
         if name in self.user_functions:
             return self.user_functions[name](*[recurse(a) for a in expr.args])
@@ -1439,6 +1457,11 @@ class Compiler:
             # pre-filter subplan, no extra shuffle)
             cond = recurse(expr.filter_where)
             args = [F.when(cond, a) for a in args]
+            if name in _NULL_KEEPING_AGGREGATES:
+                # first/last/any_value do NOT skip NULLs by default, so the
+                # mask alone would pick a masked (non-matching) row; with
+                # ignorenulls=True the mask is exactly row filtering
+                return _NULL_KEEPING_AGGREGATES[name](args[0])
         if name == "count" and expr.distinct:
             return F.countDistinct(*args)
         if expr.distinct:
@@ -1503,10 +1526,14 @@ class Compiler:
                 # the preceding/following frame, which Spark evaluates
                 # natively (no extra shuffle beyond the window sort)
                 offset = raw_args[1] if len(raw_args) > 1 else 1
-                if offset != 1 or len(raw_args) > 2:
+                if isinstance(offset, Column) or offset != 1 \
+                        or len(raw_args) > 2:
+                    # a non-literal offset arrives as a Column; comparing it
+                    # with != would yield a Column and crash the `if` —
+                    # reject it with a clean error instead
                     raise InvalidQueryException(
-                        f"{func.name}() IGNORE NULLS supports offset 1 "
-                        f"and no default value")
+                        f"{func.name}() IGNORE NULLS supports a literal "
+                        f"offset of 1 and no default value")
                 w2 = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
                 if func.name == "lag":
                     w2 = w2.rowsBetween(Window.unboundedPreceding, -1)
@@ -1529,6 +1556,11 @@ class Compiler:
             raise InvalidQueryException(
                 f"{func.name}() is not a window-able function"
             )
+        if func.ignore_nulls and func.name not in _NULL_KEEPING_AGGREGATES:
+            # most aggregates skip NULLs anyway, but silently dropping the
+            # modifier would hide user intent — reject it
+            raise InvalidQueryException(
+                f"{func.name}() does not accept IGNORE NULLS")
         if func.is_star:
             if func.filter_where is not None:
                 agg = F.count(F.when(recurse(func.filter_where), F.lit(1)))
@@ -1539,7 +1571,11 @@ class Compiler:
             if func.filter_where is not None:
                 wcond = recurse(func.filter_where)
                 wargs = [F.when(wcond, a) for a in wargs]
-            agg = AGGREGATE_FUNCTIONS[func.name](*wargs)
+            if func.name in _NULL_KEEPING_AGGREGATES and (
+                    func.ignore_nulls or func.filter_where is not None):
+                agg = _NULL_KEEPING_AGGREGATES[func.name](wargs[0])
+            else:
+                agg = AGGREGATE_FUNCTIONS[func.name](*wargs)
 
         w = Window.partitionBy(*parts) if parts else Window.partitionBy()
         w = self._apply_window_frame(w, spec, orders, undirected)
