@@ -742,6 +742,49 @@ _PAIRS["events_json_extract"] = (
     "count(*) AS n FROM events GROUP BY event_type",
 )
 
+# Q2 shape (adapted: the corpus has no partsupp table, so lineitem serves as
+# the part↔supplier cost relation): minimum-cost supplier per part in one
+# region — a correlated scalar MIN over a 4-way join inside the predicate,
+# exercising the decorrelator over a multi-join inner (compiler.py
+# _bind_correlated_scalar; generalizes subquery_correlated_scalar_q17)
+_PAIRS["tpch_q2_minimum_cost_supplier"] = (
+    "SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand "
+    "FROM part p "
+    "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "WHERE p.p_size = 15 AND r.r_name = 'EUROPE' "
+    "AND l.l_extendedprice = ("
+    "  SELECT min(l2.l_extendedprice) FROM lineitem l2 "
+    "  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey "
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+    "  JOIN region r2 ON n2.n_regionkey = r2.r_regionkey "
+    "  WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE') "
+    "ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey "
+    "LIMIT 100", None)
+
+# Q11 shape (adapted, same partsupp substitution): important part value in
+# one nation — grouped HAVING against an uncorrelated scalar aggregate
+_PAIRS["tpch_q11_important_stock"] = (
+    "SELECT l.l_partkey, "
+    "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+    "    AS decimal(18,4))) AS double) AS part_value "
+    "FROM lineitem l "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation n ON s.s_nationkey = n.n_nationkey "
+    "WHERE n.n_name = 'NATION_1' "
+    "GROUP BY l.l_partkey "
+    "HAVING sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
+    "    AS decimal(18,4))) > ("
+    "  SELECT sum(CAST(l2.l_extendedprice * (1 - l2.l_discount) "
+    "      AS decimal(18,4))) * CAST(0.001 AS double) "
+    "  FROM lineitem l2 "
+    "  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey "
+    "  JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey "
+    "  WHERE n2.n_name = 'NATION_1') "
+    "ORDER BY part_value DESC, l.l_partkey", None)
+
 _PAIRS["events_funnel_share"] = (
     "SELECT event_type, n, round(n / sum(n) OVER (), 6) AS share FROM "
     "(SELECT event_type, CAST(count(*) AS double) AS n FROM events "
@@ -755,34 +798,36 @@ _PAIRS["events_funnel_share"] = (
 # subqueries, grouping extensions, window frames, and the pipeline operators —
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
-    # round-3 fixes to confirm green (BIGINT casts both sides)
-    "events_json_extract", "pipeline_streaming_sessionize",
-    # entries never yet covered by a driver window (r01 = original first 50,
-    # r02 = previous _PRIORITY): every entry gets a driver row at least once
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship", "tpch_q19_discounted_revenue",
-    "agg_group_by_ordinal", "window_percent_cume",
-    "events_tumbling_window", "events_user_daily", "events_funnel_share",
-    "embeddings_unnest_dims",
-    "pipeline_dedup_minhash_lsh", "pipeline_dedup_simhash",
-    "pipeline_dedup_ngram_jaccard", "pipeline_dedup_clusters",
+    # r04 headline: the nine formerly-rows-only entries, now hash-exact via
+    # planted/exhaustive ground-truth oracles (VERDICT r3 item 2)
+    "pipeline_dedup_minhash_lsh", "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_clusters", "pipeline_dedup_simhash",
     "pipeline_embedding_near_dup", "pipeline_ann_lsh_bucketed",
-    "pipeline_ann_ivf_nprobe", "pipeline_text_language_id",
-    "pipeline_text_quality_score", "pipeline_curate_documents",
-    "pipeline_multimodal_decode_images", "pipeline_sample_stratified",
-    "pipeline_streaming_sliding", "pipeline_skew_salted_join",
-    # flagship re-confirmations (green in r02's window)
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume", "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customer", "tpch_q20_potential_part_promotion",
-    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
-    "subquery_correlated_exists_q4", "subquery_correlated_scalar_q17",
-    "group_rollup", "group_cube_grouping", "group_grouping_sets",
-    "window_rows_frame", "window_range_frame", "window_range_interval",
+    "pipeline_ann_ivf_nprobe", "pipeline_curate_documents",
+    "pipeline_multimodal_decode_images",
+    # new classic shapes (VERDICT r3 item 3)
+    "tpch_q2_minimum_cost_supplier", "tpch_q11_important_stock",
+    # entries never covered by any driver window r01-r03 (VERDICT item 6:
+    # union of windows should reach every entry)
+    "intersect", "except_distinct", "except_all", "intersect_all",
+    "subquery_from_nested", "subquery_join", "agg_percentile",
+    "cte_chained", "window_named", "subquery_scalar",
+    "window_first_last_value", "group_by_all", "window_qualify_topn",
+    "subquery_correlated_not_exists",
+    "pipeline_text_token_stats", "pipeline_text_term_frequencies",
+    "pipeline_doc_fingerprint", "pipeline_ann_ivf",
+    "pipeline_text_bpe_tokens", "pipeline_text_chunk_documents",
+    "pipeline_text_redact_pii", "pipeline_multimodal_blob_metadata",
+    "pipeline_multimodal_blob_dedup", "pipeline_multimodal_decode_bmp",
+    "pipeline_multimodal_audio_rms", "pipeline_split_train_eval",
+    "pipeline_sample_top_n_per_key", "pipeline_streaming_tumbling",
+    "pipeline_skew_salted_count", "pipeline_stateful_dedup",
+    # flagship re-confirmations (green in earlier windows)
+    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
+    "subquery_correlated_scalar_q17", "window_rows_frame",
     "pipeline_dedup_exact", "pipeline_ann_cosine_topk",
+    "pipeline_text_language_id", "pipeline_text_quality_score",
+    "pipeline_multimodal_decode_stub",
 ]
 
 
@@ -819,6 +864,43 @@ def oracle_sql() -> dict[str, str]:
 # --------------------------------------------------------------------------
 
 _PIPELINE_ORACLES: dict[str, str] = {}
+
+# Exhaustive ground-truth near-dup pairs, shared by the dedup oracles: the
+# engine's hashed-shingle Jaccard (operators/dedup.py _shingle_hashes) equals
+# string-shingle Jaccard up to ~2^-31 hash collisions, so DuckDB can recompute
+# it directly on word 5-gram shingle SETS. Candidate blocking via an inverted
+# index on shingles (a pair with J > 0 must share a shingle) keeps the oracle
+# O(shared-shingle pairs), not O(n²) — it IS the exhaustive answer, not an
+# approximation.
+_SHINGLE_PAIRS_TEMPLATE = r"""
+  s AS (
+    SELECT doc_id,
+           string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))),
+                        ' ') AS toks
+    FROM {src}
+  ), sh AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(toks) - 4, 1) + 1),
+             i -> array_to_string(toks[i:i+4], ' '))) AS shingles
+    FROM s
+  ), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, unnest(shingles) AS sg FROM sh) a
+    JOIN (SELECT doc_id, unnest(shingles) AS sg FROM sh) b
+      ON a.sg = b.sg AND a.doc_id < b.doc_id
+  ), pairs AS (
+    SELECT c.id_a, c.id_b,
+           CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.shingles, y.shingles)))
+             AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.id_a
+    JOIN sh y ON y.doc_id = c.id_b
+  )
+"""
+
+_SHINGLE_PAIRS_CTE = _SHINGLE_PAIRS_TEMPLATE.format(src="documents")
 
 
 def _add_pipeline_operators(out: dict) -> None:
@@ -916,27 +998,57 @@ def _add_pipeline_operators(out: dict) -> None:
     _PIPELINE_ORACLES["pipeline_ann_ivf"] = \
         _PIPELINE_ORACLES["pipeline_ann_cosine_topk"]
 
-    # production IVF config (nprobe < nlist): approximate by design →
-    # rows-only for the driver; recall floor is gated in
-    # tests/test_quality_gates.py::test_ivf_recall_at_production_nprobe
+    # production IVF config (nprobe < nlist) with planted ground truth:
+    # each query's identical twin shares its coarse cell (identical
+    # normalized vector → same nearest centroid), and the query's own cell
+    # is always rank-1 probed — so batched top-1 must return exactly the
+    # twin at sim 1.0 for every query, regardless of how k-means carved the
+    # space. Recall at production nprobe over natural neighbors stays gated
+    # in tests/test_quality_gates.py::test_ivf_recall_at_production_nprobe.
     def ann_ivf_nprobe(spark, sf_dir):
         _engine_for(spark, sf_dir)
-        return similarity.ivf_ann_topk(_embs(spark, sf_dir), query_vec_id=0,
-                                       k=10, nlist=8, nprobe=2) \
-            .select("vec_id", "sim")
+        return similarity.ivf_ann_topk_batch(
+            _planted_embs(spark, sf_dir),
+            query_vec_ids=[0, 50, 100, 150, 200],
+            k=1, nlist=8, nprobe=2,
+        ).select("query_id", "vec_id", "sim")
 
     out["pipeline_ann_ivf_nprobe"] = ann_ivf_nprobe
+    _PIPELINE_ORACLES["pipeline_ann_ivf_nprobe"] = """
+        SELECT vec_id AS query_id, vec_id + 100000 AS vec_id, 1.0 AS sim
+        FROM embeddings WHERE vec_id IN (0, 50, 100, 150, 200)
+    """
 
-    # minhash-LSH near-dup candidates: no tractable SQL oracle → rows-only
+    # minhash-LSH near-dup pairs, screened by the signature estimate. The
+    # oracle recomputes ground truth EXHAUSTIVELY (inverted-index-blocked
+    # all-pairs string-shingle Jaccard): at sf0.01 every true pair has
+    # J ≥ 0.875 and nothing else exceeds 0.3, so banded LSH (16×4) recall
+    # is 1.0 with miss probability < 1e-6 per pair — the hash-exact match
+    # proves candidate generation catches every real pair and the estimate
+    # screen (est ≥ 0.5 vs true est ≈ J⁴-safe margins) kills band-collision
+    # noise.
     def dedup_minhash(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         _engine_for(spark, sf_dir)
-        return dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+        return (
+            dedup.minhash_lsh_candidates(_docs(spark, sf_dir))
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select("id_a", "id_b")
+        )
 
     out["pipeline_dedup_minhash_lsh"] = dedup_minhash
+    _PIPELINE_ORACLES["pipeline_dedup_minhash_lsh"] = (
+        "WITH " + _SHINGLE_PAIRS_CTE
+        + " SELECT id_a, id_b FROM pairs WHERE jaccard >= 0.7"
+    )
 
-    # end-to-end curation composition (quality gate → language filter →
-    # exact dedup → near-dup collapse → token accounting); heuristic
-    # stages → rows-only
+    # end-to-end curation composition (quality gate → exact dedup →
+    # near-dup collapse → token accounting). Oracle: the full pipeline
+    # recomputed in SQL from the already-proven hash-exact fragments
+    # (quality_score + language_id formulas) plus the exhaustive Jaccard
+    # edge set over the post-filter survivors and a recursive-CTE
+    # transitive closure — every stage of the composition is verified.
     def curate_docs(spark, sf_dir):
         _engine_for(spark, sf_dir)
         from sql_to_ibis_spark.operators import curate
@@ -948,10 +1060,89 @@ def _add_pipeline_operators(out: dict) -> None:
                              "n_tokens")
 
     out["pipeline_curate_documents"] = curate_docs
+    _PIPELINE_ORACLES["pipeline_curate_documents"] = (
+        r"""WITH RECURSIVE qb AS (
+          SELECT doc_id, text,
+                 lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS nt,
+                 length(text) AS nc
+          FROM documents
+        ), qc AS (
+          SELECT doc_id, text, nt, nc,
+                 string_split(nt, ' ') AS toks,
+                 len(string_split(nt, ' ')) AS n_toks
+          FROM qb
+        ), qr AS (
+          SELECT doc_id, n_toks,
+            CAST(length(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS double)
+              / nullif(nc, 0) AS punct_ratio,
+            CAST(len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','that'])) AS double)
+              / CAST(nullif(n_toks, 0) AS double) AS stop_ratio,
+            CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS double)
+              / nullif(nc, 0) AS alpha_ratio
+          FROM qc
+        ), q AS (
+          SELECT doc_id,
+            floor((CASE WHEN n_toks >= 10 AND n_toks <= 100000
+                        THEN 1.0 ELSE 0.3 END * 0.3
+                   + least(alpha_ratio / 0.6, 1.0) * 0.3
+                   + greatest(0.0, least(1.0, (0.5 - punct_ratio) / 0.4)) * 0.25
+                   + least(stop_ratio / 0.04, 1.0) * 0.15) * 1e4) / 1e4
+              AS quality_score
+          FROM qr
+        ), lsc AS (
+          SELECT doc_id, text,
+            len(list_intersect(toks, ['the','and','of','to','a','in','is','it','for','that'])) AS s_en,
+            len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','für','auf'])) AS s_de,
+            len(list_intersect(toks, ['le','la','les','et','est','pas','un','une','pour','dans'])) AS s_fr,
+            len(list_intersect(toks, ['el','la','los','y','es','no','un','una','para','con'])) AS s_es
+          FROM qc
+        ), lg AS (
+          SELECT doc_id,
+            CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                 WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                 WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                 WHEN s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                 ELSE 'unknown' END AS lang_pred
+          FROM lsc
+        ), base AS (
+          SELECT d.doc_id, d.text
+          FROM documents d JOIN q ON q.doc_id = d.doc_id
+          WHERE q.quality_score >= 0.4
+        ), ex AS (
+          SELECT doc_id, text FROM (
+            SELECT doc_id, text, row_number() OVER (
+              PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+              ORDER BY doc_id) AS rn
+            FROM base) t WHERE rn = 1
+        ),"""
+        + _SHINGLE_PAIRS_TEMPLATE.format(src="ex")
+        + """, edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs WHERE round(jaccard, 4) >= 0.7
+            UNION ALL
+            SELECT id_b, id_a FROM pairs WHERE round(jaccard, 4) >= 0.7
+          ), reach(src, dst) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+          ), losers AS (
+            SELECT src FROM reach GROUP BY src HAVING min(dst) != src
+          )
+          SELECT e.doc_id, lg.lang_pred, q.quality_score,
+                 CAST(len(regexp_split_to_array(trim(e.text), '\\s+')) AS INT)
+                   AS n_tokens
+          FROM ex e
+          LEFT JOIN losers l ON e.doc_id = l.src
+          JOIN q ON q.doc_id = e.doc_id
+          JOIN lg ON lg.doc_id = e.doc_id
+          WHERE l.src IS NULL"""
+    )
 
     # full near-dup collapse: LSH candidates → Jaccard verify → connected
-    # components → one row per cluster (graph transitivity is
-    # LSH-dependent → rows-only)
+    # components → one surviving row (min id) per cluster. Oracle: exhaustive
+    # ground-truth edge set (J ≥ 0.7) + a recursive-CTE transitive closure —
+    # DuckDB independently computes min-reachable-id components, so the
+    # Spark-side pointer-jumping label propagation is verified end-to-end.
     def dedup_clusters(spark, sf_dir):
         _engine_for(spark, sf_dir)
         out_df = dedup.dedup_clusters(_docs(spark, sf_dir),
@@ -959,12 +1150,52 @@ def _add_pipeline_operators(out: dict) -> None:
         return out_df.select("doc_id", "lang", "source")
 
     out["pipeline_dedup_clusters"] = dedup_clusters
+    _PIPELINE_ORACLES["pipeline_dedup_clusters"] = (
+        "WITH RECURSIVE " + _SHINGLE_PAIRS_CTE
+        + """, edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs WHERE round(jaccard, 4) >= 0.7
+            UNION ALL
+            SELECT id_b, id_a FROM pairs WHERE round(jaccard, 4) >= 0.7
+          ), reach(src, dst) AS (
+            SELECT DISTINCT a, a FROM edges
+            UNION
+            SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+          ), losers AS (
+            SELECT src FROM reach GROUP BY src HAVING min(dst) != src
+          )
+          SELECT d.doc_id, d.lang, d.source
+          FROM documents d LEFT JOIN losers l ON d.doc_id = l.src
+          WHERE l.src IS NULL"""
+    )
 
+    # SimHash with planted ground truth: 100 exact copies (doc_id + 100000)
+    # are injected; identical text ⇒ identical 64-bit signature ⇒ Hamming 0
+    # and a guaranteed collision in all four 16-bit bands. Restricting the
+    # output to the planted join (id_b = id_a + 100000) makes the expected
+    # set closed-form: any missed pair (signature nondeterminism, banding
+    # bug) or spurious hamming ≠ 0 breaks the hash match. Full-corpus
+    # candidate mining stays covered by recall gates in
+    # tests/test_quality_gates.py.
     def dedup_simhash(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         _engine_for(spark, sf_dir)
-        return dedup.simhash_buckets(_docs(spark, sf_dir))
+        docs = _docs(spark, sf_dir)
+        plants = docs.filter(F.col("doc_id") < 100) \
+                     .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+        return (
+            dedup.simhash_buckets(docs.unionByName(plants))
+            .filter(F.col("id_b") == F.col("id_a") + 100000)
+            .select("id_a", "id_b",
+                    F.col("hamming").cast("int").alias("hamming"))
+        )
 
     out["pipeline_dedup_simhash"] = dedup_simhash
+    _PIPELINE_ORACLES["pipeline_dedup_simhash"] = """
+        SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+               CAST(0 AS INT) AS hamming
+        FROM documents WHERE doc_id < 100
+    """
 
     def lang_id(spark, sf_dir):
         _engine_for(spark, sf_dir)
@@ -1101,8 +1332,11 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents
     """
 
-    # n-gram Jaccard verification of LSH candidates (candidate set is
-    # LSH-dependent → rows-only)
+    # n-gram Jaccard verification of LSH candidates. Oracle: the same
+    # exhaustive all-pairs ground truth — verified LSH output ≥ 0.5 must
+    # equal ALL pairs with true J ≥ 0.5 (recall argument above), and the
+    # engine's hashed-set Jaccard VALUE must equal DuckDB's string-set
+    # Jaccard bit-for-bit (same int division, same round).
     def ngram_jaccard(spark, sf_dir):
         _engine_for(spark, sf_dir)
         docs = _docs(spark, sf_dir)
@@ -1110,23 +1344,60 @@ def _add_pipeline_operators(out: dict) -> None:
         return dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
 
     out["pipeline_dedup_ngram_jaccard"] = ngram_jaccard
+    _PIPELINE_ORACLES["pipeline_dedup_ngram_jaccard"] = (
+        "WITH " + _SHINGLE_PAIRS_CTE
+        + " SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs "
+          "WHERE round(jaccard, 4) >= 0.5"
+    )
 
-    # LSH-bucketed ANN for every vector (approximate → rows-only)
+    # Planted identical-twin vectors make the ANN/near-dup ground truth
+    # closed-form: a copy of every 50th vector is injected as vec_id+100000.
+    # An identical vector is guaranteed its twin's LSH bucket (identical
+    # sign signature) and cosine exactly 1.0 (round-4), while the natural
+    # corpus is near-orthogonal (max pairwise cosine ≈ 0.5), so with a 0.9
+    # threshold the expected output is precisely the planted pair list.
+    def _planted_embs(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        embs = _embs(spark, sf_dir)
+        twins = embs.filter(F.col("vec_id") % 50 == 0) \
+                    .withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+        return embs.unionByName(twins)
+
+    # LSH-bucketed ANN evaluated on the planted queries: each twin's top-1
+    # neighbor must be its original at sim 1.0 — verifies bucketing,
+    # in-bucket ranking, and the cosine itself. (Full-corpus k-NN mining is
+    # approximate by design; its recall floor is gated in
+    # tests/test_quality_gates.py.)
     def ann_lsh(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         _engine_for(spark, sf_dir)
-        return similarity.lsh_ann_candidates(_embs(spark, sf_dir), k=5)
+        return (
+            similarity.lsh_ann_candidates(_planted_embs(spark, sf_dir), k=1)
+            .filter(F.col("query_id") >= 100000)
+            .select("query_id", "neighbor_id", "sim")
+        )
 
     out["pipeline_ann_lsh_bucketed"] = ann_lsh
+    _PIPELINE_ORACLES["pipeline_ann_lsh_bucketed"] = """
+        SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+               1.0 AS sim
+        FROM embeddings WHERE vec_id % 50 = 0
+    """
 
-    # embedding-cosine near-dup pairs (LSH candidates → rows-only)
+    # embedding-cosine near-dup pairs over the planted corpus: expected
+    # output = exactly the ten (original, twin, 1.0) pairs
     def emb_near_dup(spark, sf_dir):
         _engine_for(spark, sf_dir)
-        # synthetic embeddings are near-orthogonal (max pairwise cosine
-        # ≈ 0.48 at sf0.001) — 0.4 exercises the operator end-to-end
-        return similarity.embedding_near_duplicates(_embs(spark, sf_dir),
-                                                    threshold=0.4)
+        return similarity.embedding_near_duplicates(
+            _planted_embs(spark, sf_dir), threshold=0.9)
 
     out["pipeline_embedding_near_dup"] = emb_near_dup
+    _PIPELINE_ORACLES["pipeline_embedding_near_dup"] = """
+        SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS sim
+        FROM embeddings WHERE vec_id % 50 = 0
+    """
 
     # multimodal: documents.text encoded to a binary blob column exercises
     # the real schema/plumbing; metadata + exact blob dedup are oracle-able
@@ -1161,14 +1432,34 @@ def _add_pipeline_operators(out: dict) -> None:
           FROM documents) t WHERE rn = 1
     """
 
-    # decode path: stub decoder (no codecs in container), rows-only but the
-    # mapInPandas schema/batch plumbing is the real thing
+    # REAL image decode: synthesize an actual PNG per doc_id (deterministic
+    # closed form — solid color id%256, per-row filter type id%3 so the
+    # DEFLATE + un-filter path does real work) and decode it with the
+    # pure-stdlib zlib decoder. The oracle recomputes the closed form, so
+    # any inflate / filter-reconstruction / stride bug breaks the hash.
     def decode_images(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        blobs = multimodal.synthesize_png_blobs(_docs(spark, sf_dir))
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_images"] = decode_images
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_images"] = """
+        SELECT doc_id,
+               CAST(4 + doc_id % 16 AS INT) AS width,
+               CAST(4 + (doc_id // 16) % 16 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(doc_id % 256 AS DOUBLE) AS mean_pixel
+        FROM documents
+    """
+
+    # stub decoder path (exotic codecs): deterministic fake, rows-only —
+    # kept as its own entry so the fallback plumbing stays exercised
+    def decode_stub(spark, sf_dir):
         _engine_for(spark, sf_dir)
         return multimodal.decode_images(_blobs(spark, sf_dir),
                                         use_stub_decoder=True)
 
-    out["pipeline_multimodal_decode_images"] = decode_images
+    out["pipeline_multimodal_decode_stub"] = decode_stub
 
     # REAL decode path: synthesize an actual 24bpp BMP per doc_id
     # (deterministic closed form), decode it with the real header+numpy

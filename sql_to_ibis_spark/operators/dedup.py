@@ -322,6 +322,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, component)
     with ``component`` = min member id.
@@ -350,7 +351,9 @@ def connected_components(
         .localCheckpoint()
     )
     converged = False
+    iterations = 0
     for _ in range(max_iterations):
+        iterations += 1
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy(edges["src"].alias("id"))
@@ -386,6 +389,9 @@ def connected_components(
             converged = True
             break
     edges.unpersist()
+    if stats is not None:
+        stats["iterations"] = iterations
+        stats["converged"] = converged
     if not converged:
         # labels may be non-minimal → silent under-deduplication downstream;
         # surface it loudly instead of returning quietly

@@ -124,11 +124,13 @@ def decode_images(
                 data = bytes(blob or b"")
                 if data[:2] == b"BM":
                     w, h, c, mean = decode_bmp(data)
+                elif data[:8] == _PNG_MAGIC:
+                    w, h, c, mean = decode_png(data)
                 elif not use_stub_decoder:
                     raise NotImplementedError(
-                        "only uncompressed BMP decodes without a codec in "
-                        "this environment; pass use_stub_decoder=True or "
-                        "plug a real decoder here"
+                        "only BMP and 8-bit RGB/RGBA PNG decode without an "
+                        "external codec in this environment; pass "
+                        "use_stub_decoder=True or plug a real decoder here"
                     )
                 else:
                     # deterministic fake from the bytes
@@ -163,6 +165,166 @@ def synthesize_bmp_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                            int(i) % 256)
                 for i in ids
             ]
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+# --------------------------------------------------------------- PNG (real)
+# Pure-stdlib PNG codec (zlib is in the standard library; PNG's DEFLATE +
+# per-row filtering needs no external codec). Supports 8-bit RGB/RGBA,
+# non-interlaced — the overwhelmingly common training-image case. Spec:
+# RFC 2083 (filter types 0-4 §6; Paeth predictor §6.6).
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    import zlib as _z
+
+    return (struct.pack(">I", len(payload)) + tag + payload
+            + struct.pack(">I", _z.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor (RFC 2083 §6.6), vectorized over a scanline."""
+    a16 = a.astype(np.int16)
+    b16 = b.astype(np.int16)
+    c16 = c.astype(np.int16)
+    p = a16 + b16 - c16
+    pa, pb, pc = np.abs(p - a16), np.abs(p - b16), np.abs(p - c16)
+    return np.where((pa <= pb) & (pa <= pc), a,
+                    np.where(pb <= pc, b, c)).astype(np.uint8)
+
+
+def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a real PNG using one filter
+    type for every scanline (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth)."""
+    import zlib as _z
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    bpp = ch  # bytes per pixel (8-bit samples)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for y in range(h):
+        line = px[y].reshape(-1)
+        left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:
+            enc = (line.astype(np.int16) - left).astype(np.uint8)
+        elif filter_type == 2:
+            enc = (line.astype(np.int16) - prev).astype(np.uint8)
+        elif filter_type == 3:
+            enc = (line.astype(np.int16)
+                   - ((left.astype(np.int16) + prev.astype(np.int16)) // 2)
+                   ).astype(np.uint8)
+        elif filter_type == 4:
+            enc = (line.astype(np.int16)
+                   - _paeth(left, prev, upleft)).astype(np.uint8)
+        else:
+            raise ValueError(f"unknown PNG filter type {filter_type}")
+        raw.append(filter_type)
+        raw.extend(enc.tobytes())
+        prev = line
+    color_type = 2 if ch == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, float]:
+    """Parse + inflate + un-filter a PNG: returns (width, height, channels,
+    mean_pixel). Real decode: zlib-inflates IDAT and inverts filter types
+    0-4 per scanline (RFC 2083 §6). 8-bit RGB/RGBA non-interlaced only —
+    exotic variants (palette, 16-bit, interlace) raise."""
+    import zlib as _z
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    channels = 0
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={color_type}, "
+                    f"interlace={interlace}); only 8-bit RGB/RGBA "
+                    f"non-interlaced decodes here")
+            channels = 3 if color_type == 2 else 4
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    raw = _z.decompress(bytes(idat))
+    stride = width * channels
+    bpp = channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, count=stride,
+                             offset=y * (stride + 1) + 1).copy()
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up (vectorizable: only depends on prev row)
+            cur = (line.astype(np.int16) + prev).astype(np.uint8)
+        elif ft in (1, 3, 4):  # Sub/Average/Paeth: left-to-right recurrence
+            cur = np.zeros(stride, dtype=np.uint8)
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                up = prev[i]
+                upleft = prev[i - bpp] if i >= bpp else 0
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (int(left) + int(up)) // 2
+                else:
+                    pred = int(_paeth(np.array([left], np.uint8),
+                                      np.array([up], np.uint8),
+                                      np.array([upleft], np.uint8))[0])
+                cur[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ft}")
+        out[y] = cur
+        prev = cur
+    return width, height, channels, float(out.mean())
+
+
+def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a real PNG blob per row from its id
+    (width = 4 + id % 16, height = 4 + (id // 16) % 16, all pixels =
+    id % 256, scanline filter = id % 3) — after decode, width/height/
+    mean_pixel must equal those closed-form expressions, so any inflate/
+    un-filter/stride bug breaks the oracle hash."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, h, v = 4 + i % 16, 4 + (i // 16) % 16, i % 256
+                px = np.full((h, w, 3), v, dtype=np.uint8)
+                blobs.append(encode_png(px, filter_type=i % 3))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

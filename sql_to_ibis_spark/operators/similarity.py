@@ -203,6 +203,60 @@ def ivf_ann_topk(
     )
 
 
+def ivf_ann_topk_batch(
+    embs: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batched IVF top-k: ONE index build serves every query (the way an
+    ANN service amortizes the k-means fit), then each query probes its
+    ``nprobe`` nearest cells. Query vectors are tiny (``len(query_vec_ids)``
+    rows) so collecting them to pick probe cells is driver-side metadata
+    work, not a data collect; the corpus itself is only touched by the
+    per-query ``isin(cells)``-pruned scans.
+
+    Returns ``(query_id, vec_id, sim)`` with ``k`` rows per query.
+    """
+    assigned, centroids = build_ivf_index(embs, nlist, id_col, vec_col)
+    assigned = assigned.persist()
+    try:
+        qrows = {
+            r["id"]: np.array(r["nvec"])
+            for r in assigned.filter(F.col("id").isin(list(query_vec_ids)))
+                             .select("id", "nvec").collect()
+        }
+        missing = [q for q in query_vec_ids if q not in qrows]
+        if missing:
+            raise ValueError(f"query vectors not found: {missing}")
+        parts = []
+        for qid in query_vec_ids:
+            qvec = qrows[qid]
+            cell_dist = ((centroids - qvec) ** 2).sum(axis=1)
+            probe_cells = [int(c) for c in np.argsort(cell_dist)[:nprobe]]
+            qlit = F.array(*[F.lit(float(x)) for x in qvec])
+            sim = dot(F.col("nvec"), qlit)  # normalized → dot == cosine
+            parts.append(
+                assigned.filter(F.col("cell").isin(probe_cells))
+                .filter(F.col("id") != qid)
+                .select(F.lit(qid).cast("long").alias("query_id"),
+                        F.col("id").alias(id_col),
+                        F.round(sim, 4).alias("sim"))
+                .orderBy(F.col("sim").desc(), F.col(id_col).asc())
+                .limit(k)
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        # materialize before unpersisting the shared index frame
+        return out.localCheckpoint()
+    finally:
+        assigned.unpersist()
+
+
 def embedding_near_duplicates(
     embs: DataFrame,
     threshold: float = 0.95,

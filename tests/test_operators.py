@@ -355,6 +355,48 @@ def test_bmp_decode_distributed(spark, docs):
         assert r["mean_pixel"] == float(i % 256)
 
 
+def test_png_roundtrip_all_filters_and_channels():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    for ch in (3, 4):
+        for ft in range(5):  # None/Sub/Up/Average/Paeth (RFC 2083 §6)
+            px = rng.integers(0, 256, size=(7, 5, ch), dtype=np.uint8)
+            w, h, c, mean = multimodal.decode_png(
+                multimodal.encode_png(px, ft))
+            assert (w, h, c) == (5, 7, ch)
+            assert mean == pytest.approx(px.mean(), abs=1e-9), (ft, ch)
+
+
+def test_png_rejects_non_png_and_exotic():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        multimodal.decode_png(b"\x89PNGnope")
+    # palette/16-bit/interlaced variants must raise, not mis-decode
+    blob = bytearray(multimodal.encode_png(
+        np.zeros((4, 4, 3), np.uint8)))
+    blob[24] = 16  # bit depth byte inside IHDR
+    import struct as _s
+    import zlib as _z
+    # recompute the IHDR CRC so the chunk is structurally valid
+    blob[29:33] = _s.pack(">I", _z.crc32(bytes(blob[12:29])) & 0xFFFFFFFF)
+    with pytest.raises(ValueError):
+        multimodal.decode_png(bytes(blob))
+
+
+def test_png_decode_distributed(spark, docs):
+    synth = multimodal.synthesize_png_blobs(docs.limit(64))
+    out = multimodal.decode_images(synth).collect()
+    assert len(out) == 64
+    for r in out:
+        i = r["doc_id"]
+        assert r["width"] == 4 + i % 16
+        assert r["height"] == 4 + (i // 16) % 16
+        assert r["channels"] == 3
+        assert r["mean_pixel"] == float(i % 256)
+
+
 def test_wav_roundtrip_local():
     import numpy as np
 

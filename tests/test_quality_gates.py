@@ -129,6 +129,30 @@ def test_connected_components_chain_converges(spark):
     assert all(r["component"] == 0 for r in labels)
 
 
+def test_connected_components_log_rounds_on_long_chain(spark):
+    # Scale evidence for the pointer-jumping design: a path graph of
+    # diameter d must converge in O(log d) rounds, not O(d). For a 96-node
+    # chain (d = 95), plain min-label propagation needs 95 rounds; with
+    # pointer jumping the label horizon at least doubles per round, so
+    # ceil(log2(95)) + 2 = 9 rounds is a hard ceiling. A graph of diameter
+    # 2^20 would need ~22 — the default cap of 20 handles any near-dup
+    # cluster a real corpus produces (dup clusters are dense, not paths).
+    n = 96
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
+    stats: dict = {}
+    labels = dedup.connected_components(pairs, max_iterations=20,
+                                        stats=stats).collect()
+    assert all(r["component"] == 0 for r in labels)
+    assert stats["converged"]
+    import math
+
+    bound = math.ceil(math.log2(n - 1)) + 2
+    assert stats["iterations"] <= bound, (
+        f"pointer jumping took {stats['iterations']} rounds on a "
+        f"{n}-node chain; O(log d) bound is {bound}")
+
+
 # ------------------------------------------------------------- embeddings
 
 DIM = 32
@@ -193,6 +217,28 @@ def test_ivf_recall_at_production_nprobe(clustered_embs):
         clustered_embs, query_vec_id=0, k=10, nlist=8, nprobe=2).collect()]
     recall = len(set(exact) & set(approx)) / 10
     assert recall >= 0.8, f"IVF recall@10 {recall:.2f} < 0.8 at nprobe=2/nlist=8"
+
+
+def test_ivf_batch_matches_single_query(clustered_embs):
+    # the batched API (one index build, many probes) must agree with the
+    # single-query path per query
+    qids = [0, 30, 60]
+    batch = similarity.ivf_ann_topk_batch(
+        clustered_embs, query_vec_ids=qids, k=5, nlist=8, nprobe=2)
+    by_q = {}
+    for r in batch.collect():
+        by_q.setdefault(r["query_id"], []).append((r["vec_id"], r["sim"]))
+    for q in qids:
+        single = [(r["vec_id"], r["sim"]) for r in similarity.ivf_ann_topk(
+            clustered_embs, query_vec_id=q, k=5, nlist=8, nprobe=2
+        ).select("vec_id", "sim").collect()]
+        assert by_q[q] == single, f"batch/single mismatch for query {q}"
+
+
+def test_ivf_batch_missing_query_raises(clustered_embs):
+    with pytest.raises(ValueError, match="not found"):
+        similarity.ivf_ann_topk_batch(clustered_embs,
+                                      query_vec_ids=[999999], k=3)
 
 
 # ------------------------------------------------------------ language id
