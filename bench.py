@@ -61,6 +61,14 @@ HEADLINE = [
     "pipeline_split_train_eval",
     "pipeline_text_chunk_documents",
     "pipeline_text_redact_pii",
+    # round 4 additions: the shuffle-heavy pipeline operators (tracked so
+    # scale regressions show up per-round, kept at the tail so earlier
+    # per-query deltas line up)
+    "pipeline_dedup_simhash",
+    "pipeline_dedup_clusters",
+    "pipeline_ann_lsh_bucketed",
+    "tpch_q2_minimum_cost_supplier",
+    "tpch_q11_important_stock",
 ]
 
 

@@ -17,6 +17,21 @@ import duckdb
 import __spark_entry__ as entrymod
 from bench import HEADLINE
 
+# Entries whose oracle is a PLANTED closed-form answer (a trivial SELECT of
+# the expected rows), not an equivalent computation: timing the oracle there
+# compares real candidate mining against reading the answer key, so these are
+# reported but EXCLUDED from the comparable total/ratio. The exhaustive-oracle
+# dedup entries (minhash/ngram/clusters/curate) stay comparable — DuckDB does
+# the same (or more) work there.
+NONCOMPARABLE = {
+    "pipeline_dedup_simhash",
+    "pipeline_embedding_near_dup",
+    "pipeline_ann_lsh_bucketed",
+    "pipeline_ann_ivf_nprobe",
+    "pipeline_multimodal_decode_images",
+    "pipeline_multimodal_decode_bmp",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -38,8 +53,13 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
     total = round(sum(v for v in timings.values() if v is not None), 4)
+    comparable = round(sum(
+        v for name, v in timings.items()
+        if v is not None and name not in NONCOMPARABLE), 4)
     print(json.dumps({"metric": "duckdb_baseline_total", "value": total,
                       "unit": "sec", "queries": timings,
+                      "comparable_total": comparable,
+                      "noncomparable": sorted(NONCOMPARABLE & set(timings)),
                       "sf": sf_dir.rstrip("/").split("sf")[-1]}))
 
 
