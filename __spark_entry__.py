@@ -1015,7 +1015,7 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_ann_ivf_nprobe"] = ann_ivf_nprobe
     _PIPELINE_ORACLES["pipeline_ann_ivf_nprobe"] = """
-        SELECT vec_id AS query_id, vec_id + 100000 AS vec_id, 1.0 AS sim
+        SELECT vec_id AS query_id, vec_id + 1000000000 AS vec_id, 1.0 AS sim
         FROM embeddings WHERE vec_id IN (0, 50, 100, 150, 200)
     """
 
@@ -1168,10 +1168,10 @@ def _add_pipeline_operators(out: dict) -> None:
           WHERE l.src IS NULL"""
     )
 
-    # SimHash with planted ground truth: 100 exact copies (doc_id + 100000)
+    # SimHash with planted ground truth: 100 exact copies (doc_id + 1000000000)
     # are injected; identical text ⇒ identical 64-bit signature ⇒ Hamming 0
     # and a guaranteed collision in all four 16-bit bands. Restricting the
-    # output to the planted join (id_b = id_a + 100000) makes the expected
+    # output to the planted join (id_b = id_a + 1000000000) makes the expected
     # set closed-form: any missed pair (signature nondeterminism, banding
     # bug) or spurious hamming ≠ 0 breaks the hash match. Full-corpus
     # candidate mining stays covered by recall gates in
@@ -1182,17 +1182,17 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         docs = _docs(spark, sf_dir)
         plants = docs.filter(F.col("doc_id") < 100) \
-                     .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+                     .withColumn("doc_id", F.col("doc_id") + F.lit(1_000_000_000))
         return (
             dedup.simhash_buckets(docs.unionByName(plants))
-            .filter(F.col("id_b") == F.col("id_a") + 100000)
+            .filter(F.col("id_b") == F.col("id_a") + 1_000_000_000)
             .select("id_a", "id_b",
                     F.col("hamming").cast("int").alias("hamming"))
         )
 
     out["pipeline_dedup_simhash"] = dedup_simhash
     _PIPELINE_ORACLES["pipeline_dedup_simhash"] = """
-        SELECT doc_id AS id_a, doc_id + 100000 AS id_b,
+        SELECT doc_id AS id_a, doc_id + 1000000000 AS id_b,
                CAST(0 AS INT) AS hamming
         FROM documents WHERE doc_id < 100
     """
@@ -1351,7 +1351,7 @@ def _add_pipeline_operators(out: dict) -> None:
     )
 
     # Planted identical-twin vectors make the ANN/near-dup ground truth
-    # closed-form: a copy of every 50th vector is injected as vec_id+100000.
+    # closed-form: a copy of every 50th vector is injected as vec_id+1000000000.
     # An identical vector is guaranteed its twin's LSH bucket (identical
     # sign signature) and cosine exactly 1.0 (round-4), while the natural
     # corpus is near-orthogonal (max pairwise cosine ≈ 0.5), so with a 0.9
@@ -1361,7 +1361,7 @@ def _add_pipeline_operators(out: dict) -> None:
 
         embs = _embs(spark, sf_dir)
         twins = embs.filter(F.col("vec_id") % 50 == 0) \
-                    .withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+                    .withColumn("vec_id", F.col("vec_id") + F.lit(1_000_000_000))
         return embs.unionByName(twins)
 
     # LSH-bucketed ANN evaluated on the planted queries: each twin's top-1
@@ -1375,13 +1375,13 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         return (
             similarity.lsh_ann_candidates(_planted_embs(spark, sf_dir), k=1)
-            .filter(F.col("query_id") >= 100000)
+            .filter(F.col("query_id") >= 1_000_000_000)
             .select("query_id", "neighbor_id", "sim")
         )
 
     out["pipeline_ann_lsh_bucketed"] = ann_lsh
     _PIPELINE_ORACLES["pipeline_ann_lsh_bucketed"] = """
-        SELECT vec_id + 100000 AS query_id, vec_id AS neighbor_id,
+        SELECT vec_id + 1000000000 AS query_id, vec_id AS neighbor_id,
                1.0 AS sim
         FROM embeddings WHERE vec_id % 50 = 0
     """
@@ -1395,7 +1395,7 @@ def _add_pipeline_operators(out: dict) -> None:
 
     out["pipeline_embedding_near_dup"] = emb_near_dup
     _PIPELINE_ORACLES["pipeline_embedding_near_dup"] = """
-        SELECT vec_id AS id_a, vec_id + 100000 AS id_b, 1.0 AS sim
+        SELECT vec_id AS id_a, vec_id + 1000000000 AS id_b, 1.0 AS sim
         FROM embeddings WHERE vec_id % 50 = 0
     """
 

@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from sql_to_ibis_spark.session import get_spark
+from sql_to_ibis_spark.sources.readers import read_parquet
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -67,9 +68,9 @@ ROW_GROUP_BYTES = 16 * 1024 * 1024
 def _strides(spark: SparkSession, base: str) -> dict[str, int]:
     strides: dict[str, int] = {}
     for table, key in STRIDE_KEYS.items():
-        df = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        df = read_parquet(spark, os.path.join(base, f"{table}.parquet"))
         strides[table] = int(df.agg(F.max(key)).first()[0]) + 1
-    ev = spark.read.parquet(os.path.join(base, "events.parquet"))
+    ev = read_parquet(spark, os.path.join(base, "events.parquet"))
     strides["__events_user"] = int(ev.agg(F.max("user_id")).first()[0]) + 1
     return strides
 
@@ -116,7 +117,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     strides = _strides(spark, base)
     for table in TABLES:
-        df = spark.read.parquet(os.path.join(base, f"{table}.parquet"))
+        df = read_parquet(spark, os.path.join(base, f"{table}.parquet"))
         if table in ("region", "nation"):
             out = df
         else:

@@ -187,11 +187,31 @@ class Compiler:
             import io
 
             inner = self.compile(node.query)
+            header = ""
+            if node.mode == "analyze":
+                # EXPLAIN ANALYZE: execute the query's own plan distributed
+                # (RDD count over the executed plan — no row transfer to the
+                # driver), so the plan below is the AQE-FINALIZED one
+                # (isFinalPlan=true: runtime-chosen join strategies,
+                # coalesced shuffle partitions), not the static estimate
+                import time
+
+                if inner.isStreaming:
+                    raise InvalidQueryException(
+                        "EXPLAIN ANALYZE is not supported for streaming "
+                        "queries")
+                t0 = time.perf_counter()
+                n_rows = inner._jdf.queryExecution().executedPlan() \
+                    .execute().count()
+                wall = time.perf_counter() - t0
+                header = (f"== Executed ==\nrows: {n_rows}\n"
+                          f"wall: {wall:.4f} s\n\n")
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
-                inner.explain(node.mode)
+                inner.explain("formatted" if node.mode == "analyze"
+                              else node.mode)
             return self.spark.createDataFrame(
-                [(buf.getvalue(),)], "plan: string")
+                [(header + buf.getvalue(),)], "plan: string")
         if isinstance(node, ast.WithNode):
             return self._compile_with(node)
         if isinstance(node, ast.SetOpNode):

@@ -132,7 +132,7 @@ class _Parser:
             self.advance()
             mode = "formatted"
             if self.at_kw("formatted", "extended", "simple", "codegen",
-                          "cost"):
+                          "cost", "analyze"):
                 mode = self.advance().text.lower()
             node = ast.ExplainNode(query=self._parse_with_or_set_expr(),
                                    mode=mode)

@@ -341,6 +341,19 @@ def test_explain_simple_mode(engine):
     assert "HashAggregate" in row["plan"]
 
 
+def test_explain_analyze_executes_and_reports(engine):
+    row = engine.query(
+        "EXPLAIN ANALYZE SELECT l_returnflag, count(*) AS n "
+        "FROM lineitem GROUP BY l_returnflag"
+    ).collect()[0]
+    plan = row["plan"]
+    assert "== Executed ==" in plan and "wall:" in plan
+    # row count of the analyzed query itself (3 return flags)
+    assert "rows: 3" in plan
+    # the plan shown is the AQE-finalized one, not the static estimate
+    assert "isFinalPlan=true" in plan
+
+
 # ---- UNNEST lateral array expansion (extension)
 
 
