@@ -80,10 +80,14 @@ def main() -> int:
                                   f"oracle {expected[col].dtype}")
             elif ka in "iu" and ke in "iu" and \
                     actual[col].dtype.itemsize != expected[col].dtype.itemsize:
-                # driver hashes values WITH width, so INT32 vs BIGINT fails
-                # its gate even when values are equal
-                kind_drift.append(f"{col}: engine {actual[col].dtype} vs "
-                                  f"oracle {expected[col].dtype} (int width)")
+                # width-only drift (INT32 vs BIGINT): the driver's hash is
+                # width-INSENSITIVE — CORRECTNESS_r04 gave hash_match=true to
+                # window_named / pipeline_text_token_stats / _bpe_tokens /
+                # _quality_score, all of which differ from DuckDB only in
+                # int width. Warn (schema hygiene) but do not fail.
+                print(f"note {name}: int-width drift ({col}: engine "
+                      f"{actual[col].dtype} vs oracle {expected[col].dtype})"
+                      f" — driver hash ignores width")
         if kind_drift:
             print(f"FAIL {name}: dtype drift (driver hash would differ): "
                   f"{'; '.join(kind_drift)}")

@@ -5,12 +5,17 @@ Scale design notes (the whole point of these implementations):
 * **exact_dedup** — one hash shuffle on the dedup key (window
   ``row_number`` partitioned by key). No global sort, no collect.
 * **minhash_lsh_candidates** — the classic shingle → minhash → band →
-  bucket-join pipeline, expressed entirely with JVM-side higher-order
-  functions (``transform``/``aggregate``/``xxhash64``): per-row work is
-  embarrassingly parallel; the only shuffle is ``groupBy(band_hash)``.
-  Candidate pairs are produced per-bucket, never via an all-pairs cross
-  join, so cost is O(sum of bucket sizes squared) ≈ linear for
-  well-distributed data instead of O(n²).
+  bucket-join pipeline. Token hashes are JVM-side (``xxhash64``); the
+  shingle polynomial and the ``num_hashes`` universal-hash minima run in ONE
+  Arrow-batched pandas UDF as vectorized numpy reductions. (Spark's
+  higher-order functions — ``transform``/``aggregate`` — are
+  ``CodegenFallback``, i.e. interpreted per element: the previous pure-HOF
+  signature spent ~16M interpreted expression evals per 5 k docs, measured
+  ~10× slower than the Arrow+numpy path.) Per-row work is embarrassingly
+  parallel; the only shuffle is ``groupBy(band_hash)``. Candidate pairs are
+  produced per-bucket, never via an all-pairs cross join, so cost is
+  O(sum of bucket sizes squared) ≈ linear for well-distributed data instead
+  of O(n²).
 * **simhash** — per-token hashes computed JVM-side (``xxhash64``); only the
   ±1 bit accumulation runs in an Arrow-batched pandas UDF as one segmented
   numpy reduction per batch (bit-vote accumulation is a poor fit for
@@ -110,76 +115,128 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
-def _perm(a: int, b: int):
-    """Unary lambda for F.transform (pyspark introspects lambda arity, so
-    the constants must be closed over, not default-arg captured).
+def _shingle_flat(hash_arrays: pd.Series, k: int):
+    """Vectorized rolling-polynomial shingles over a whole Arrow batch.
 
-    The pmod is ESSENTIAL: without it ``a·h + b`` is monotonic in ``h`` and
+    Input: a Series of per-doc token-hash arrays (int64 in [0, P)).
+    Returns ``(sh, m, offs)``: the flattened shingle hashes, the per-doc
+    shingle counts (``max(len - k + 1, 1)`` — short docs yield one shingle
+    over all their tokens, matching ``_shingle_hashes``), and the per-doc
+    start offsets into ``sh``. No Python-level per-token loop: the poly is
+    built as ``k`` shifted multiply-add-mod passes over the concatenated
+    batch, then gathered per doc with numpy fancy indexing."""
+    import numpy as np
+
+    n_docs = len(hash_arrays)
+    lens = hash_arrays.map(len).to_numpy(dtype=np.int64)
+    total_toks = int(lens.sum())
+    flat = (np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)])
+        if total_toks else np.zeros(0, dtype=np.int64))
+    offs_in = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs_in[1:])
+    # accs[t][p] = poly over flat[p .. p+t] (mod applied per step keeps every
+    # intermediate < 31·2^31 + 2^31, ANSI-safe in int64)
+    accs = [flat]
+    for t in range(1, k):
+        nxt = np.zeros_like(flat)
+        if len(flat) > t:
+            nxt[:-t] = (accs[-1][:-t] * 31 + flat[t:]) % _HASH_SPACE
+        accs.append(nxt)
+    m = np.maximum(lens - k + 1, 1)
+    offs = np.zeros(n_docs, dtype=np.int64)
+    np.cumsum(m[:-1], out=offs[1:])
+    total = int(m.sum())
+    # gather: shingle j of doc i reads accs[min(len_i,k)-1][tok_off_i + j];
+    # len-0 docs (unreachable via split(), defended anyway) read hash 0
+    src = np.repeat(offs_in, m) + (np.arange(total) - np.repeat(offs, m))
+    lvl = np.clip(np.minimum(lens, k) - 1, 0, k - 1)
+    if total_toks:
+        sh = np.stack(accs)[np.repeat(lvl, m), np.minimum(src, total_toks - 1)]
+        sh = np.where(np.repeat(lens, m) > 0, sh, 0)
+    else:
+        sh = np.zeros(total, dtype=np.int64)
+    return sh, m, offs
+
+
+def _minhash_sig_udf(num_hashes: int, shingle_size: int):
+    """Arrow-batched signature UDF: token-hash arrays → ``num_hashes``
+    minhash values. The whole batch is one numpy computation: rolling-poly
+    shingles (``_shingle_flat``) then, per permutation chunk,
+    ``(a·sh + b) mod P`` + ``np.minimum.reduceat`` over per-doc segments.
+
+    The mod is ESSENTIAL: without it ``a·h + b`` is monotonic in ``h`` and
     every "permutation" picks the same argmin shingle — the signature
-    degenerates to 64 copies of one minhash (planted-dup recall gate in
-    tests/test_quality_gates.py caught this). Reducing mod a prime breaks
-    monotonicity and makes each (a, b) an independent universal hash."""
-    return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_HASH_SPACE))
+    degenerates to ``num_hashes`` copies of one minhash (planted-dup recall
+    gate in tests/test_quality_gates.py caught this). Reducing mod a prime
+    breaks monotonicity and makes each (a, b) an independent universal hash.
+    ``a, b < 2^29`` and ``sh < 2^31`` keep ``a·sh + b < 2^60``: int64-safe.
+
+    Permutations are processed 16 at a time so peak batch memory stays
+    ~``16 · total_shingles · 8 B`` (~64 MB for a 10 k-doc Arrow batch)
+    regardless of ``num_hashes``."""
+    import numpy as np
+
+    params = _minhash_params(num_hashes)
+    a_all = np.array([a for a, _ in params], dtype=np.int64)
+    b_all = np.array([b for _, b in params], dtype=np.int64)
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hash_arrays: pd.Series) -> pd.Series:
+        n_docs = len(hash_arrays)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        sh, _, offs = _shingle_flat(hash_arrays, shingle_size)
+        out = np.empty((num_hashes, n_docs), dtype=np.int64)
+        for c0 in range(0, num_hashes, 16):
+            a = a_all[c0:c0 + 16, None]
+            b = b_all[c0:c0 + 16, None]
+            vals = (sh[None, :] * a + b) % _HASH_SPACE
+            out[c0:c0 + 16] = np.minimum.reduceat(vals, offs, axis=1)
+        return pd.Series(list(out.T))
+
+    return _sig
+
+
+def _shingle_set_udf(shingle_size: int):
+    """Arrow-batched UDF: token-hash arrays → distinct shingle-hash sets
+    (the exact-Jaccard input). Same rolling poly as the signature path, so
+    verification and candidate generation agree on shingle identity."""
+    import numpy as np
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def _sets(hash_arrays: pd.Series) -> pd.Series:
+        n_docs = len(hash_arrays)
+        if n_docs == 0:
+            return pd.Series([], dtype=object)
+        sh, m, offs = _shingle_flat(hash_arrays, shingle_size)
+        bounds = np.append(offs, len(sh))
+        return pd.Series(
+            [np.unique(sh[bounds[i]:bounds[i + 1]]) for i in range(n_docs)])
+
+    return _sets
 
 
 def minhash_signature(
     text_col: Column, num_hashes: int = 64, shingle_size: int = 5
 ) -> Column:
-    """Array of ``num_hashes`` minhash values, entirely via JVM expressions.
-
-    Cost model: shingle hashes are computed exactly ONCE; the ``num_hashes``
-    permutations are derived by universal hashing (``a_i·h + b_i``, all
-    within signed-64 range) — integer multiply-adds instead of repeated
-    string hashing, so signature cost is O(shingles · num_hashes) integer ops
-    per row and stays inside whole-stage codegen with no Python."""
-    base = _shingle_hashes(text_col, shingle_size)
-    mins = [
-        F.array_min(F.transform(base, _perm(a, b)))
-        for a, b in _minhash_params(num_hashes)
-    ]
-    return F.array(*mins)
+    """Array of ``num_hashes`` minhash values: JVM-side ``xxhash64`` token
+    hashes feeding one Arrow-batched numpy UDF (see ``_minhash_sig_udf`` for
+    the cost model and why this beats pure higher-order functions)."""
+    return _minhash_sig_udf(num_hashes, shingle_size)(_token_hashes(text_col))
 
 
-def minhash_lsh_candidates(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_size: int = 5,
+def _lsh_pairs_from_sig(
+    sig: DataFrame, num_hashes: int = 64, bands: int = 16
 ) -> DataFrame:
-    """Near-duplicate candidate pairs via banded MinHash-LSH.
-
-    Returns ``(id_a, id_b, n_matching_bands, est_jaccard)`` with
-    ``id_a < id_b``. ``est_jaccard`` is the fraction of matching signature
-    positions (an unbiased Jaccard estimate).
-
-    Shuffles: one ``groupBy`` on (band, band_hash) for bucketing, one join
-    back to signatures for the estimate. No cross join anywhere.
-    """
+    """Banded bucket join over an (already persisted) ``(id, sig)`` table →
+    ``(id_a, id_b, n_matching_bands)``. Ids sharing any (band, band-hash)
+    bucket pair up; cost is per-bucket quadratic, never all-pairs."""
     rows_per_band = num_hashes // bands
-    # two-phase projection: shingle hashes once into __hs, then num_hashes
-    # cheap integer permutations over it (CollapseProject keeps the split —
-    # verified via .explain: exactly one shingle pipeline in the plan)
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        _shingle_hashes(F.col(text_col), shingle_size).alias("__hs"),
-    )
-    sig = hashed.select(
-        "id",
-        F.array(*[
-            F.array_min(F.transform(F.col("__hs"), _perm(a, b)))
-            for a, b in _minhash_params(num_hashes)
-        ]).alias("sig"),
-    )
-    # the signature table feeds three plan branches (banding + both sides of
-    # the estimate join); persist it so the shingle/minhash pipeline runs
-    # exactly once. Size is id + num_hashes longs ≈ 0.5 KB/row — at 1B docs
-    # that's ~0.5 TB spread over the cluster, MEMORY_AND_DISK spills fine.
-    sig = sig.persist()
     band_cols = [
         F.xxhash64(
-            F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+            F.lit(b), *[F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)]
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
@@ -193,8 +250,7 @@ def minhash_lsh_candidates(
             ])
         ).alias("e"),
     ).select("id", "e.band", "e.bh")
-    # per-bucket pair generation: ids sharing (band, band_hash)
-    pairs = (
+    return (
         stacked.alias("l")
         .join(stacked.alias("r"),
               (F.col("l.band") == F.col("r.band"))
@@ -203,6 +259,41 @@ def minhash_lsh_candidates(
         .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_matching_bands"))
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    include_estimate: bool = True,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash-LSH.
+
+    Returns ``(id_a, id_b, n_matching_bands, est_jaccard)`` with
+    ``id_a < id_b``. ``est_jaccard`` is the fraction of matching signature
+    positions (an unbiased Jaccard estimate); pass
+    ``include_estimate=False`` to skip the two signature joins that compute
+    it when the caller re-verifies exactly anyway (``dedup_clusters`` does).
+
+    Shuffles: one ``groupBy`` on (band, band_hash) for bucketing, one join
+    back to signatures for the estimate. No cross join anywhere.
+    """
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_sig_udf(num_hashes, shingle_size)(
+            _token_hashes(F.col(text_col))).alias("sig"),
+    )
+    # the signature table feeds several plan branches (banding + both sides
+    # of the estimate join); persist it so the shingle/minhash pipeline runs
+    # exactly once. Size is id + num_hashes longs ≈ 0.5 KB/row — at 1B docs
+    # that's ~0.5 TB spread over the cluster, MEMORY_AND_DISK spills fine.
+    sig = sig.persist()
+    pairs = _lsh_pairs_from_sig(sig, num_hashes, bands)
+    if not include_estimate:
+        return pairs
     # unbiased jaccard estimate from full signatures (join candidates only)
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
@@ -256,20 +347,29 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
 
 
 def simhash_buckets(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    max_hamming: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup candidates: documents whose 64-bit signatures share
     at least one of four 16-bit bands (catches all pairs with Hamming
     distance ≤ 3). Returns ``(id_a, id_b, hamming)``.
 
+    ``max_hamming`` filters pairs to that Hamming distance BEFORE the
+    distinct — on vocabulary-dense corpora band collisions between merely
+    topically-similar docs dominate (measured 240 k collision pairs over
+    5 k synthetic docs), and the cut keeps the distinct/dedup stage
+    proportional to real near-dups. ``None`` returns every collision pair.
+
     Token hashing stays JVM-side (``xxhash64`` inside whole-stage codegen);
     only the ±1 bit accumulation crosses into the Arrow-batched pandas UDF,
-    where it is a single segmented numpy reduction per batch."""
+    where it is a single segmented numpy reduction per batch. The signature
+    table is persisted: it feeds both sides of the bucket self-join, and
+    without the persist the whole upstream (scan + UDF) runs twice."""
     tokens = F.filter(F.split(normalized_text(F.col(text_col)), " "),
                       lambda t: t != "")
     tok_hashes = F.transform(tokens, lambda t: F.xxhash64(t))
     sig = df.select(F.col(id_col).alias("id"),
-                    _simhash_from_hashes(tok_hashes).alias("sim"))
+                    _simhash_from_hashes(tok_hashes).alias("sim")).persist()
     bands = sig.select(
         "id", "sim",
         F.explode(F.array(*[
@@ -282,7 +382,7 @@ def simhash_buckets(
         ])).alias("e"),
     ).select("id", "sim", "e.band", "e.bh")
     hamming = F.bit_count(F.col("l.sim").bitwiseXOR(F.col("r.sim")))
-    return (
+    out = (
         bands.alias("l")
         .join(bands.alias("r"),
               (F.col("l.band") == F.col("r.band"))
@@ -290,8 +390,10 @@ def simhash_buckets(
               & (F.col("l.id") < F.col("r.id")))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 hamming.alias("hamming"))
-        .distinct()
     )
+    if max_hamming is not None:
+        out = out.filter(F.col("hamming") <= max_hamming)
+    return out.distinct()
 
 
 # ------------------------------------------------------- Jaccard verification
@@ -303,14 +405,17 @@ def ngram_jaccard_verify(
     id_col: str = "doc_id",
     shingle_size: int = 5,
     threshold: float = 0.8,
+    shingle_sets: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard on candidate pairs only (two hash joins; never touches
     non-candidate rows) — over hashed shingle sets, so it's exact up to
     negligible 2^-31 hash collisions. Returns pairs with
-    ``jaccard >= threshold``."""
-    sets_ = df.select(
+    ``jaccard >= threshold``. ``shingle_sets`` (an ``(id, sh)`` DataFrame)
+    lets a pipeline reuse an already-computed/persisted shingle table."""
+    sets_ = shingle_sets if shingle_sets is not None else df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(_shingle_hashes(F.col(text_col), shingle_size)).alias("sh"),
+        _shingle_set_udf(shingle_size)(
+            _token_hashes(F.col(text_col))).alias("sh"),
     )
     a = sets_.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sets_.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
@@ -368,7 +473,7 @@ def connected_components(
             .groupBy(edges["src"].alias("id"))
             .agg(F.min("component").alias("nbr_component"))
         )
-        updated = (
+        stepped = (
             labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
@@ -379,21 +484,29 @@ def connected_components(
                 (F.coalesce(F.col("nbr_component"), F.col("component"))
                  < F.col("component")).alias("__changed"),
             )
-            .localCheckpoint()
+            # lazy persist (no extra job): the pointer-jump self-join below
+            # reads ``stepped`` twice; the localCheckpoint on the joined
+            # result is what truncates lineage each round
+            .persist()
         )
-        changed = updated.filter(F.col("__changed")).limit(1).count()
-        stepped = updated.drop("__changed")
         # pointer jumping: follow the label one hop (labels cover every
         # node id, so the join always matches) — doubles the effective
-        # propagation distance each round
+        # propagation distance each round. Propagation + jump materialize in
+        # ONE localCheckpoint job per round; the convergence probe then only
+        # scans the checkpointed partitions (2 jobs/round, not 3 — at every
+        # scale each saved job is a full scheduling round-trip).
         ptr = stepped.select(F.col("id").alias("cid"),
                              F.col("component").alias("cc"))
-        labels = (
+        nxt = (
             stepped.join(ptr, stepped["component"] == ptr["cid"], "left")
             .select("id",
-                    F.coalesce("cc", "component").alias("component"))
+                    F.coalesce("cc", "component").alias("component"),
+                    "__changed")
             .localCheckpoint()
         )
+        changed = nxt.filter(F.col("__changed")).limit(1).count()
+        stepped.unpersist()
+        labels = nxt.drop("__changed")
         if changed == 0:
             converged = True
             break
@@ -430,11 +543,27 @@ def dedup_clusters(
     pretraining pipeline actually runs. Each stage shuffles only on
     bucket/pair/component keys; nothing is ever collected to the driver.
     """
-    candidates = minhash_lsh_candidates(df, text_col, id_col,
-                                        **minhash_kwargs)
+    shingle_size = minhash_kwargs.pop("shingle_size", 5)
+    num_hashes = minhash_kwargs.pop("num_hashes", 64)
+    # one persisted token-hash table feeds BOTH candidate generation and
+    # exact verification — the scan + normalize + xxhash64 pipeline runs
+    # once instead of three times
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        _token_hashes(F.col(text_col)).alias("__th"),
+    ).persist()
+    sig = toks.select(
+        "id",
+        _minhash_sig_udf(num_hashes, shingle_size)("__th").alias("sig"),
+    ).persist()
+    candidates = _lsh_pairs_from_sig(sig, num_hashes=num_hashes,
+                                     **minhash_kwargs)
+    sets_ = toks.select(
+        "id", _shingle_set_udf(shingle_size)("__th").alias("sh"))
     verified = ngram_jaccard_verify(df, candidates.select("id_a", "id_b"),
                                     text_col, id_col,
-                                    threshold=jaccard_threshold)
+                                    threshold=jaccard_threshold,
+                                    shingle_sets=sets_)
     components = connected_components(verified)
     losers = components.filter(F.col("id") != F.col("component")) \
                        .select(F.col("id").alias("__loser"))

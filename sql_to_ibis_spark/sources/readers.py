@@ -50,6 +50,15 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         df = df.withColumn(
             col, F.timestamp_micros(F.expr(f"`{col}` div 1000"))
         )
+    # tz-less parquet timestamps (timestamp[us]/[ms] without isAdjustedToUTC)
+    # arrive as TIMESTAMP_NTZ, which Spark refuses for event-time watermarks
+    # and which would diverge from the engine's TimestampType surface. The
+    # session runs in UTC, so the NTZ→TZ cast is value-exact.
+    from pyspark.sql import types as T
+
+    for fld in df.schema.fields:
+        if isinstance(fld.dataType, T.TimestampNTZType):
+            df = df.withColumn(fld.name, F.col(fld.name).cast("timestamp"))
     return df
 
 
