@@ -309,6 +309,22 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
         "GROUP BY l_orderkey HAVING sum(l_quantity) > 200) "
         "GROUP BY c_name, o.o_orderkey, o_totalprice "
         "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100"),
+    "agg_approx_count_distinct": (
+        # HLL++ sketches are EXACT below their sparse-mode threshold, so over
+        # low-cardinality columns (3 flags / 7 ship modes / 25 nations) the
+        # approximate result equals the exact distinct count on both engines
+        # — which makes the entry hash-checkable while still exercising the
+        # sketch path (the scale story: one pass, fixed memory, no exact
+        # distinct shuffle of every value)
+        "SELECT l_returnflag, "
+        "CAST(approx_count_distinct(l_linenumber) AS BIGINT) AS approx_lines, "
+        "CAST(approx_count_distinct(l_linestatus) AS BIGINT) AS approx_status "
+        "FROM lineitem GROUP BY l_returnflag",
+        "SELECT l_returnflag, "
+        "CAST(count(DISTINCT l_linenumber) AS BIGINT) AS approx_lines, "
+        "CAST(count(DISTINCT l_linestatus) AS BIGINT) AS approx_status "
+        "FROM lineitem GROUP BY l_returnflag"),
+
     "agg_percentile": (
         "SELECT l_returnflag, "
         "round(percentile(l_extendedprice, 0.5), 2) AS p50, "
@@ -798,36 +814,42 @@ _PAIRS["events_funnel_share"] = (
 # subqueries, grouping extensions, window frames, and the pipeline operators —
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
-    # r04 headline: the nine formerly-rows-only entries, now hash-exact via
-    # planted/exhaustive ground-truth oracles (VERDICT r3 item 2)
+    # r05: every entry whose implementation changed this round, first —
+    # the minhash/shingle pipeline moved from interpreted higher-order
+    # functions to Arrow-batched numpy (operators/dedup.py), so its five
+    # dependent entries must re-confirm hash-exact on the driver record
     "pipeline_dedup_minhash_lsh", "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_clusters", "pipeline_dedup_simhash",
-    "pipeline_embedding_near_dup", "pipeline_ann_lsh_bucketed",
-    "pipeline_ann_ivf_nprobe", "pipeline_curate_documents",
-    "pipeline_multimodal_decode_images",
-    # new classic shapes (VERDICT r3 item 3)
+    "pipeline_curate_documents",
+    # the parquet reader now casts tz-less TIMESTAMP_NTZ columns to
+    # TIMESTAMP (testdata regenerated with timestamp[us]); every
+    # event-time-reading entry re-confirms on the record
+    "events_tumbling_window", "events_json_extract",
+    "pipeline_streaming_tumbling", "pipeline_streaming_sliding",
+    "pipeline_streaming_sessionize", "pipeline_stateful_dedup",
+    "window_range_interval", "date_extract", "date_functions",
+    # new this round: sketch-path aggregate (exact at low cardinality)
+    "agg_approx_count_distinct",
+    # r04 additions, re-confirmed
     "tpch_q2_minimum_cost_supplier", "tpch_q11_important_stock",
-    # entries never covered by any driver window r01-r03 (VERDICT item 6:
-    # union of windows should reach every entry)
-    "intersect", "except_distinct", "except_all", "intersect_all",
-    "subquery_from_nested", "subquery_join", "agg_percentile",
-    "cte_chained", "window_named", "subquery_scalar",
-    "window_first_last_value", "group_by_all", "window_qualify_topn",
-    "subquery_correlated_not_exists",
-    "pipeline_text_token_stats", "pipeline_text_term_frequencies",
-    "pipeline_doc_fingerprint", "pipeline_ann_ivf",
-    "pipeline_text_bpe_tokens", "pipeline_text_chunk_documents",
-    "pipeline_text_redact_pii", "pipeline_multimodal_blob_metadata",
-    "pipeline_multimodal_blob_dedup", "pipeline_multimodal_decode_bmp",
-    "pipeline_multimodal_audio_rms", "pipeline_split_train_eval",
-    "pipeline_sample_top_n_per_key", "pipeline_streaming_tumbling",
-    "pipeline_skew_salted_count", "pipeline_stateful_dedup",
+    "pipeline_multimodal_decode_images", "pipeline_embedding_near_dup",
+    "pipeline_ann_lsh_bucketed", "pipeline_ann_ivf_nprobe",
+    # single-window-so-far entries rotated in for second confirmation
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit", "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue", "tpch_q20_potential_part_promotion",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
+    "window_rows_frame", "window_range_frame", "window_rank_dense_rank",
+    "group_rollup", "group_cube_grouping", "group_grouping_sets",
+    "subquery_correlated_exists_q4", "subquery_correlated_scalar_q17",
+    "embeddings_unnest_dims", "agg_group_by_ordinal", "window_qualify_topn",
     # flagship re-confirmations (green in earlier windows)
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "subquery_correlated_scalar_q17", "window_rows_frame",
     "pipeline_dedup_exact", "pipeline_ann_cosine_topk",
     "pipeline_text_language_id", "pipeline_text_quality_score",
-    "pipeline_multimodal_decode_stub",
 ]
 
 
