@@ -14,6 +14,7 @@ Two tiers, mirroring how ANN is actually deployed on clusters:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -70,22 +71,64 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _sig_vn_udf(dim: int, n_planes: int, seed: int = 42):
+    """Arrow-batched UDF: embedding → (LSH bucket, L2-normalized vector) in
+    one crossing. The batch is a single ``(n, dim) @ (dim, n_planes)``
+    matmul + sign/pack plus one norm pass — Spark's ``aggregate``/
+    ``zip_with`` higher-order functions are interpreted per element
+    (CodegenFallback), so the expression form costs ~n·dim·n_planes
+    interpreted evals where numpy does one BLAS call. Normalizing here means
+    downstream pair similarity is a plain dot product."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    powers = (1 << np.arange(n_planes, dtype=np.int64))
+    schema = T.StructType([
+        T.StructField("bucket", T.LongType()),
+        T.StructField("vn", T.ArrayType(T.DoubleType())),
+    ])
+
+    @pandas_udf(schema)
+    def _f(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
+                                 "vn": pd.Series([], dtype=object)})
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        proj = M @ planes.T
+        bucket = (proj > 0) @ powers
+        norms = np.linalg.norm(M, axis=1)
+        norms[norms == 0] = 1.0
+        vn = M / norms[:, None]
+        return pd.DataFrame({"bucket": bucket.astype(np.int64),
+                             "vn": list(vn)})
+
+    return _f
+
+
+def _pair_dot_udf():
+    """Arrow-batched dot product over pair rows of equal-dim vectors (one
+    ``einsum`` per batch; for already-normalized inputs this IS cosine)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.DoubleType())
+    def _f(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return _f
+
+
 def lsh_signature(
     vec_col: Column, dim: int, n_planes: int = 16, seed: int = 42
 ) -> Column:
-    """Sign-bit LSH bucket id: ``sum(2^i · [v·h_i > 0])`` as a long. All
-    JVM-side; hyperplanes are literal arrays baked into the plan."""
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = _to_double(vec_col)
-    bits = [
-        F.when(dot(v, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0,
-               F.lit(1 << i)).otherwise(F.lit(0))
-        for i in range(n_planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
+    """Sign-bit LSH bucket id: ``sum(2^i · [v·h_i > 0])`` as a long
+    (Arrow-batched matmul — see ``_sig_vn_udf``)."""
+    return _sig_vn_udf(dim, n_planes, seed)(vec_col)["bucket"]
 
 
 def lsh_ann_candidates(
@@ -105,11 +148,14 @@ def lsh_ann_candidates(
     """
     from pyspark.sql import Window
 
+    # bucket + normalized vector in one Arrow crossing; persisted because
+    # the bucket self-join reads the signature table twice
+    sv = _sig_vn_udf(dim, n_planes)(F.col(vec_col))
     sig = embs.select(
         F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        sv["vn"].alias("vn"),
+        sv["bucket"].alias("bucket"),
+    ).persist()
     pairs = (
         sig.alias("l")
         .join(sig.alias("r"),
@@ -118,7 +164,9 @@ def lsh_ann_candidates(
         .select(
             F.col("l.id").alias("query_id"),
             F.col("r.id").alias("neighbor_id"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("sim"),
+            # inputs are unit vectors → dot == cosine
+            F.round(_pair_dot_udf()(F.col("l.vn"), F.col("r.vn")), 4)
+             .alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
@@ -267,11 +315,12 @@ def embedding_near_duplicates(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs above ``threshold`` using LSH
     bucketing for candidate generation (same scale argument as above)."""
+    sv = _sig_vn_udf(dim, n_planes)(F.col(vec_col))
     sig = embs.select(
         F.col(id_col).alias("id"),
-        _to_double(F.col(vec_col)).alias("v"),
-        lsh_signature(F.col(vec_col), dim, n_planes).alias("bucket"),
-    )
+        sv["vn"].alias("vn"),
+        sv["bucket"].alias("bucket"),
+    ).persist()
     return (
         sig.alias("l")
         .join(sig.alias("r"),
@@ -279,7 +328,8 @@ def embedding_near_duplicates(
               & (F.col("l.id") < F.col("r.id")))
         .select(
             F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.v"), F.col("r.v")), 4).alias("sim"),
+            F.round(_pair_dot_udf()(F.col("l.vn"), F.col("r.vn")), 4)
+             .alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )
