@@ -17,12 +17,17 @@ import duckdb
 import __spark_entry__ as entrymod
 from bench import HEADLINE
 
-# Entries whose oracle is a PLANTED closed-form answer (a trivial SELECT of
-# the expected rows), not an equivalent computation: timing the oracle there
-# compares real candidate mining against reading the answer key, so these are
-# reported but EXCLUDED from the comparable total/ratio. The exhaustive-oracle
-# dedup entries (minhash/ngram/clusters/curate) stay comparable — DuckDB does
-# the same (or more) work there.
+# Entries where the oracle is NOT an equivalent computation, excluded from
+# the comparable total/ratio (still timed and reported):
+# - planted closed-form oracles (simhash/lsh/ivf/near-dup/decode): a trivial
+#   SELECT of the expected rows — timing compares candidate mining against
+#   reading the answer key;
+# - exhaustive-ground-truth oracles (minhash/ngram/clusters/curate): the
+#   blocked all-pairs Jaccard + recursive closure that PROVES the LSH result
+#   is quadratic in corpus size — it's the correctness referee, not a DuckDB
+#   implementation of the same LSH algorithm, and above ~sf1 it dominates
+#   the baseline total (86 of 129 s at sf1) while Spark's candidate-based
+#   pipeline scales near-linearly.
 NONCOMPARABLE = {
     "pipeline_dedup_simhash",
     "pipeline_embedding_near_dup",
@@ -30,6 +35,20 @@ NONCOMPARABLE = {
     "pipeline_ann_ivf_nprobe",
     "pipeline_multimodal_decode_images",
     "pipeline_multimodal_decode_bmp",
+    "pipeline_dedup_minhash_lsh",
+    "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_clusters",
+    "pipeline_curate_documents",
+}
+
+# Oracles too expensive to even TIME at large SF (the exhaustive dedup
+# ground truth is O(n²) in docs). Set SPARK_GRAFT_DUCK_SKIP=1 to record
+# null for them instead of burning hours.
+SKIP_WHEN_REQUESTED = {
+    "pipeline_dedup_minhash_lsh",
+    "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_clusters",
+    "pipeline_curate_documents",
 }
 
 
@@ -41,9 +60,10 @@ def main() -> None:
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     oracles = entrymod.oracle_sql()
     timings = {}
+    skip_heavy = os.environ.get("SPARK_GRAFT_DUCK_SKIP") == "1"
     for name in HEADLINE:
-        if name not in oracles:
-            timings[name] = None  # no SQL equivalent (LSH pipelines)
+        if name not in oracles or (skip_heavy and name in SKIP_WHEN_REQUESTED):
+            timings[name] = None  # no SQL equivalent / O(n²) oracle skipped
             continue
         sql = oracles[name]
         best = float("inf")

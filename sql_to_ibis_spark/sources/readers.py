@@ -44,7 +44,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     if os.path.isdir(path):
         inner = sorted(glob.glob(os.path.join(path, "*.parquet")))
         probe = inner[0] if inner else path
+    dtypes = dict(df.dtypes)
     for col in _nanos_timestamp_columns(probe):
+        # only when the nanosAsLong flag actually surfaced the column as a
+        # raw long — Spark-written INT96 timestamps also show as
+        # timestamp[ns] in the footer but arrive as TIMESTAMP already
+        if dtypes.get(col) != "bigint":
+            continue
         # integer division keeps exactness (ns-since-epoch exceeds double
         # precision); timestamp_micros stays inside whole-stage codegen
         df = df.withColumn(
