@@ -115,6 +115,24 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
     ]
 
 
+def _null_filled(hash_arrays: pd.Series):
+    """Split a batch of token-hash arrays into (filled_series, null_mask).
+
+    A null text column arrives here as None elements (``split(NULL)`` is
+    NULL JVM-side); the numpy kernels below need rectangular input, so null
+    rows are temporarily replaced with empty arrays and the caller restores
+    NULL at those positions — matching the null propagation of the earlier
+    pure-JVM-expression implementations."""
+    import numpy as np
+
+    mask = hash_arrays.isna().to_numpy()
+    if mask.any():
+        empty = np.zeros(0, dtype=np.int64)
+        hash_arrays = hash_arrays.map(
+            lambda a: empty if a is None else a)
+    return hash_arrays, mask
+
+
 def _shingle_flat(hash_arrays: pd.Series, k: int):
     """Vectorized rolling-polynomial shingles over a whole Arrow batch.
 
@@ -186,6 +204,7 @@ def _minhash_sig_udf(num_hashes: int, shingle_size: int):
         n_docs = len(hash_arrays)
         if n_docs == 0:
             return pd.Series([], dtype=object)
+        hash_arrays, null_mask = _null_filled(hash_arrays)
         sh, _, offs = _shingle_flat(hash_arrays, shingle_size)
         out = np.empty((num_hashes, n_docs), dtype=np.int64)
         for c0 in range(0, num_hashes, 16):
@@ -193,7 +212,10 @@ def _minhash_sig_udf(num_hashes: int, shingle_size: int):
             b = b_all[c0:c0 + 16, None]
             vals = (sh[None, :] * a + b) % _HASH_SPACE
             out[c0:c0 + 16] = np.minimum.reduceat(vals, offs, axis=1)
-        return pd.Series(list(out.T))
+        res = pd.Series(list(out.T))
+        if null_mask.any():
+            res[null_mask] = None
+        return res
 
     return _sig
 
@@ -209,10 +231,14 @@ def _shingle_set_udf(shingle_size: int):
         n_docs = len(hash_arrays)
         if n_docs == 0:
             return pd.Series([], dtype=object)
+        hash_arrays, null_mask = _null_filled(hash_arrays)
         sh, m, offs = _shingle_flat(hash_arrays, shingle_size)
         bounds = np.append(offs, len(sh))
-        return pd.Series(
+        res = pd.Series(
             [np.unique(sh[bounds[i]:bounds[i + 1]]) for i in range(n_docs)])
+        if null_mask.any():
+            res[null_mask] = None
+        return res
 
     return _sets
 
@@ -240,7 +266,10 @@ def _lsh_pairs_from_sig(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.select("id", *band_cols)
+    # null signatures (null input text) must not band: xxhash64 SKIPS null
+    # children, so every null-sig doc would otherwise share one band hash
+    # and pair with every other null-sig doc
+    banded = sig.filter(F.col("sig").isNotNull()).select("id", *band_cols)
     stacked = banded.select(
         "id",
         F.explode(
@@ -326,10 +355,15 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return pd.Series(out)
+    hash_arrays, null_mask = _null_filled(hash_arrays)
     lens = hash_arrays.map(len).to_numpy(dtype=np.int64)
     nonzero = lens > 0
     if lens.sum() == 0:
-        return pd.Series(out)
+        res = pd.Series(out)
+        if null_mask.any():
+            res = res.astype(object)
+            res[null_mask] = None
+        return res
     flat = np.concatenate(
         [np.asarray(a, dtype=np.int64) for a in hash_arrays if len(a)]
     ).view(np.uint64)
@@ -343,7 +377,11 @@ def _simhash_from_hashes(hash_arrays: pd.Series) -> pd.Series:
     sig = ((acc > 0).astype(np.uint64) << shifts).sum(axis=1,
                                                       dtype=np.uint64)
     out[nonzero] = sig.view(np.int64)  # two's-complement for Spark LongType
-    return pd.Series(out)
+    res = pd.Series(out)
+    if null_mask.any():
+        res = res.astype(object)
+        res[null_mask] = None
+    return res
 
 
 def simhash_buckets(

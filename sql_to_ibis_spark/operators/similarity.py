@@ -91,17 +91,29 @@ def _sig_vn_udf(dim: int, n_planes: int, seed: int = 42):
 
     @pandas_udf(schema)
     def _f(vecs: pd.Series) -> pd.DataFrame:
-        if len(vecs) == 0:
+        n = len(vecs)
+        if n == 0:
             return pd.DataFrame({"bucket": pd.Series([], dtype="int64"),
                                  "vn": pd.Series([], dtype=object)})
-        M = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        proj = M @ planes.T
-        bucket = (proj > 0) @ powers
-        norms = np.linalg.norm(M, axis=1)
-        norms[norms == 0] = 1.0
-        vn = M / norms[:, None]
-        return pd.DataFrame({"bucket": bucket.astype(np.int64),
-                             "vn": list(vn)})
+        # null embeddings propagate as NULL bucket/vn (np.stack needs a
+        # rectangular batch, so null rows are excluded from the matmul)
+        valid = ~vecs.isna().to_numpy()
+        bucket_o = np.full(n, None, dtype=object)
+        vn_o = np.full(n, None, dtype=object)
+        if valid.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs[valid]])
+            proj = M @ planes.T
+            bucket = ((proj > 0) @ powers).astype(np.int64)
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            vn = M / norms[:, None]
+            bucket_o[valid] = bucket
+            rows = np.empty(len(vn), dtype=object)
+            rows[:] = list(vn)
+            vn_o[valid] = rows
+        return pd.DataFrame({"bucket": pd.Series(bucket_o),
+                             "vn": pd.Series(vn_o)})
 
     return _f
 
@@ -114,11 +126,21 @@ def _pair_dot_udf():
 
     @pandas_udf(T.DoubleType())
     def _f(a: pd.Series, b: pd.Series) -> pd.Series:
-        if len(a) == 0:
+        n = len(a)
+        if n == 0:
             return pd.Series([], dtype="float64")
-        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
-        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
-        return pd.Series(np.einsum("ij,ij->i", A, B))
+        # null on either side → NULL dot (rectangular batch for np.stack)
+        valid = ~(a.isna().to_numpy() | b.isna().to_numpy())
+        out = np.full(n, np.nan)
+        if valid.any():
+            A = np.stack([np.asarray(x, dtype=np.float64) for x in a[valid]])
+            B = np.stack([np.asarray(x, dtype=np.float64) for x in b[valid]])
+            out[valid] = np.einsum("ij,ij->i", A, B)
+        res = pd.Series(out)
+        if not valid.all():
+            res = res.astype(object)
+            res[~valid] = None
+        return res
 
     return _f
 
@@ -198,7 +220,9 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    norm = embs.select(
+    # null embeddings cannot be indexed (KMeans rejects null features);
+    # dropping them here mirrors how an ANN service treats missing vectors
+    norm = embs.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         F.transform(
             _to_double(F.col(vec_col)),

@@ -241,6 +241,68 @@ def test_ivf_batch_missing_query_raises(clustered_embs):
                                       query_vec_ids=[999999], k=3)
 
 
+# ------------------------------------------------------------- null rows
+# Real corpora have null text/embedding rows; the Arrow-batched kernels must
+# propagate NULL (as the earlier pure-JVM expressions did), never crash the
+# batch, and never pair null docs with each other.
+
+
+def test_minhash_lsh_null_text_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, None), (4, None)],
+        ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_candidates(df).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got), (
+        f"null docs must not pair: {got}")
+
+
+def test_simhash_null_text_rows(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j"),
+         (3, None), (4, None)],
+        ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_buckets(df, max_hamming=3).collect()}
+    assert (1, 2) in got
+    assert all(3 not in p and 4 not in p for p in got)
+
+
+def test_dedup_clusters_with_null_text(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, None)],
+        ["doc_id", "text"])
+    kept = sorted(r["doc_id"]
+                  for r in dedup.dedup_clusters(df).select("doc_id").collect())
+    assert kept == [1, 3]  # dup collapsed, null row kept untouched
+
+
+def test_embedding_ops_null_rows(spark):
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(30):
+        v = rng.standard_normal(DIM)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    rows.append((0 + 1000, rows[0][1]))  # exact twin of id 0
+    rows.append((9990, None))
+    rows.append((9991, None))
+    schema = "vec_id long, embedding array<double>"
+    embs = spark.createDataFrame(rows, schema)
+    near = {(r["id_a"], r["id_b"])
+            for r in similarity.embedding_near_duplicates(
+                embs, threshold=0.99, dim=DIM).collect()}
+    assert (0, 1000) in near
+    assert all(9990 not in p and 9991 not in p for p in near)
+    ann = similarity.lsh_ann_candidates(embs, dim=DIM, n_planes=6, k=3)
+    ann_ids = {r["query_id"] for r in ann.collect()}
+    assert 9990 not in ann_ids and 9991 not in ann_ids
+    assigned, _ = similarity.build_ivf_index(embs, nlist=4)
+    ids = {r["id"] for r in assigned.select("id").collect()}
+    assert 9990 not in ids and 9991 not in ids  # nulls not indexed
+
+
 # ------------------------------------------------------------ language id
 
 _SAMPLES = {
