@@ -323,7 +323,15 @@ def minhash_lsh_candidates(
     pairs = _lsh_pairs_from_sig(sig, num_hashes, bands)
     if not include_estimate:
         return pairs
-    # unbiased jaccard estimate from full signatures (join candidates only)
+    # unbiased jaccard estimate from full signatures (join candidates only).
+    # Deliberately the interpreted zip_with/aggregate form, NOT an
+    # Arrow-batched UDF like the signature path: est cost scales with
+    # CANDIDATE PAIRS (a tiny fraction of docs — LSH's whole point), so the
+    # ~64 interpreted evals/pair are noise next to the two hash joins, while
+    # a pandas UDF adds an extra Python stage + Arrow roundtrip of both
+    # signature arrays. Measured (best-of-steady-state, local[32]): HOF
+    # 0.87 s vs UDF 1.08 s at sf0.1; 1.65 s vs 2.35 s at sf1. Signature
+    # computation is per-DOC and stays vectorized; this stays per-PAIR.
     sa = sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     est = F.aggregate(
