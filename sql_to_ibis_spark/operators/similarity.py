@@ -275,6 +275,63 @@ def ivf_ann_topk(
     )
 
 
+def _ivf_batch_plan(
+    embs: DataFrame,
+    query_vec_ids: list[int],
+    k: int,
+    nlist: int,
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Lazy batched-IVF plan (see ``ivf_ann_topk_batch``): returns
+    ``(result_df, persisted_assigned_df)`` so the public wrapper can
+    unpersist the index frame after materializing. Split out so tests can
+    inspect the plan — it must be ONE broadcast join + ONE window, never a
+    per-query union chain."""
+    from pyspark.sql import Window
+
+    assigned, centroids = build_ivf_index(embs, nlist, id_col, vec_col)
+    assigned = assigned.persist()
+    qrows = {
+        r["id"]: np.array(r["nvec"])
+        for r in assigned.filter(F.col("id").isin(list(query_vec_ids)))
+                         .select("id", "nvec").collect()
+    }
+    missing = [q for q in query_vec_ids if q not in qrows]
+    if missing:
+        raise ValueError(f"query vectors not found: {missing}")
+    # probe-cell selection is pure centroid math: (nq, nlist) distances on
+    # the driver (metadata scale — centroids are nlist×dim). Row-wise
+    # argsort matches the single-query path bit-for-bit.
+    Q = np.stack([qrows[q] for q in query_vec_ids])
+    d2 = ((Q[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+    probe = np.argsort(d2, axis=1)[:, :nprobe]
+    spark = embs.sparkSession
+    qdf = spark.createDataFrame(
+        [(int(qid), [int(c) for c in probe[i]],
+          [float(x) for x in Q[i]])
+         for i, qid in enumerate(query_vec_ids)],
+        "query_id long, cells array<int>, qvec array<double>",
+    ).select("query_id", F.explode("cells").alias("cell"), "qvec")
+    # ONE broadcast join against the assigned corpus: each corpus row in a
+    # probed cell meets exactly the queries probing that cell; top-k per
+    # query is one row_number window. No driver loop, no union chain —
+    # plan size is O(1) in the number of queries.
+    sim = dot(F.col("nvec"), F.col("qvec"))  # normalized → dot == cosine
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col(id_col).asc())
+    out = (
+        assigned.join(F.broadcast(qdf), "cell")
+        .filter(F.col("id") != F.col("query_id"))
+        .select("query_id", F.col("id").alias(id_col),
+                F.round(sim, 4).alias("sim"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k).drop("__rn")
+    )
+    return out, assigned
+
+
 def ivf_ann_topk_batch(
     embs: DataFrame,
     query_vec_ids: list[int],
@@ -285,44 +342,19 @@ def ivf_ann_topk_batch(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Batched IVF top-k: ONE index build serves every query (the way an
-    ANN service amortizes the k-means fit), then each query probes its
-    ``nprobe`` nearest cells. Query vectors are tiny (``len(query_vec_ids)``
-    rows) so collecting them to pick probe cells is driver-side metadata
-    work, not a data collect; the corpus itself is only touched by the
-    per-query ``isin(cells)``-pruned scans.
+    ANN service amortizes the k-means fit), and ALL queries run as ONE
+    joined plan: the (query_id, probe_cell, qvec) table — tiny, nq×nprobe
+    rows — is broadcast against the cell-assigned corpus, then a single
+    ``row_number`` window takes top-k per query. Collecting the query
+    *vectors* is driver-side metadata work (they're needed for centroid
+    distances); the corpus is only touched by the one join.
 
-    Returns ``(query_id, vec_id, sim)`` with ``k`` rows per query.
+    Returns ``(query_id, vec_id, sim)`` with ``k`` rows per query, sim
+    descending within each query.
     """
-    assigned, centroids = build_ivf_index(embs, nlist, id_col, vec_col)
-    assigned = assigned.persist()
+    out, assigned = _ivf_batch_plan(embs, query_vec_ids, k, nlist, nprobe,
+                                    id_col, vec_col)
     try:
-        qrows = {
-            r["id"]: np.array(r["nvec"])
-            for r in assigned.filter(F.col("id").isin(list(query_vec_ids)))
-                             .select("id", "nvec").collect()
-        }
-        missing = [q for q in query_vec_ids if q not in qrows]
-        if missing:
-            raise ValueError(f"query vectors not found: {missing}")
-        parts = []
-        for qid in query_vec_ids:
-            qvec = qrows[qid]
-            cell_dist = ((centroids - qvec) ** 2).sum(axis=1)
-            probe_cells = [int(c) for c in np.argsort(cell_dist)[:nprobe]]
-            qlit = F.array(*[F.lit(float(x)) for x in qvec])
-            sim = dot(F.col("nvec"), qlit)  # normalized → dot == cosine
-            parts.append(
-                assigned.filter(F.col("cell").isin(probe_cells))
-                .filter(F.col("id") != qid)
-                .select(F.lit(qid).cast("long").alias("query_id"),
-                        F.col("id").alias(id_col),
-                        F.round(sim, 4).alias("sim"))
-                .orderBy(F.col("sim").desc(), F.col(id_col).asc())
-                .limit(k)
-            )
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
         # materialize before unpersisting the shared index frame
         return out.localCheckpoint()
     finally:

@@ -235,6 +235,31 @@ def test_ivf_batch_matches_single_query(clustered_embs):
         assert by_q[q] == single, f"batch/single mismatch for query {q}"
 
 
+def test_ivf_batch_many_queries_one_plan(spark):
+    # a realistic query batch (1000 queries) must compile to ONE joined
+    # plan — the old per-query implementation built 1000 plans chained by
+    # unionAll (driver bottleneck + plan-size bomb at batch scale)
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(x) for x in rng.standard_normal(DIM)])
+            for i in range(1000)]
+    embs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qids = list(range(1000))
+    lazy, assigned = similarity._ivf_batch_plan(
+        embs, qids, k=3, nlist=8, nprobe=2, id_col="vec_id",
+        vec_col="embedding")
+    try:
+        plan = lazy._jdf.queryExecution().optimizedPlan().toString()
+        assert "Union" not in plan, "batched IVF must not union per-query plans"
+        assert plan.count("Join") == 1, plan
+        counts = {r["query_id"]: r["n"]
+                  for r in lazy.groupBy("query_id")
+                             .agg(F.count(F.lit(1)).alias("n")).collect()}
+        assert len(counts) == 1000
+        assert all(n == 3 for n in counts.values())
+    finally:
+        assigned.unpersist()
+
+
 def test_ivf_batch_missing_query_raises(clustered_embs):
     with pytest.raises(ValueError, match="not found"):
         similarity.ivf_ann_topk_batch(clustered_embs,
