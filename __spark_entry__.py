@@ -310,12 +310,14 @@ _PAIRS: dict[str, tuple[str, str | None]] = {
         "GROUP BY c_name, o.o_orderkey, o_totalprice "
         "ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100"),
     "agg_approx_count_distinct": (
-        # HLL++ sketches are EXACT below their sparse-mode threshold, so over
-        # low-cardinality columns (3 flags / 7 ship modes / 25 nations) the
-        # approximate result equals the exact distinct count on both engines
-        # — which makes the entry hash-checkable while still exercising the
-        # sketch path (the scale story: one pass, fixed memory, no exact
-        # distinct shuffle of every value)
+        # At the tiny fixed cardinalities here (3 flags / 7 lines / 2
+        # statuses) Spark's HyperLogLogPlusPlus estimate lands on the exact
+        # count — deterministic for this value set (fixed hashing +
+        # small-range estimation) and verified empirically by the r05 hash
+        # match, NOT a structural exactness guarantee (Spark's HLL++ has no
+        # sparse mode; changing rsd or the data may break equality). The
+        # entry stays hash-checkable while exercising the sketch path (the
+        # scale story: one pass, fixed memory, no exact distinct shuffle).
         "SELECT l_returnflag, "
         "CAST(approx_count_distinct(l_linenumber) AS BIGINT) AS approx_lines, "
         "CAST(approx_count_distinct(l_linestatus) AS BIGINT) AS approx_status "
@@ -809,6 +811,46 @@ _PAIRS["events_funnel_share"] = (
 )
 
 
+# NOW()/TODAY() under a pinned clock (sql_to_ibis_spark.set_fixed_clock):
+# the reference maps them to the wall clock at query build time
+# (parsing/transformers.py:371-387), which is correct but unhashable; the
+# injectable clock makes both surfaces oracle-checkable. The clock is pinned
+# only around compile (the literal is baked into the plan), so these entries
+# don't leak a fixed clock into other queries.
+_CLOCK_TS = "1995-06-17 12:34:56"
+_CLOCK_PAIRS: dict[str, tuple[str, str]] = {
+    # result columns stay TIMESTAMP (a bare DATE crosses toPandas as python
+    # date objects on Spark but datetime64 on DuckDB — a representation
+    # mismatch, not a value one); the predicate still exercises TODAY()
+    "scalar_today_pinned_filter": (
+        "SELECT count(*) AS n_shipped, max(l_shipdate) AS last_ship "
+        "FROM lineitem WHERE l_shipdate <= today()",
+        "SELECT count(*) AS n_shipped, max(l_shipdate) AS last_ship "
+        f"FROM lineitem WHERE l_shipdate <= DATE '{_CLOCK_TS[:10]}'",
+    ),
+    "scalar_now_today_projection": (
+        "SELECT r_name, now() AS computed_at, "
+        "CAST(today() AS TIMESTAMP) AS as_of FROM region ORDER BY r_name",
+        f"SELECT r_name, TIMESTAMP '{_CLOCK_TS}' AS computed_at, "
+        f"TIMESTAMP '{_CLOCK_TS[:10]} 00:00:00' AS as_of "
+        "FROM region ORDER BY r_name",
+    ),
+}
+
+
+def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from sql_to_ibis_spark import set_fixed_clock
+
+        set_fixed_clock(_CLOCK_TS)
+        try:
+            return _engine_for(spark, sf_dir).query(sql)
+        finally:
+            set_fixed_clock(None)
+
+    return run
+
+
 # The driver's correctness gate only records the FIRST 50 queries() entries
 # (dict order), so the highest-value entries — TPC-H composites, correlated
 # subqueries, grouping extensions, window frames, and the pipeline operators —
@@ -864,6 +906,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, (engine_sql, _) in _PAIRS.items():
         out[name] = _sql(engine_sql)
+    for name, (engine_sql, _) in _CLOCK_PAIRS.items():
+        out[name] = _clock_pinned(engine_sql)
     _add_pipeline_operators(out)
     return _reorder(out)
 
@@ -876,6 +920,8 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for name, (engine_sql, oracle) in _PAIRS.items():
         out[name] = oracle if oracle is not None else engine_sql
+    for name, (_, oracle) in _CLOCK_PAIRS.items():
+        out[name] = oracle
     out.update(_PIPELINE_ORACLES)
     return _reorder(out)
 
@@ -1151,7 +1197,7 @@ def _add_pipeline_operators(out: dict) -> None:
             SELECT src FROM reach GROUP BY src HAVING min(dst) != src
           )
           SELECT e.doc_id, lg.lang_pred, q.quality_score,
-                 CAST(len(regexp_split_to_array(trim(e.text), '\\s+')) AS INT)
+                 CAST(len(regexp_split_to_array(trim(e.text), '\\s+')) AS BIGINT)
                    AS n_tokens
           FROM ex e
           LEFT JOIN losers l ON e.doc_id = l.src

@@ -14,6 +14,7 @@ from sql_to_ibis_spark.engine import (
     register_temp_table,
     remove_temp_table,
 )
+from sql_to_ibis_spark.functions.registry import set_fixed_clock
 from sql_to_ibis_spark.session import get_spark
 
 __version__ = "0.1.0"
@@ -24,5 +25,6 @@ __all__ = [
     "query",
     "register_temp_table",
     "remove_temp_table",
+    "set_fixed_clock",
     "__version__",
 ]

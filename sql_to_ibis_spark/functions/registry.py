@@ -35,9 +35,11 @@ def _arity_error(name: str, got: int, expected: str) -> InvalidQueryException:
 # handling in the compiler (star + distinct flags).
 
 AGGREGATE_FUNCTIONS: dict[str, ColumnBuilder] = {
-    # multidimensional-grouping indicators (ROLLUP/CUBE/GROUPING SETS)
-    "grouping": F.grouping,
-    "grouping_id": F.grouping_id,
+    # multidimensional-grouping indicators (ROLLUP/CUBE/GROUPING SETS).
+    # Cast to BIGINT: Spark returns tinyint/bigint-varying widths here while
+    # ANSI engines (DuckDB/Postgres) return int64 — keep schemas honest.
+    "grouping": lambda *c: F.grouping(*c).cast("bigint"),
+    "grouping_id": lambda *c: F.grouping_id(*c).cast("bigint"),
     # reference surface (aggregation_aliases.py)
     "sum": F.sum,
     "avg": F.avg,
@@ -87,6 +89,15 @@ NUMERIC_ONLY_AGGREGATES = {"sum", "avg", "mean", "stddev", "stddev_samp",
                            "median", "product", "skewness", "kurtosis"}
 
 
+def _bi(fn: ColumnBuilder) -> ColumnBuilder:
+    """Widen an int-returning builder to BIGINT. Spark returns INT (or
+    narrower) for ranks, date parts, lengths, and sizes where ANSI engines
+    (DuckDB/Postgres BIGINT conventions) return int64 — widening engine-side
+    keeps result schemas aligned with the SQL oracle at zero runtime cost
+    (the cast folds into the same codegen stage)."""
+    return lambda *args: fn(*args).cast("bigint")
+
+
 # ------------------------------------------------------------------ ranking
 # window-only functions; arity = (min_args, max_args)
 
@@ -98,7 +109,7 @@ RANKING_FUNCTIONS: dict[str, tuple[ColumnBuilder, int, int]] = {
     "row_number": (F.row_number, 0, 0),
     "percent_rank": (F.percent_rank, 0, 0),
     "cume_dist": (F.cume_dist, 0, 0),
-    "ntile": (lambda n: F.ntile(n), 1, 1),
+    "ntile": (F.ntile, 1, 1),
     "lag": (F.lag, 1, 3),
     "lead": (F.lead, 1, 3),
     "first_value": (F.first, 1, 1),
@@ -135,16 +146,45 @@ def _substr(*args: Column) -> Column:
     raise _arity_error("substring", len(args), "2 or 3")
 
 
+# --------------------------------------------------------- injectable clock
+# NOW()/TODAY() (reference semantics: parsing/transformers.py:371-387 maps
+# them to the wall clock at query time) are the only nondeterministic scalar
+# surfaces. A pinnable clock makes them hash-checkable against a SQL oracle
+# and lets pipelines replay deterministically; production leaves it unset.
+
+_FIXED_CLOCK: str | None = None
+
+
+def set_fixed_clock(timestamp: str | None) -> None:
+    """Pin NOW()/TODAY() to a fixed timestamp (``'YYYY-MM-DD HH:MM:SS'``);
+    ``None`` restores the wall clock. Evaluated at compile time of each
+    query, so previously-compiled DataFrames are unaffected."""
+    global _FIXED_CLOCK
+    _FIXED_CLOCK = timestamp
+
+
+def _now() -> Column:
+    if _FIXED_CLOCK is not None:
+        return F.lit(_FIXED_CLOCK).cast("timestamp")
+    return F.current_timestamp()
+
+
+def _today() -> Column:
+    if _FIXED_CLOCK is not None:
+        return F.to_date(F.lit(_FIXED_CLOCK).cast("timestamp"))
+    return F.current_date()
+
+
 SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     # reference surface
     "coalesce": F.coalesce,
-    "now": lambda: F.current_timestamp(),
-    "today": lambda: F.current_date(),
+    "now": _now,
+    "today": _today,
     # --- string (extensions) ---
     "lower": F.lower,
     "upper": F.upper,
-    "length": F.length,
-    "char_length": F.char_length,
+    "length": _bi(F.length),
+    "char_length": _bi(F.char_length),
     "trim": F.trim,
     "ltrim": F.ltrim,
     "rtrim": F.rtrim,
@@ -160,9 +200,9 @@ SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     "rpad": F.rpad,
     "split": F.split,
     "split_part": F.split_part,
-    "instr": F.instr,
-    "strpos": F.instr,
-    "position": F.instr,
+    "instr": _bi(F.instr),
+    "strpos": _bi(F.instr),
+    "position": _bi(F.instr),
     "contains": F.contains,
     "starts_with": F.startswith,
     "ends_with": F.endswith,
@@ -216,24 +256,24 @@ SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     "nvl2": F.nvl2,
     "if": F.when,  # if(cond, a, b) handled via lambda below
     # --- date/time (extensions) ---
-    "year": F.year,
-    "month": F.month,
-    "day": F.dayofmonth,
-    "dayofmonth": F.dayofmonth,
-    "dayofweek": F.dayofweek,
-    "dayofyear": F.dayofyear,
-    "weekofyear": F.weekofyear,
-    "quarter": F.quarter,
-    "hour": F.hour,
-    "minute": F.minute,
-    "second": F.second,
+    "year": _bi(F.year),
+    "month": _bi(F.month),
+    "day": _bi(F.dayofmonth),
+    "dayofmonth": _bi(F.dayofmonth),
+    "dayofweek": _bi(F.dayofweek),
+    "dayofyear": _bi(F.dayofyear),
+    "weekofyear": _bi(F.weekofyear),
+    "quarter": _bi(F.quarter),
+    "hour": _bi(F.hour),
+    "minute": _bi(F.minute),
+    "second": _bi(F.second),
     "date_trunc": F.date_trunc,
     "to_date": F.to_date,
     "to_timestamp": F.to_timestamp,
     "date_add": F.date_add,
     "date_sub": F.date_sub,
-    "datediff": F.datediff,
-    "date_diff": F.datediff,
+    "datediff": _bi(F.datediff),
+    "date_diff": _bi(F.datediff),
     "add_months": F.add_months,
     "last_day": F.last_day,
     "months_between": F.months_between,
@@ -245,14 +285,14 @@ SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     # --- JSON (extensions; events.props is a JSON string column) ---
     "get_json_object": F.get_json_object,
     "json_extract": F.get_json_object,
-    "json_array_length": F.json_array_length,
+    "json_array_length": _bi(F.json_array_length),
     "json_object_keys": F.json_object_keys,
     "to_json": F.to_json,
     # --- array (extensions; embeddings are array<float>) ---
     "array": F.array,
-    "array_length": F.size,
-    "size": F.size,
-    "cardinality": F.size,
+    "array_length": _bi(F.size),
+    "size": _bi(F.size),
+    "cardinality": _bi(F.size),
     "array_contains": F.array_contains,
     "array_distinct": F.array_distinct,
     "array_join": F.array_join,

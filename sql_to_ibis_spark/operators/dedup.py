@@ -23,6 +23,17 @@ Scale design notes (the whole point of these implementations):
   Hamming distance 3 of each other without pairwise comparison.
 * **ngram_jaccard_verify** — exact verification joined back onto candidate
   pairs only (never the full table).
+
+Caching contract: operators that feed one computed table into several plan
+branches (``minhash_lsh_candidates``, ``simhash_buckets``,
+``dedup_clusters``) ``persist()`` that intermediate and return a LAZY
+DataFrame, so they cannot unpersist it themselves — the storage is
+reclaimed by Spark's ContextCleaner once the returned plan (and its cached
+dependencies) become unreferenced. Long-lived sessions invoking these
+operators many times should materialize the result promptly and drop the
+reference (or call ``spark.catalog.clearCache()`` between batches) rather
+than accumulating live result handles. Eager operators
+(``ivf_ann_topk_batch``) unpersist before returning.
 """
 
 from __future__ import annotations

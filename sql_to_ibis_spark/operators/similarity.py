@@ -9,6 +9,14 @@ Two tiers, mirroring how ANN is actually deployed on clusters:
   vectors so candidate generation is a bucket-key shuffle instead of an
   all-pairs cross join. Hyperplanes are generated from a fixed seed and
   shipped as literal arrays (tiny: H × dim doubles).
+
+Caching contract: ``lsh_ann_candidates`` / ``embedding_near_duplicates``
+persist the signature table (it feeds both sides of the bucket self-join)
+and return LAZY DataFrames, so the cache is reclaimed by Spark's
+ContextCleaner when the returned plan goes unreferenced — materialize
+promptly and drop references in long-lived sessions (see the matching note
+in ``operators/dedup.py``). ``ivf_ann_topk_batch`` is eager and unpersists
+its index frame before returning.
 """
 
 from __future__ import annotations

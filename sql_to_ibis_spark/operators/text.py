@@ -37,8 +37,8 @@ def token_stats(df: DataFrame, text_col: str = "text",
     t = F.col(text_col)
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(t), r"\s+")).alias("n_tokens"),
-        F.length(t).alias("n_chars_actual"),
+        F.size(F.split(F.trim(t), r"\s+")).cast("bigint").alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars_actual"),
         F.round(
             F.length(F.regexp_replace(t, "[^a-zA-Z]", "")).cast("double")
             / F.nullif(F.length(t), F.lit(0)),
@@ -55,8 +55,10 @@ def bpe_ish_token_count(df: DataFrame, text_col: str = "text",
     pattern = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
     return df.select(
         F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).alias("word_tokens"),
-        F.regexp_count(F.col(text_col), F.lit(pattern)).alias("bpe_ish_tokens"),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+        .alias("word_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+        .alias("bpe_ish_tokens"),
     )
 
 
@@ -88,7 +90,7 @@ def quality_score(df: DataFrame, text_col: str = "text",
     score = (length_ok * 0.3 + alpha_c * 0.3 + punct_c * 0.25 + stop_c * 0.15)
     return df.select(
         F.col(id_col),
-        n_tokens.alias("n_tokens"),
+        n_tokens.cast("bigint").alias("n_tokens"),
         _trunc(punct_ratio, 6).alias("punct_ratio"),
         _trunc(stop_ratio, 6).alias("stopword_ratio"),
         _trunc(mean_word_len, 4).alias("mean_word_len"),

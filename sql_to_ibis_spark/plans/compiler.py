@@ -76,6 +76,10 @@ _NULL_KEEPING_AGGREGATES = {
     "any_value": lambda c: F.any_value(c, ignoreNulls=True),
 }
 
+# rank-family functions widened to BIGINT after .over() — Spark returns INT,
+# ANSI engines (DuckDB/Postgres window conventions) return int64
+_BIGINT_RANKING = {"rank", "dense_rank", "row_number", "ntile"}
+
 
 @dataclass
 class RelationInfo:
@@ -1570,7 +1574,13 @@ class Compiler:
             # Spark requires ordering for ranking functions; a constant key
             # reproduces the reference's "no ORDER BY → everything ties" case
             w = w.orderBy(*orders) if orders else w.orderBy(F.lit(1))
-            return builder(*raw_args).over(w)
+            out = builder(*raw_args).over(w)
+            if func.name in _BIGINT_RANKING:
+                # Spark yields INT for ranks where ANSI engines yield int64;
+                # the cast must wrap the OVER expression (a cast between the
+                # function and .over() is rejected by the analyzer)
+                out = out.cast("bigint")
+            return out
 
         if func.name not in AGGREGATE_FUNCTIONS and not func.is_star:
             raise InvalidQueryException(
