@@ -27,7 +27,11 @@ def _engine_for(spark: SparkSession, sf_dir: str):
             ("spark.sql.legacy.parquet.nanosAsLong", "true"),
             ("spark.sql.session.timeZone", "UTC"),
             ("spark.sql.adaptive.enabled", "true"),
-            ("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)),
+            # static 10m / adaptive 64m: see session.py — 64m static lets the
+            # column-pruned fact table broadcast off a bad size estimate
+            ("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024)),
+            ("spark.sql.adaptive.autoBroadcastJoinThreshold",
+             str(64 * 1024 * 1024)),
         ]:
             try:
                 spark.conf.set(conf, val)

@@ -27,9 +27,17 @@ def get_spark(app_name: str = "sql_to_ibis_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        # dimension tables (region/nation/customer/part/supplier at test SF)
-        # should broadcast; AQE also converts at runtime
-        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+        # STATIC broadcast threshold stays at Spark's 10m default on purpose:
+        # the static estimate for parquet is file-size × column fraction,
+        # which at 64m let the column-pruned FACT table (lineitem, 79 MB
+        # file at sf1) "broadcast" — a 6M-row driver-built hash relation
+        # probed by a single-task stream side (measured: q5 4.0 s → 2.0 s,
+        # q18 −67%, q17 −71% at sf1 after the fix). True dims
+        # (region/nation/supplier/customer/part) are well under 10m.
+        .config("spark.sql.autoBroadcastJoinThreshold", "10m")
+        # the RUNTIME threshold is generous: AQE sees actual shuffle bytes,
+        # not estimates, so converting a ≤64 MB side to broadcast is safe
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
         # Arrow for any pandas interchange (UDF paths, toPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep timestamps deterministic across engines/oracles
