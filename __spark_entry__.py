@@ -860,42 +860,41 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # subqueries, grouping extensions, window frames, and the pipeline operators —
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
-    # r05: every entry whose implementation changed this round, first —
-    # the minhash/shingle pipeline moved from interpreted higher-order
-    # functions to Arrow-batched numpy (operators/dedup.py), so its five
-    # dependent entries must re-confirm hash-exact on the driver record
+    # r06: every entry whose implementation changed this round, first.
+    # New surfaces: NOW()/TODAY() under the injectable clock
+    "scalar_today_pinned_filter", "scalar_now_today_projection",
+    # int-width alignment (ranks/date parts/length/instr/size/grouping all
+    # widened to BIGINT engine-side) — every entry whose output schema moved
+    "window_rank_dense_rank", "window_row_number", "window_ntile",
+    "window_named", "window_qualify_topn",
+    "group_rollup", "group_cube_grouping", "group_grouping_sets",
+    "date_extract", "date_functions",
+    "string_functions", "string_ansi_forms",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
+    "tpch_q9_product_profit",
+    "pipeline_text_token_stats", "pipeline_text_bpe_tokens",
+    "pipeline_text_quality_score", "pipeline_curate_documents",
+    "embeddings_unnest_dims",
+    # batched IVF rewrite (one joined plan) + null-guarded Arrow kernels —
+    # hashes must stay identical on the driver record
+    "pipeline_ann_ivf_nprobe", "pipeline_ann_ivf",
     "pipeline_dedup_minhash_lsh", "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_clusters", "pipeline_dedup_simhash",
-    "pipeline_curate_documents",
-    # the parquet reader now casts tz-less TIMESTAMP_NTZ columns to
-    # TIMESTAMP (testdata regenerated with timestamp[us]); every
-    # event-time-reading entry re-confirms on the record
-    "events_tumbling_window", "events_json_extract",
-    "pipeline_streaming_tumbling", "pipeline_streaming_sliding",
-    "pipeline_streaming_sessionize", "pipeline_stateful_dedup",
-    "window_range_interval", "date_extract", "date_functions",
-    # new this round: sketch-path aggregate (exact at low cardinality)
-    "agg_approx_count_distinct",
-    # r04 additions, re-confirmed
+    "pipeline_embedding_near_dup", "pipeline_ann_lsh_bucketed",
+    # broadcast-threshold change (10m static / 64m adaptive) re-plans every
+    # join query; re-confirm the join-heavy composites on the record
+    "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customer",
+    "subquery_correlated_scalar_q17", "subquery_correlated_exists_q4",
+    "tpch_q3_shipping_priority", "tpch_q21_suppliers_kept_waiting",
     "tpch_q2_minimum_cost_supplier", "tpch_q11_important_stock",
-    "pipeline_multimodal_decode_images", "pipeline_embedding_near_dup",
-    "pipeline_ann_lsh_bucketed", "pipeline_ann_ivf_nprobe",
-    # single-window-so-far entries rotated in for second confirmation
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship", "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue", "tpch_q20_potential_part_promotion",
-    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
-    "window_rows_frame", "window_range_frame", "window_rank_dense_rank",
-    "group_rollup", "group_cube_grouping", "group_grouping_sets",
-    "subquery_correlated_exists_q4", "subquery_correlated_scalar_q17",
-    "embeddings_unnest_dims", "agg_group_by_ordinal", "window_qualify_topn",
-    # flagship re-confirmations (green in earlier windows)
+    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier",
+    "join_multiway", "join_semi_in_subquery",
+    # flagship + streaming re-confirmations (green in earlier windows)
     "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "pipeline_dedup_exact", "pipeline_ann_cosine_topk",
-    "pipeline_text_language_id", "pipeline_text_quality_score",
+    "pipeline_streaming_tumbling", "pipeline_stateful_dedup",
+    "events_tumbling_window", "pipeline_dedup_exact",
+    "pipeline_ann_cosine_topk",
 ]
 
 

@@ -80,6 +80,10 @@ def _execute(df) -> int:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # optional comma-separated subset (large-SF sampling); default: all
+    subset = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    headline = [q for q in HEADLINE if q in set(subset.split(","))] \
+        if subset else HEADLINE
     sf = sf_dir.rstrip("/").split("sf")[-1]
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -98,7 +102,7 @@ def main() -> None:
         floor = min(floor, time.perf_counter() - t0)
 
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in headline:
         fn = qs[name]
         best = float("inf")
         for _ in range(3):

@@ -61,7 +61,10 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     timings = {}
     skip_heavy = os.environ.get("SPARK_GRAFT_DUCK_SKIP") == "1"
-    for name in HEADLINE:
+    subset = os.environ.get("SPARK_GRAFT_QUERIES", "")
+    headline = [q for q in HEADLINE if q in set(subset.split(","))] \
+        if subset else HEADLINE
+    for name in headline:
         if name not in oracles or (skip_heavy and name in SKIP_WHEN_REQUESTED):
             timings[name] = None  # no SQL equivalent / O(n²) oracle skipped
             continue

@@ -160,3 +160,56 @@ def test_group_by_ordinal_out_of_range(engine):
 
     with pytest.raises(InvalidQueryException):
         engine.query("SELECT l_returnflag FROM lineitem GROUP BY 5")
+
+
+# ---------------------------------------------------- decimal-sum fast path
+
+def test_decimal_sum_fast_path_matches_oracle(oracle):
+    # compiles to the split-long exact path (compiler._try_split_decimal_sum)
+    oracle("SELECT l_returnflag, "
+           "CAST(sum(CAST(l_extendedprice AS decimal(18,2))) AS double) AS s "
+           "FROM lineitem GROUP BY l_returnflag")
+
+
+def test_decimal_sum_fast_path_negatives_and_nulls(spark, engine):
+    df = spark.createDataFrame(
+        [(1, 12345.67), (1, -99999.99), (1, None), (2, 0.005), (2, -0.005)],
+        "g int, x double")
+    engine.register_temp_table(df, "t_dec")
+    try:
+        rows = {r["g"]: r["s"] for r in engine.query(
+            "SELECT g, sum(CAST(x AS decimal(18,2))) AS s "
+            "FROM t_dec GROUP BY g").collect()}
+        from decimal import Decimal
+        assert rows[1] == Decimal("-87654.32")
+        # HALF_UP away from zero on both boundary rows
+        assert rows[2] == Decimal("0.00")
+        # all-null group → NULL sum
+        engine.register_temp_table(
+            spark.createDataFrame([(1, None)], "g int, x double"), "t_nul")
+        assert engine.query(
+            "SELECT sum(CAST(x AS decimal(18,2))) AS s FROM t_nul"
+        ).collect()[0]["s"] is None
+    finally:
+        engine.remove_temp_table("t_dec")
+        engine.remove_temp_table("t_nul")
+
+
+def test_decimal_sum_fast_path_domain_guard_is_loud(spark, engine):
+    # |x * 10^s| >= 2^52 must raise, never sum inexactly
+    import pyspark.errors
+    import pytest as _pytest
+    engine.register_temp_table(spark.createDataFrame(
+        [(1, float(1 << 53))], "g int, x double"), "t_big")
+    try:
+        with _pytest.raises(Exception, match="exact domain|USER_RAISED"):
+            engine.query("SELECT sum(CAST(x AS decimal(18,2))) AS s "
+                         "FROM t_big").collect()
+    finally:
+        engine.remove_temp_table("t_big")
+
+
+def test_decimal_sum_wide_precision_keeps_decimal_path(oracle):
+    # p > 18 must NOT take the fast path (domain too wide for long limbs)
+    oracle("SELECT CAST(sum(CAST(l_extendedprice AS decimal(22,2))) AS double)"
+           " AS s FROM lineitem")
