@@ -170,6 +170,9 @@ class Compiler:
         self._tmp_counter = itertools.count()
         self._cte_frames: dict[str, DataFrame] = {}
         self._window_defs: dict[str, ast.WindowSpec] = {}
+        # set (scoped) by _compile_aggregation while compiling aggregate
+        # items; gates the decimal-sum limb fast path
+        self._agg_low_card_groups = False
 
     # ------------------------------------------------------------- top level
 
@@ -1052,6 +1055,35 @@ class Compiler:
                 "identity": self._canon(g, scope),
             })
 
+        # Gate for the decimal-sum limb fast path (_try_split_decimal_sum).
+        # Measured split at sf1: the rewrite wins −32..45% exactly when the
+        # per-ROW BigDecimal update dominates — a scan-shaped input (no
+        # joins) aggregated into FEW groups (global aggs, ROLLUP/CUBE
+        # reporting shapes, flag/enum string keys: q1, agg_group_by,
+        # group_rollup). It loses +15..65% when per-GROUP limb state and
+        # decimal reconstruction dominate (numeric ID keys ≈ one group per
+        # few rows: q11/q15) or when the bigger limb expression rides a
+        # join-probe codegen stage (q5/q22). Hence BOTH conditions below.
+        # A wrong guess moves speed ~±30%, never values — both paths are
+        # exact and oracle-verified.
+        def _string_key(g: ast.Expr) -> bool:
+            if not isinstance(g, ast.ColumnRef):
+                return False
+            try:
+                rel, true = scope.resolve(g.name, g.table)
+            except Exception:
+                return False
+            return isinstance(rel.types.get(true),
+                              (T.StringType, T.BooleanType))
+
+        scan_input = (len(node.relations) == 1
+                      and isinstance(node.relations[0], ast.TableRef))
+        low_card_groups = scan_input and (
+            not group_by
+            or node.group_mode is not None
+            or all(_string_key(g) for g in group_by)
+        )
+
         def key_for(expr: ast.Expr) -> dict | None:
             try:
                 identity = self._canon(expr, scope)
@@ -1069,8 +1101,15 @@ class Compiler:
             name = f"__agg_{len(agg_cols)}"
             is_pandas = (isinstance(agg_expr, ast.FuncCall)
                          and agg_expr.name in self.user_aggregates)
-            agg_cols.append((self.compile_expr(agg_expr, scope), name,
-                             is_pandas))
+            # the low-card flag is scoped to THIS aggregate's compile (a
+            # nested subquery aggregation saves/restores its own)
+            prev = self._agg_low_card_groups
+            self._agg_low_card_groups = low_card_groups
+            try:
+                compiled = self.compile_expr(agg_expr, scope)
+            finally:
+                self._agg_low_card_groups = prev
+            agg_cols.append((compiled, name, is_pandas))
             return F.col(name)
 
         def lower_post_agg(expr: ast.Expr) -> Column:
@@ -1521,6 +1560,12 @@ class Compiler:
         ``setScale(x, s)`` in the last digit (~1e-13 per row); the oracle
         gate hash-verifies equality continuously on every entry.
         """
+        if not self._agg_low_card_groups:
+            # high-cardinality grouping (numeric ID keys): per-group limb
+            # state + per-group decimal reconstruction outweigh the per-row
+            # BigDecimal saving — keep Spark's decimal sum (see the gate in
+            # _compile_aggregation for the measured split)
+            return None
         dtype = spark_type_for(cast_node.type_name)
         if not isinstance(dtype, T.DecimalType):
             return None

@@ -172,18 +172,20 @@ def test_decimal_sum_fast_path_matches_oracle(oracle):
 
 
 def test_decimal_sum_fast_path_negatives_and_nulls(spark, engine):
+    # string group key → low-cardinality gate keeps this on the fast path
     df = spark.createDataFrame(
-        [(1, 12345.67), (1, -99999.99), (1, None), (2, 0.005), (2, -0.005)],
-        "g int, x double")
+        [("a", 12345.67), ("a", -99999.99), ("a", None), ("b", 0.005),
+         ("b", -0.005)],
+        "g string, x double")
     engine.register_temp_table(df, "t_dec")
     try:
         rows = {r["g"]: r["s"] for r in engine.query(
             "SELECT g, sum(CAST(x AS decimal(18,2))) AS s "
             "FROM t_dec GROUP BY g").collect()}
         from decimal import Decimal
-        assert rows[1] == Decimal("-87654.32")
+        assert rows["a"] == Decimal("-87654.32")
         # HALF_UP away from zero on both boundary rows
-        assert rows[2] == Decimal("0.00")
+        assert rows["b"] == Decimal("0.00")
         # all-null group → NULL sum
         engine.register_temp_table(
             spark.createDataFrame([(1, None)], "g int, x double"), "t_nul")
