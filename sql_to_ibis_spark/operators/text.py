@@ -209,12 +209,16 @@ def chunk_documents(
 # conservative, deterministic redaction patterns (pre-training scrubbing);
 # each is a plain RE2-safe regex that both Spark and DuckDB interpret
 # identically
+# (pattern, token, gate): `gate` is a literal substring every match must
+# contain — a row without it cannot match, so the regex (and its Java-regex
+# backtracking: the EMAIL local-part alone measured 2.3 s of a 3.5 s sf1
+# pass) is skipped via a cheap substring scan. Match-set identical.
 _PII_PATTERNS = [
-    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>", "@"),
+    (r"https?://[^\s]+", "<URL>", "http"),
     (r"\b(?:\+?\d{1,3}[-. ])?(?:\(\d{3}\)|\d{3})[-. ]\d{3}[-. ]\d{4}\b",
-     "<PHONE>"),
-    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+     "<PHONE>", None),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>", None),
 ]
 
 
@@ -222,14 +226,21 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """Scrub common PII shapes (emails, URLs, phone numbers, SSNs) with
     typed placeholder tokens → ``(doc_id, text_redacted, n_redactions)``.
-    Chained ``regexp_replace`` — stays in whole-stage codegen."""
+    Chained ``regexp_replace`` behind substring gates — stays in
+    whole-stage codegen."""
     t = F.col(text_col)
     n = F.lit(0)
-    for pattern, _ in _PII_PATTERNS:
-        n = n + F.regexp_count(t, F.lit(pattern))
+    for pattern, _, gate in _PII_PATTERNS:
+        cnt = F.regexp_count(t, F.lit(pattern))
+        if gate is not None:
+            cnt = F.when(t.contains(gate), cnt).otherwise(F.lit(0))
+        n = n + cnt
     out = t
-    for pattern, token in _PII_PATTERNS:
-        out = F.regexp_replace(out, pattern, token)
+    for pattern, token, gate in _PII_PATTERNS:
+        rep = F.regexp_replace(out, pattern, token)
+        if gate is not None:
+            rep = F.when(t.contains(gate), rep).otherwise(out)
+        out = rep
     return df.select(
         F.col(id_col),
         out.alias("text_redacted"),
