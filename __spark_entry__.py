@@ -860,6 +860,8 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # subqueries, grouping extensions, window frames, and the pipeline operators —
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
+    # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
+    "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1747,3 +1749,64 @@ def _add_pipeline_operators(out: dict) -> None:
     out["pipeline_stateful_dedup"] = stateful_dedup
     _PIPELINE_ORACLES["pipeline_stateful_dedup"] = \
         "SELECT DISTINCT event_id FROM events"
+
+    # temporal joins (operators Spark lacks as primitives; the oracle for
+    # as-of is DuckDB's NATIVE `ASOF JOIN` — the engine's union+window
+    # composition must reproduce it row-for-row). Backward inclusive: each
+    # purchase gets the latest view by the same user at-or-before its ts.
+    def temporal_asof(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.operators import temporal
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id", "value")
+        views = ev.filter(F.col("event_type") == "view")
+        return temporal.asof_join(
+            purchases, views, by="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["event_id", "ts", "value"])
+
+    out["pipeline_temporal_asof_join"] = temporal_asof
+    _PIPELINE_ORACLES["pipeline_temporal_asof_join"] = """
+        SELECT p.event_id, p.ts, p.user_id, p.value,
+               v.event_id AS matched_event_id, v.ts AS matched_ts,
+               v.value AS matched_value
+        FROM (SELECT event_id, ts, user_id, value FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+
+    # range join: clicks inside any same-user [error_ts, error_ts + 2h]
+    # window, executed as a binned equi-join (never a nested-loop join)
+    def temporal_range(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.operators import temporal
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id", "value")
+        errors = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("win_start"),
+            (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("win_end"))
+        return temporal.range_join(
+            clicks, errors, point_ts="ts", start_ts="win_start",
+            end_ts="win_end", by="user_id", bin_seconds=7200,
+            point_cols=["event_id", "ts", "user_id", "value"],
+            interval_cols=["error_event_id"])
+
+    out["pipeline_temporal_range_join"] = temporal_range
+    _PIPELINE_ORACLES["pipeline_temporal_range_join"] = """
+        SELECT c.event_id, c.ts, c.user_id, c.value,
+               e.event_id AS error_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'click') c
+        JOIN (SELECT * FROM events WHERE event_type = 'error') e
+          ON c.user_id = e.user_id
+         AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 2 HOUR
+    """
