@@ -862,6 +862,9 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY: list[str] = [
     # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
+    # r06: new text-pipeline operators
+    "pipeline_text_repetition_signals", "pipeline_decontaminate",
+    "pipeline_text_bm25",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1800,6 +1803,143 @@ def _add_pipeline_operators(out: dict) -> None:
             end_ts="win_end", by="user_id", bin_seconds=7200,
             point_cols=["event_id", "ts", "user_id", "value"],
             interval_cols=["error_event_id"])
+
+    # Okapi BM25 against a fixed 3-term query, recomputed end-to-end by
+    # DuckDB (same idf variant, same op order, floor-truncated to 6dp)
+    def bm25_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.bm25_scores(_docs(spark, sf_dir),
+                                ["spark", "query", "table"])
+
+    out["pipeline_text_bm25"] = bm25_entry
+    _PIPELINE_ORACLES["pipeline_text_bm25"] = r"""
+        WITH d AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS toks
+          FROM documents
+        ), dl AS (
+          SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM d
+        ), st AS (
+          SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM dl
+        ), tf AS (
+          SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+            SELECT doc_id, dl, unnest(toks) AS term FROM dl) t
+          WHERE term IN ('spark', 'query', 'table')
+          GROUP BY 1, 2, 3
+        ), dfq AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS dfr FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT term, ln((n - dfr + 0.5) / (dfr + 0.5) + 1.0) AS idf, avgdl
+          FROM dfq, st
+        ), sc AS (
+          SELECT doc_id,
+                 idf.idf * (tf.tf * (1.2 + 1.0))
+                 / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)) AS s
+          FROM tf JOIN idf USING (term)
+        )
+        SELECT doc_id,
+               floor(sum(s) * 1000000.0) / 1000000.0 AS bm25,
+               count(*) AS n_terms_matched
+        FROM sc GROUP BY doc_id
+    """
+
+    # train/eval decontamination: docs from source 'src0' play the benchmark
+    # set; every other doc is train. Oracle recomputes the shared-8-gram
+    # counts on string shingles (engine uses the polynomial shingle hashes —
+    # identical counts up to ~2^-31 collisions, same device as the Jaccard
+    # oracles above).
+    def decontaminate_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir)
+        ev = docs.filter(F.col("source") == "src0")
+        tr = docs.filter(F.col("source") != "src0")
+        return dedup.decontaminate(tr, ev, shingle_size=8)
+
+    out["pipeline_decontaminate"] = decontaminate_entry
+    _PIPELINE_ORACLES["pipeline_decontaminate"] = r"""
+        WITH s AS (
+          SELECT doc_id, source,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS toks
+          FROM documents
+        ), sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 7, 1) + 1),
+                   i -> array_to_string(toks[i:i+7], ' '))) AS shingles
+          FROM s
+        ), ev AS (
+          SELECT DISTINCT unnest(shingles) AS sg FROM sh
+          WHERE source = 'src0'
+        ), tr AS (
+          SELECT doc_id, unnest(shingles) AS sg FROM sh
+          WHERE source != 'src0'
+        ), hits AS (
+          SELECT tr.doc_id, count(*) AS n_contaminated_ngrams
+          FROM tr JOIN ev ON tr.sg = ev.sg GROUP BY tr.doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(h.n_contaminated_ngrams, 0) AS n_contaminated_ngrams,
+               coalesce(h.n_contaminated_ngrams, 0) >= 1 AS contaminated
+        FROM (SELECT doc_id FROM documents WHERE source != 'src0') d
+        LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """
+
+    # Gopher/MassiveText repetition filters: top-2-gram char fraction +
+    # duplicate-3-gram fraction, recomputed exactly by DuckDB from the
+    # published definitions (same truncation, same tie-break)
+    def text_repetition(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.repetition_signals(_docs(spark, sf_dir))
+
+    out["pipeline_text_repetition_signals"] = text_repetition
+    _PIPELINE_ORACLES["pipeline_text_repetition_signals"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS toks,
+                 length(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                  'g')))) AS nchars
+          FROM documents
+        ), bic AS (
+          SELECT doc_id, nchars, ngram, count(*) AS cnt FROM (
+            SELECT doc_id, nchars, unnest(list_transform(
+                range(1, greatest(len(toks) - 1, 0) + 1),
+                i -> array_to_string(toks[i:i+1], ' '))) AS ngram
+            FROM s) t
+          GROUP BY 1, 2, 3
+        ), topbi AS (
+          SELECT doc_id, ngram AS top_bigram,
+                 floor((cnt * length(ngram) / nullif(nchars, 0))
+                       * 1000000.0) / 1000000.0 AS top_bigram_char_frac
+          FROM (SELECT *, row_number() OVER (
+                  PARTITION BY doc_id
+                  ORDER BY cnt DESC, ngram DESC) AS rn
+                FROM bic) r
+          WHERE rn = 1
+        ), tridup AS (
+          SELECT doc_id,
+                 floor(((sum(cnt) - count(*)) / nullif(sum(cnt), 0))
+                       * 1000000.0) / 1000000.0 AS dup_trigram_frac
+          FROM (
+            SELECT doc_id, ngram, count(*) AS cnt FROM (
+              SELECT doc_id, unnest(list_transform(
+                  range(1, greatest(len(toks) - 2, 0) + 1),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS ngram
+              FROM s) t
+            GROUP BY 1, 2) c
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id, t.top_bigram,
+               coalesce(t.top_bigram_char_frac, 0.0) AS top_bigram_char_frac,
+               coalesce(r.dup_trigram_frac, 0.0) AS dup_trigram_frac
+        FROM documents d
+        LEFT JOIN topbi t ON d.doc_id = t.doc_id
+        LEFT JOIN tridup r ON d.doc_id = r.doc_id
+    """
 
     out["pipeline_temporal_range_join"] = temporal_range
     _PIPELINE_ORACLES["pipeline_temporal_range_join"] = """

@@ -627,3 +627,57 @@ def dedup_clusters(
     return (
         df.join(losers, df[id_col] == F.col("__loser"), "left_anti")
     )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    shingle_size: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_overlap: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Train/eval n-gram decontamination (the GPT-3-appendix procedure,
+    recomputed from the published description): a training document is
+    ``contaminated`` when it shares >= ``min_overlap`` distinct word
+    ``shingle_size``-grams with ANY evaluation document. Returns
+    ``(id_col, n_contaminated_ngrams, contaminated)`` — one row per train
+    doc, so the caller can filter or audit.
+
+    Scale shape: shingles are hashed JVM-side (``_shingle_hashes``), deduped
+    WITHIN each doc map-side (``array_distinct`` before the explode, so the
+    shuffle never carries a doc's internal repetition), and the eval-side
+    distinct n-gram set — benchmark suites are tiny next to a training
+    corpus — is broadcast, making the probe side a map-only hash lookup at
+    any train size. Set ``broadcast_eval=False`` for an oversized eval set
+    to fall back to a shuffle join.
+    """
+    ev = (
+        eval_df.select(F.explode(F.array_distinct(
+            _shingle_hashes(F.col(text_col), shingle_size))).alias("__sg"))
+        .distinct()
+    )
+    if broadcast_eval:
+        ev = F.broadcast(ev)
+    tr = train.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(
+            _shingle_hashes(F.col(text_col), shingle_size))).alias("__sg"),
+    )
+    hits = (
+        tr.join(ev, "__sg")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+    )
+    return (
+        train.select(F.col(id_col))
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_contaminated_ngrams", F.lit(0))
+            .alias("n_contaminated_ngrams"),
+            (F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_overlap)
+            .alias("contaminated"),
+        )
+    )

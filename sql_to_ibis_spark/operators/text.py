@@ -170,6 +170,123 @@ def term_frequencies(
     return out
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Repetition-based quality signals (the Gopher/MassiveText filter
+    family, recomputed from the published definitions): per document,
+
+    * ``top_bigram_char_frac`` — fraction of normalized characters covered
+      by the single most frequent word 2-gram (``count × len(bigram) /
+      n_chars``); boilerplate and keyword-stuffed pages score high.
+    * ``dup_trigram_frac`` — fraction of word 3-gram occurrences that are
+      repeats of an earlier occurrence (``(total − distinct) / total``).
+    * ``top_bigram`` — the argmax 2-gram itself (ties broken by descending
+      lexicographic order so the result is engine-deterministic).
+
+    Scale shape: one explode → partial-aggregated ``groupBy(doc, ngram)``
+    (the shuffle carries per-partition-distinct n-grams, not tokens) → one
+    window/agg per doc. No Python anywhere in the row path.
+    """
+    t = normalized_text(F.col(text_col))
+    toks = F.split(t, " ")
+
+    def _ngrams(n: int) -> Column:
+        # slice(toks, i, n) for i in 1..len-n+1, joined with spaces.
+        # Guarded: sequence(1, 0) would count DOWN in Spark, so short docs
+        # get an explicit empty array. Interpreted HOF, but O(2 evals/token)
+        # — nothing like the per-token×128 MinHash pattern r5 vectorized.
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(F.col(id_col), F.length(t).alias("__nchars"),
+                     _ngrams(2).alias("__bi"), _ngrams(3).alias("__tri"))
+
+    bi_counts = (
+        base.select(F.col(id_col), F.col("__nchars"),
+                    F.explode(F.col("__bi")).alias("ngram"))
+        .groupBy(id_col, "__nchars", "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(),
+                                           F.col("ngram").desc())
+    top_bi = (
+        bi_counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("ngram").alias("top_bigram"),
+            _trunc(F.col("cnt") * F.length("ngram")
+                   / F.nullif(F.col("__nchars"), F.lit(0)), 6)
+            .alias("top_bigram_char_frac"),
+        )
+    )
+
+    tri_dup = (
+        base.select(F.col(id_col), F.explode(F.col("__tri")).alias("ngram"))
+        .groupBy(id_col, "ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy(id_col)
+        .agg(_trunc(
+            (F.sum("cnt") - F.count(F.lit(1)))
+            / F.nullif(F.sum("cnt"), F.lit(0)).cast("double"), 6)
+            .alias("dup_trigram_frac"))
+    )
+
+    return (
+        df.select(F.col(id_col))
+        .join(top_bi, id_col, "left")
+        .join(tri_dup, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("top_bigram"),
+            F.coalesce("top_bigram_char_frac", F.lit(0.0))
+            .alias("top_bigram_char_frac"),
+            F.coalesce("dup_trigram_frac", F.lit(0.0))
+            .alias("dup_trigram_frac"),
+        )
+    )
+
+
+def duplicate_line_stats(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Line-level repetition signals (Gopher's duplicate-line filters):
+    fraction of lines that repeat an earlier line, and fraction of
+    characters inside such repeated lines. Degenerates to 0 on single-line
+    corpora; meaningful on scraped multi-line text."""
+    lines = F.filter(F.split(F.col(text_col), r"\n"),
+                     lambda l: F.trim(l) != "")
+    per_line = (
+        df.select(F.col(id_col), F.explode(lines).alias("line"))
+        .groupBy(id_col, "line")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    agg = per_line.groupBy(id_col).agg(
+        _trunc((F.sum("cnt") - F.count(F.lit(1)))
+               / F.nullif(F.sum("cnt"), F.lit(0)).cast("double"), 6)
+        .alias("dup_line_frac"),
+        _trunc(F.sum(F.when(F.col("cnt") > 1,
+                            (F.col("cnt") - 1) * F.length("line"))
+                     .otherwise(F.lit(0)))
+               / F.nullif(F.sum(F.col("cnt") * F.length("line")),
+                          F.lit(0)).cast("double"), 6)
+        .alias("dup_line_char_frac"),
+    )
+    return (
+        df.select(F.col(id_col)).join(agg, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce("dup_line_frac", F.lit(0.0))
+                .alias("dup_line_frac"),
+                F.coalesce("dup_line_char_frac", F.lit(0.0))
+                .alias("dup_line_char_frac"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_chars: int = 512,
@@ -245,4 +362,62 @@ def redact_pii(df: DataFrame, text_col: str = "text",
         F.col(id_col),
         out.alias("text_redacted"),
         n.cast("int").alias("n_redactions"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Okapi BM25 relevance of each document to a bag-of-words query
+    (Robertson idf variant: ``ln(1 + (N - df + 0.5)/(df + 0.5))``).
+    Returns ``(id_col, bm25, n_terms_matched)`` for every doc matching at
+    least one query term.
+
+    Scale shape: the only full-corpus passes are one aggregate for
+    ``(N, avgdl)`` and one explode filtered to the query terms BEFORE the
+    shuffle (the groupBy carries query-term hits only, not the corpus
+    vocabulary). Document frequencies and idf live in a |query|-row frame
+    that broadcasts onto the term-frequency side — no corpus-size join.
+    All JVM expressions; score truncated to 6 decimals for engine-portable
+    comparison.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    t = normalized_text(F.col(text_col))
+    toks = F.split(t, " ")
+    docs = df.select(F.col(id_col),
+                     toks.alias("__toks"),
+                     F.size(toks).cast("double").alias("__dl"))
+    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"),
+                     F.avg("__dl").alias("__avgdl"))
+    tf = (
+        docs.select(F.col(id_col), F.col("__dl"),
+                    F.explode("__toks").alias("__term"))
+        .filter(F.col("__term").isin(list(query_terms)))
+        .groupBy(id_col, "__dl", "__term")
+        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    )
+    dfreq = tf.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__df"))
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "__term",
+        F.log((F.col("__n") - F.col("__df") + 0.5)
+              / (F.col("__df") + 0.5) + 1.0).alias("__idf"),
+        F.col("__avgdl"),
+    )
+    scored = tf.join(F.broadcast(idf), "__term").select(
+        F.col(id_col),
+        (F.col("__idf") * (F.col("__tf") * (k1 + 1.0))
+         / (F.col("__tf")
+            + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))))
+        .alias("__s"),
+    )
+    return scored.groupBy(id_col).agg(
+        _trunc(F.sum("__s"), 6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms_matched"),
     )

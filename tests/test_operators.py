@@ -570,3 +570,115 @@ def test_redact_pii_patterns(spark):
     assert got[1]["n_redactions"] == 4
     assert got[2]["n_redactions"] == 0
     assert got[2]["text_redacted"] == "nothing sensitive here"
+
+
+def test_repetition_signals_planted(spark):
+    rows = [
+        # "buy now" repeated 5× in 10 words → top bigram covers most chars
+        (1, "buy now buy now buy now buy now buy now"),
+        # all-distinct words → zero duplicate trigrams
+        (2, "alpha beta gamma delta epsilon zeta"),
+        # exact trigram repetition: "a b c a b c" has 4 trigrams, 3 distinct
+        (3, "a b c a b c"),
+        (4, "one"),          # too short for any bigram/trigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.repetition_signals(df).collect()}
+    assert got[1]["top_bigram"] == "buy now"
+    assert got[1]["top_bigram_char_frac"] > 0.8
+    assert got[2]["dup_trigram_frac"] == 0.0
+    assert got[3]["dup_trigram_frac"] == pytest.approx(0.25, abs=1e-6)
+    assert got[4]["top_bigram"] is None
+    assert got[4]["top_bigram_char_frac"] == 0.0
+
+
+def test_duplicate_line_stats_planted(spark):
+    rows = [
+        (1, "hello world\nhello world\nunique line"),   # 1 of 3 lines repeats
+        (2, "a\nb\nc"),                                  # no repeats
+        (3, "same\nsame\nsame\nsame"),                   # 3 of 4 repeat
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.duplicate_line_stats(df).collect()}
+    assert got[1]["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.75
+    assert got[3]["dup_line_char_frac"] == 0.75
+
+
+def test_repetition_signals_no_python_udf(docs):
+    from tests.test_plan_quality import plan_of
+    plan = plan_of(text.repetition_signals(docs))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_decontaminate_planted_overlap(spark):
+    # train doc 1 shares an 8-gram run with eval doc 100; train doc 2 shares
+    # nothing (distinct vocabulary)
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, f"prefix words {shared} suffix words"),
+         (2, "totally different vocabulary with no benchmark overlap here")],
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, f"benchmark question {shared} benchmark answer")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.decontaminate(train, ev, shingle_size=8).collect()}
+    assert got[1]["contaminated"] is True
+    assert got[1]["n_contaminated_ngrams"] >= 1
+    assert got[2]["contaminated"] is False
+    assert got[2]["n_contaminated_ngrams"] == 0
+
+
+def test_decontaminate_min_overlap_threshold(spark):
+    shared = "one two three four five six seven eight"
+    train = spark.createDataFrame(
+        [(1, f"prefix {shared} suffix")], "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, shared)], "doc_id long, text string")
+    out = dedup.decontaminate(train, ev, shingle_size=8, min_overlap=99)
+    row = out.collect()[0]
+    # the count survives; only the flag moves with the threshold
+    assert row["n_contaminated_ngrams"] >= 1
+    assert row["contaminated"] is False
+
+
+def test_decontaminate_eval_side_broadcasts(docs):
+    from tests.test_plan_quality import plan_of
+    ev = docs.filter(F.col("doc_id") < 10)
+    tr = docs.filter(F.col("doc_id") >= 10)
+    plan = plan_of(dedup.decontaminate(tr, ev), "simple")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bm25_ranking_sanity(spark):
+    docs = spark.createDataFrame(
+        [(1, "spark spark spark runs fast"),          # tf=3 for 'spark'
+         (2, "spark runs somewhere else entirely"),   # tf=1
+         (3, "nothing relevant here at all"),         # no match → absent
+         (4, "rare rare unicorn word")],              # 'unicorn': rare term
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           text.bm25_scores(docs, ["spark", "unicorn"]).collect()}
+    assert 3 not in out                       # non-matching docs drop out
+    assert out[1]["bm25"] > out[2]["bm25"]    # higher tf → higher score
+    # 'unicorn' appears in 1/4 docs vs 'spark' in 2/4 → higher idf, and
+    # doc 4 should outrank doc 2's single common-term hit
+    assert out[4]["bm25"] > out[2]["bm25"]
+    assert out[1]["n_terms_matched"] == 1
+
+
+def test_bm25_rejects_empty_query(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        text.bm25_scores(docs, [])
+
+
+def test_bm25_idf_side_broadcasts(docs):
+    from tests.test_plan_quality import plan_of
+    plan = plan_of(text.bm25_scores(docs, ["spark", "query"]), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
