@@ -864,7 +864,7 @@ _PRIORITY: list[str] = [
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
-    "pipeline_text_bm25",
+    "pipeline_text_bm25", "pipeline_streaming_interval_join",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1803,6 +1803,36 @@ def _add_pipeline_operators(out: dict) -> None:
             end_ts="win_end", by="user_id", bin_seconds=7200,
             point_cols=["event_id", "ts", "user_id", "value"],
             interval_cols=["error_event_id"])
+
+    # stream-stream interval join, exercised on its batch-parity path (the
+    # streaming execution with watermarked state is pinned by
+    # tests/test_streaming.py::test_interval_join_streaming_equals_batch):
+    # clicks in the 30 minutes before each purchase by the same user
+    def streaming_interval_join(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.streaming import interval_join
+
+        ev = read_parquet(spark, f"{sf_dir}/events.parquet")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "ts", "user_id")
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            "event_id", "ts", "user_id")
+        return interval_join(
+            purchases, clicks, by="user_id",
+            lower_offset="-30 minutes", upper_offset="0 seconds",
+        ).select("event_id", "ts", "user_id", "r_event_id", "r_ts")
+
+    out["pipeline_streaming_interval_join"] = streaming_interval_join
+    _PIPELINE_ORACLES["pipeline_streaming_interval_join"] = """
+        SELECT p.event_id, p.ts, p.user_id,
+               c.event_id AS r_event_id, c.ts AS r_ts
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """
 
     # Okapi BM25 against a fixed 3-term query, recomputed end-to-end by
     # DuckDB (same idf variant, same op order, floor-truncated to 6dp)

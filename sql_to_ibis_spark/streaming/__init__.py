@@ -1,4 +1,6 @@
 from sql_to_ibis_spark.streaming.ops import (
+    dedup_within_watermark,
+    interval_join,
     sessionize,
     sliding_counts,
     stateful_dedup_stream,
@@ -8,6 +10,8 @@ from sql_to_ibis_spark.streaming.ops import (
 )
 
 __all__ = [
+    "dedup_within_watermark",
+    "interval_join",
     "sessionize",
     "sliding_counts",
     "stateful_dedup_stream",

@@ -239,3 +239,74 @@ def stream_to_parquet(
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    lower_offset: str = "0 seconds",
+    upper_offset: str = "1 hour",
+    watermark: str = "2 hours",
+    prefix: str = "r_",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: pair each left row with every
+    right row sharing ``by`` whose ``right_ts`` falls in
+    ``[left_ts + lower_offset, left_ts + upper_offset]`` (offsets may be
+    negative, e.g. ``"-30 minutes"`` for a look-back window).
+
+    On streams this is Spark's watermarked stream-stream join: BOTH sides
+    get a watermark and the join condition carries explicit time bounds, so
+    each side's buffered state is dropped once event time passes the bound —
+    the state stays O(rows per watermark window) per key regardless of
+    stream length. On batch frames the identical expressions plan as a plain
+    join, which is what makes the result oracle-checkable.
+
+    Right columns are emitted with ``prefix`` (streaming joins reject
+    ambiguous names). The equality key keeps the physical join an equi-join
+    with a range residual — never a cross product.
+    """
+    lo = F.expr(f"INTERVAL {lower_offset.lstrip('-')}")
+    lo_sign = -1 if lower_offset.strip().startswith("-") else 1
+    hi = F.expr(f"INTERVAL {upper_offset.lstrip('-')}")
+    hi_sign = -1 if upper_offset.strip().startswith("-") else 1
+
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.select(
+        *[F.col(c).alias(f"{prefix}{c}") for c in right.columns])
+    if right.isStreaming:
+        r = r.withWatermark(f"{prefix}{right_ts}", watermark)
+
+    lts = l[left_ts]
+    rts = r[f"{prefix}{right_ts}"]
+    lower_bound = (lts - lo) if lo_sign < 0 else (lts + lo)
+    upper_bound = (lts - hi) if hi_sign < 0 else (lts + hi)
+    cond = (
+        (l[by] == r[f"{prefix}{by}"])
+        & (rts >= lower_bound)
+        & (rts <= upper_bound)
+    )
+    return l.join(r, cond, "inner")
+
+
+def dedup_within_watermark(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """First-occurrence dedup with BOUNDED state: on a stream this is
+    ``dropDuplicatesWithinWatermark`` — per-key state is evicted once the
+    watermark passes the first occurrence, so duplicates are only suppressed
+    while they can still plausibly arrive (the right contract for
+    at-least-once ingestion, where dupes cluster near the original).
+    Contrast ``stateful_dedup_stream``, which keeps state forever (or a
+    processing-time TTL). Batch fallback: plain ``dropDuplicates``.
+    """
+    keys = keys or ["event_id"]
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark(keys))
+    return events.dropDuplicates(keys)

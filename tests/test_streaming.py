@@ -249,3 +249,71 @@ def test_stream_to_parquet_checkpoint_no_duplicates(spark, events, tmp_path):
     q2 = stream_to_parquet(stream, sink, ckpt, query_name="t_sink2")
     q2.awaitTermination()
     assert spark.read.parquet(sink).count() == n1
+
+
+def test_interval_join_batch_vs_oracle(events, ddb):
+    from sql_to_ibis_spark.streaming import interval_join
+
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    out = interval_join(purchases, clicks, by="user_id",
+                        lower_offset="-30 minutes",
+                        upper_offset="0 seconds")
+    actual = {(r["event_id"], r["r_event_id"]) for r in out.collect()}
+    expected = {(p, c) for p, c in ddb.execute("""
+        SELECT p.event_id, c.event_id
+        FROM events p JOIN events c
+          ON p.event_type = 'purchase' AND c.event_type = 'click'
+         AND p.user_id = c.user_id
+         AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    """).fetchall()}
+    assert actual == expected
+
+
+def test_interval_join_streaming_equals_batch(spark, events):
+    from sql_to_ibis_spark.streaming import interval_join
+
+    purchases = events.filter(F.col("event_type") == "purchase") \
+        .select("event_id", "ts", "user_id")
+    clicks = events.filter(F.col("event_type") == "click") \
+        .select("event_id", "ts", "user_id")
+    batch = {(r["event_id"], r["r_event_id"]) for r in interval_join(
+        purchases, clicks, by="user_id",
+        lower_offset="-30 minutes", upper_offset="0 seconds").collect()}
+
+    sp = stream_from_table(spark, purchases)
+    sc = stream_from_table(spark, clicks)
+    result = run_stream_to_memory(
+        spark,
+        interval_join(sp, sc, by="user_id", lower_offset="-30 minutes",
+                      upper_offset="0 seconds", watermark="30 days"),
+        "t_interval_join")
+    stream = {(r["event_id"], r["r_event_id"]) for r in result.collect()}
+    # generous watermark → no row is late during the unordered replay, so
+    # the stream must reproduce the batch join exactly
+    assert stream == batch
+
+
+def test_dedup_within_watermark_stream(spark, events):
+    from sql_to_ibis_spark.streaming import dedup_within_watermark
+
+    doubled = events.select("event_id", "ts", "user_id").union(
+        events.select("event_id", "ts", "user_id"))
+    stream = stream_from_table(spark, doubled)
+    result = run_stream_to_memory(
+        spark, dedup_within_watermark(stream, ["event_id"],
+                                      watermark="30 days"),
+        "t_dedup_wm")
+    ids = [r["event_id"] for r in result.select("event_id").collect()]
+    assert len(ids) == len(set(ids)) == events.count()
+
+
+def test_dedup_within_watermark_batch_fallback(events):
+    from sql_to_ibis_spark.streaming import dedup_within_watermark
+
+    doubled = events.select("event_id", "ts").union(
+        events.select("event_id", "ts"))
+    out = dedup_within_watermark(doubled, ["event_id"])
+    assert out.count() == events.count()
