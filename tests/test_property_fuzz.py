@@ -269,3 +269,56 @@ def test_random_range_correlated_scalar_matches_duckdb(engine, ddb, agg, op):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+# ---- r6 additions: string functions, grouping extensions, IN-subqueries ----
+
+def _str_expr():
+    base = st.sampled_from(STR_COLS + ["o_orderpriority"])
+    return st.one_of(
+        base.map(lambda c: f"upper({c})"),
+        base.map(lambda c: f"lower({c})"),
+        base.map(lambda c: f"trim({c})"),
+        st.tuples(base, st.integers(1, 3))
+          .map(lambda t: f"substr({t[0]}, 1, {t[1]})"),
+        st.tuples(base, base).map(lambda t: f"concat({t[0]}, '_', {t[1]})"),
+        st.tuples(base, st.sampled_from(STR_VALS))
+          .map(lambda t: f"replace({t[0]}, '{t[1]}', 'x')"),
+    )
+
+
+@given(expr=_str_expr())
+@FUZZ
+def test_random_string_function_matches_duckdb(engine, ddb, expr):
+    sql = (f"SELECT o_orderkey, {expr} AS v FROM orders "
+           f"JOIN lineitem ON l_orderkey = o_orderkey "
+           f"WHERE o_orderkey < 200")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(op=st.sampled_from(["ROLLUP", "CUBE"]),
+       keys=st.lists(st.sampled_from(["l_returnflag", "l_linestatus",
+                                      "l_linenumber"]),
+                     min_size=1, max_size=2, unique=True),
+       fn=st.sampled_from(["count(*)", "sum(l_quantity)", "min(l_quantity)"]))
+@FUZZ
+def test_random_grouping_extension_matches_duckdb(engine, ddb, op, keys, fn):
+    key_sql = ", ".join(keys)
+    sql = (f"SELECT {key_sql}, {fn} AS agg_v FROM lineitem "
+           f"WHERE l_orderkey < 2000 GROUP BY {op} ({key_sql})")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(neg=st.sampled_from(["IN", "NOT IN"]), pred=_predicate(1))
+@FUZZ
+def test_random_in_subquery_matches_duckdb(engine, ddb, neg, pred):
+    # NOT IN exercises SQL three-valued NULL semantics on the inner side
+    sql = (f"SELECT count(*) AS n FROM orders WHERE o_orderkey {neg} "
+           f"(SELECT l_orderkey FROM lineitem WHERE {pred})")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
