@@ -69,6 +69,16 @@ HEADLINE = [
     "pipeline_ann_lsh_bucketed",
     "tpch_q2_minimum_cost_supplier",
     "tpch_q11_important_stock",
+    # round 6 additions: temporal joins + new text-pipeline operators (all
+    # with genuinely-equivalent DuckDB oracles → comparable; kept at the
+    # tail so earlier per-query deltas line up)
+    "pipeline_temporal_asof_join",
+    "pipeline_temporal_range_join",
+    "pipeline_streaming_interval_join",
+    "pipeline_text_repetition_signals",
+    "pipeline_decontaminate",
+    "pipeline_text_bm25",
+    "pipeline_pack_sequences",
 ]
 
 

@@ -190,45 +190,52 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     t = normalized_text(F.col(text_col))
     toks = F.split(t, " ")
 
-    def _ngrams(n: int) -> Column:
-        # slice(toks, i, n) for i in 1..len-n+1, joined with spaces.
-        # Guarded: sequence(1, 0) would count DOWN in Spark, so short docs
-        # get an explicit empty array. Interpreted HOF, but O(2 evals/token)
-        # — nothing like the per-token×128 MinHash pattern r5 vectorized.
-        return F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.array_join(F.slice(toks, i, n), " "),
-            ),
-        ).otherwise(F.array().cast("array<string>"))
-
-    base = df.select(F.col(id_col), F.length(t).alias("__nchars"),
-                     _ngrams(2).alias("__bi"), _ngrams(3).alias("__tri"))
+    def _exploded_ngrams(src: DataFrame, n: int, extra: list[Column]):
+        # n parallel shifted slices zipped and exploded, string built AFTER
+        # the explode — plain codegen expressions end to end. (The obvious
+        # transform(sequence(...), i -> array_join(slice...)) formulation is
+        # an interpreted HOF: measured 15.4 s for this entry at sf0.1 vs
+        # 0.2 s for this shape.) The token array is materialized in its OWN
+        # projection first: generators get no common-subexpression
+        # elimination, so slicing `split(regexp_replace(...))` inline would
+        # re-run the regex n+1 times per row (measured 14× slower). Docs
+        # with < n tokens produce no rows (zero-length slices), restored by
+        # the left joins below.
+        pre = src.select(F.col(id_col), *extra, toks.alias("__tk"))
+        tk = F.col("__tk")
+        ln = F.greatest(F.size(tk) - (n - 1), F.lit(0))
+        zipped = F.arrays_zip(
+            *[F.slice(tk, i + 1, ln).alias(f"t{i}") for i in range(n)])
+        carried = [c for c in pre.columns if c not in (id_col, "__tk")]
+        exploded = pre.select(F.col(id_col), *[F.col(c) for c in carried],
+                              F.explode(zipped).alias("__z"))
+        return exploded.select(
+            F.col(id_col), *[F.col(c) for c in carried],
+            F.concat_ws(" ", *[F.col(f"__z.t{i}") for i in range(n)])
+            .alias("ngram"))
 
     bi_counts = (
-        base.select(F.col(id_col), F.col("__nchars"),
-                    F.explode(F.col("__bi")).alias("ngram"))
+        _exploded_ngrams(df, 2, [F.length(t).alias("__nchars")])
         .groupBy(id_col, "__nchars", "ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    from pyspark.sql import Window
-    w = Window.partitionBy(id_col).orderBy(F.col("cnt").desc(),
-                                           F.col("ngram").desc())
+    # argmax via max(struct(cnt, ngram)): same winner and tie-break as the
+    # oracle's ORDER BY cnt DESC, ngram DESC window, but as a partial-agg
+    # aggregation instead of a per-doc sort
     top_bi = (
-        bi_counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        bi_counts.groupBy(id_col, "__nchars")
+        .agg(F.max(F.struct(F.col("cnt"), F.col("ngram"))).alias("__top"))
         .select(
             F.col(id_col),
-            F.col("ngram").alias("top_bigram"),
-            _trunc(F.col("cnt") * F.length("ngram")
+            F.col("__top.ngram").alias("top_bigram"),
+            _trunc(F.col("__top.cnt") * F.length("__top.ngram")
                    / F.nullif(F.col("__nchars"), F.lit(0)), 6)
             .alias("top_bigram_char_frac"),
         )
     )
 
     tri_dup = (
-        base.select(F.col(id_col), F.explode(F.col("__tri")).alias("ngram"))
+        _exploded_ngrams(df, 3, [])
         .groupBy(id_col, "ngram")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy(id_col)
@@ -420,4 +427,69 @@ def bm25_scores(
     return scored.groupBy(id_col).agg(
         _trunc(F.sum("__s"), 6).alias("bm25"),
         F.count(F.lit(1)).alias("n_terms_matched"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    ctx_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing (the standard GPT-pretraining
+    layout): conceptually concatenate every document's tokens in ``id_col``
+    order into one stream and cut it into fixed ``ctx_tokens`` windows.
+    Emits per doc: ``n_tokens``, the first/last window index the doc's
+    tokens land in, and the doc's starting offset inside its first window —
+    enough for a loader to materialize any window from the source docs.
+
+    The interesting part at scale is the EXCLUSIVE PREFIX SUM of token
+    counts in a global order, which a naive single ``ORDER BY`` window would
+    compute on one task. Done here as the classic two-pass distributed scan:
+
+    1. range-repartition by ``id_col`` (ordered partitions), running sum
+       WITHIN each partition (parallel, one window per partition);
+    2. per-partition totals — one tiny row per partition — are prefix-summed
+       on the driver and broadcast-joined back as partition base offsets.
+
+    Driver state is O(partitions), never O(rows), so the same plan runs at
+    any corpus size by raising ``partitions``.
+    """
+    from pyspark.sql import Window
+
+    t = normalized_text(F.col(text_col))
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(t, " ")).cast("bigint").alias("n_tokens"),
+    ).repartitionByRange(partitions, F.col(id_col))
+
+    part = toks.withColumn("__pid", F.spark_partition_id())
+    w = (Window.partitionBy("__pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = part.withColumn("__local_cum", F.sum("n_tokens").over(w))
+
+    totals = sorted(
+        local.groupBy("__pid").agg(F.max("__local_cum").alias("t"))
+        .collect(), key=lambda r: r["__pid"])
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["__pid"]] = base
+        base += r["t"]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __base long")
+
+    cum = local.join(F.broadcast(base_df), "__pid").select(
+        F.col(id_col), F.col("n_tokens"),
+        (F.col("__base") + F.col("__local_cum") - F.col("n_tokens"))
+        .alias("__before"),
+    )
+    return cum.select(
+        F.col(id_col), F.col("n_tokens"),
+        F.expr(f"__before DIV {ctx_tokens}").alias("start_window"),
+        F.expr(f"(__before + n_tokens - 1) DIV {ctx_tokens}")
+        .alias("end_window"),
+        (F.col("__before") % ctx_tokens).alias("offset_in_window"),
     )

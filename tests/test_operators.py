@@ -682,3 +682,39 @@ def test_bm25_idf_side_broadcasts(docs):
     plan = plan_of(text.bm25_scores(docs, ["spark", "query"]), "simple")
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_pack_sequences_small_known_case(spark):
+    # 3 docs of 3/4/2 tokens, ctx=4: stream offsets 0,3,7 → windows
+    # [0,0], [0,1], [1,2]
+    docs_df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f g"), (3, "h i")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.pack_sequences(docs_df, ctx_tokens=4).collect()}
+    assert (got[1]["start_window"], got[1]["end_window"],
+            got[1]["offset_in_window"]) == (0, 0, 0)
+    assert (got[2]["start_window"], got[2]["end_window"],
+            got[2]["offset_in_window"]) == (0, 1, 3)
+    assert (got[3]["start_window"], got[3]["end_window"],
+            got[3]["offset_in_window"]) == (1, 2, 3)
+
+
+def test_pack_sequences_partition_invariant(docs):
+    # the two-pass distributed prefix sum must not depend on partitioning
+    one = {r["doc_id"]: (r["start_window"], r["offset_in_window"])
+           for r in text.pack_sequences(docs, 512, partitions=1).collect()}
+    many = {r["doc_id"]: (r["start_window"], r["offset_in_window"])
+            for r in text.pack_sequences(docs, 512, partitions=8).collect()}
+    assert one == many
+
+
+def test_pack_sequences_stream_is_gapless(docs):
+    rows = sorted(text.pack_sequences(docs, 512).collect(),
+                  key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        assert r["start_window"] == pos // 512
+        assert r["offset_in_window"] == pos % 512
+        pos += r["n_tokens"]
+        assert r["end_window"] == (pos - 1) // 512
