@@ -814,6 +814,19 @@ _PAIRS["events_funnel_share"] = (
     None,
 )
 
+# ASOF JOIN on the SQL surface (r6): DuckDB-compatible syntax, so the SAME
+# statement runs on both engines — the oracle is DuckDB's native ASOF JOIN
+# planner against this engine's union+window lowering (plans/compiler.py
+# _compile_asof_join; single shuffle, never join-all-candidates)
+_PAIRS["join_asof_sql"] = (
+    "SELECT p.event_id AS pid, p.ts AS pts, p.user_id AS uid, "
+    "v.event_id AS view_id, v.ts AS view_ts, v.value AS view_value "
+    "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+    "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v "
+    "ON p.user_id = v.user_id AND p.ts >= v.ts",
+    None,
+)
+
 
 # NOW()/TODAY() under a pinned clock (sql_to_ibis_spark.set_fixed_clock):
 # the reference maps them to the wall clock at query build time
@@ -861,10 +874,12 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
     # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
+    "join_asof_sql",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
     "pipeline_text_bm25", "pipeline_streaming_interval_join",
+    "pipeline_pack_sequences",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1803,6 +1818,34 @@ def _add_pipeline_operators(out: dict) -> None:
             end_ts="win_end", by="user_id", bin_seconds=7200,
             point_cols=["event_id", "ts", "user_id", "value"],
             interval_cols=["error_event_id"])
+
+    # GPT-style sequence packing (concat-and-chunk): the engine's two-pass
+    # distributed prefix sum must equal DuckDB's single global window scan
+    def pack_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.pack_sequences(_docs(spark, sf_dir), ctx_tokens=512)
+
+    out["pipeline_pack_sequences"] = pack_entry
+    _PIPELINE_ORACLES["pipeline_pack_sequences"] = r"""
+        WITH tok AS (
+          SELECT doc_id,
+                 CAST(len(string_split(lower(trim(regexp_replace(
+                   text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS before_toks
+          FROM tok
+        )
+        SELECT doc_id, n_tokens,
+               CAST(before_toks // 512 AS BIGINT) AS start_window,
+               CAST((before_toks + n_tokens - 1) // 512 AS BIGINT)
+                 AS end_window,
+               CAST(before_toks % 512 AS BIGINT) AS offset_in_window
+        FROM c
+    """
 
     # stream-stream interval join, exercised on its batch-parity path (the
     # streaming execution with watermarked state is pinned by

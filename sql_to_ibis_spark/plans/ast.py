@@ -252,7 +252,7 @@ class UnnestRef(Relation):
 class Join(Relation):
     left: Relation
     right: Relation
-    kind: str  # inner | left | right | full | cross
+    kind: str  # inner | left | right | full | cross | asof | asof_left
     condition: Expr | None = None  # None for cross
 
 

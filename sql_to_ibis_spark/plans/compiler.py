@@ -97,6 +97,23 @@ class RelationInfo:
         return F.col(f"{_bq(self.qualifier)}.{_bq(true_name)}")
 
 
+class _RemappedRelationInfo(RelationInfo):
+    """RelationInfo over a reconstructed frame (ASOF JOIN lowers to a
+    union+window plan, losing the per-side alias lineage): resolution keeps
+    the original display/column names, but ``col()`` maps each original
+    column to its flat unique physical name in the rebuilt frame."""
+
+    def __init__(self, qualifier: str, display: str, columns: list[str],
+                 types: dict, flatmap: dict[str, str]):
+        super().__init__(qualifier=qualifier, display=display,
+                         columns=columns, types=types)
+        self.flatmap = flatmap
+
+    def col(self, true_name: str) -> Column:
+        return F.col(
+            f"{_bq(self.qualifier)}.{_bq(self.flatmap[true_name.lower()])}")
+
+
 class Scope:
     """Column/table resolution over the FROM-clause relations of one SELECT."""
 
@@ -655,10 +672,189 @@ class Compiler:
             combined = left_rels + right_rels
             if rel.kind == "cross":
                 return left_df.crossJoin(right_df), combined
+            if rel.kind in ("asof", "asof_left"):
+                return self._compile_asof_join(
+                    rel, left_df, left_rels, right_df, right_rels)
             scope = Scope(existing + combined)
             cond = self.compile_expr(rel.condition, scope)
             return left_df.join(right_df, cond, rel.kind), combined
         raise InvalidQueryException(f"Unsupported relation {type(rel).__name__}")
+
+    def _compile_asof_join(
+        self,
+        rel: ast.Join,
+        left_df: DataFrame,
+        left_rels: list[RelationInfo],
+        right_df: DataFrame,
+        right_rels: list[RelationInfo],
+    ) -> tuple[DataFrame, list[RelationInfo]]:
+        """ASOF JOIN (DuckDB-compatible): the ON clause must be a conjunction
+        of equality predicates plus EXACTLY ONE inequality between a left and
+        a right expression; each left row pairs with the single right row
+        closest in the inequality's direction (``l >= r`` → latest right
+        at-or-before; ``l <= r`` → earliest at-or-after; strict forms
+        exclude equality). ``ASOF JOIN`` is inner (unmatched left rows drop),
+        ``ASOF LEFT JOIN`` keeps them with nulls.
+
+        Lowered to the union-and-window composition (see
+        operators/temporal.py for the standalone form): ONE shuffle on the
+        equality keys + a per-key sort carrying ``last(payload,
+        ignorenulls)`` — never the naive join-all-candidates plan, whose
+        per-key quadratic blowup is exactly what ASOF exists to avoid.
+        Equal-timestamp ties among right rows resolve deterministically
+        (largest hash of the right row). NULL in any key or in the
+        inequality operand never matches, like a plain join.
+        """
+        left_scope = Scope(left_rels)
+        right_scope = Scope(right_rels)
+
+        def conjuncts(e: ast.Expr) -> list[ast.Expr]:
+            if isinstance(e, ast.BinaryOp) and e.op == "and":
+                return conjuncts(e.left) + conjuncts(e.right)
+            return [e]
+
+        def collect_refs(node, out):
+            import dataclasses as dc
+            if isinstance(node, ast.ColumnRef):
+                out.append(node)
+            elif dc.is_dataclass(node) and not isinstance(node, type):
+                for f in dc.fields(node):
+                    collect_refs(getattr(node, f.name), out)
+            elif isinstance(node, (list, tuple)):
+                for x in node:
+                    collect_refs(x, out)
+
+        def side_of(e: ast.Expr) -> str:
+            refs: list[ast.ColumnRef] = []
+            collect_refs(e, refs)
+            if not refs:
+                raise InvalidQueryException(
+                    "each ASOF JOIN condition operand must reference "
+                    "exactly one side's columns")
+            sides = set()
+            for r in refs:
+                try:
+                    left_scope.resolve(r.name, r.table)
+                    sides.add("l")
+                except ColumnNotFoundError:
+                    right_scope.resolve(r.name, r.table)
+                    sides.add("r")
+            if len(sides) != 1:
+                raise InvalidQueryException(
+                    "ASOF JOIN condition operands may not mix columns "
+                    "from both sides")
+            return sides.pop()
+
+        eq_pairs: list[tuple[ast.Expr, ast.Expr]] = []   # (left, right)
+        ineq: tuple[ast.Expr, ast.Expr, str] | None = None
+        _MIRROR = {">=": "<=", "<=": ">=", ">": "<", "<": ">"}
+        for c in conjuncts(rel.condition):
+            if not isinstance(c, ast.BinaryOp) or c.op not in (
+                    "=", ">=", "<=", ">", "<"):
+                raise InvalidQueryException(
+                    "ASOF JOIN ON clause must be a conjunction of = "
+                    "predicates plus one inequality (>=, <=, >, <)")
+            a_side = side_of(c.left)
+            b_side = side_of(c.right)
+            if a_side == b_side:
+                raise InvalidQueryException(
+                    "each ASOF JOIN predicate must compare a left "
+                    "expression with a right expression")
+            # normalize operand order to (left_expr, right_expr)
+            l_e, r_e = (c.left, c.right) if a_side == "l" else (c.right, c.left)
+            op = c.op if a_side == "l" else _MIRROR.get(c.op, c.op)
+            if op == "=":
+                eq_pairs.append((l_e, r_e))
+            else:
+                if ineq is not None:
+                    raise InvalidQueryException(
+                        "ASOF JOIN supports exactly one inequality "
+                        "condition")
+                ineq = (l_e, r_e, op)
+        if ineq is None:
+            raise InvalidQueryException(
+                "ASOF JOIN requires an inequality condition (>=, <=, >, <)")
+
+        l_ts = self.compile_expr(ineq[0], left_scope)
+        r_ts = self.compile_expr(ineq[1], right_scope)
+        op = ineq[2]
+        backward = op in (">=", ">")
+        inclusive = op in (">=", "<=")
+
+        n = next(self._tmp_counter)
+        lkeys = [self.compile_expr(e, left_scope) for e, _ in eq_pairs]
+        rkeys = [self.compile_expr(e, right_scope) for _, e in eq_pairs]
+
+        lcols = [(info, c) for info in left_rels for c in info.columns]
+        rcols = [(info, c) for info in right_rels for c in info.columns]
+        lrow = F.struct(*[info.col(c).alias(f"c{i}")
+                          for i, (info, c) in enumerate(lcols)])
+        payload = F.struct(*[info.col(c).alias(f"c{i}")
+                             for i, (info, c) in enumerate(rcols)])
+        lrow_t = left_df.select(lrow.alias("s")).schema["s"].dataType
+        pay_t = right_df.select(payload.alias("s")).schema["s"].dataType
+
+        # right rows with a NULL key or NULL inequality operand can never
+        # match; left rows with NULLs keep (left) / drop (inner) via the
+        # no-match path — the window partition would otherwise group them
+        r_valid = r_ts.isNotNull()
+        for k in rkeys:
+            r_valid = r_valid & k.isNotNull()
+        side_r = 0 if inclusive else 1
+        tagged_l = left_df.select(
+            *[k.alias(f"__k{i}") for i, k in enumerate(lkeys)],
+            l_ts.alias("__ts"),
+            F.lit(1 - side_r).alias("__side"),
+            lrow.alias("__lrow"),
+            F.lit(None).cast("bigint").alias("__tb"),
+            F.lit(None).cast(pay_t).alias("__pay"),
+        )
+        tagged_r = right_df.filter(r_valid).select(
+            *[k.alias(f"__k{i}") for i, k in enumerate(rkeys)],
+            r_ts.alias("__ts"),
+            F.lit(side_r).alias("__side"),
+            F.lit(None).cast(lrow_t).alias("__lrow"),
+            F.xxhash64(*[info.col(c) for info, c in rcols]).alias("__tb"),
+            payload.alias("__pay"),
+        )
+        unioned = tagged_l.unionByName(tagged_r)
+
+        ts_order = (F.col("__ts").asc_nulls_first() if backward
+                    else F.col("__ts").desc_nulls_first())
+        w = (
+            Window.partitionBy(*[F.col(f"__k{i}")
+                                 for i in range(len(eq_pairs))])
+            .orderBy(ts_order, F.col("__side").asc(),
+                     F.col("__tb").asc_nulls_last())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        matched = unioned.withColumn(
+            "__m", F.last("__pay", ignorenulls=True).over(w)
+        ).filter(F.col("__side") == (1 - side_r))
+        if rel.kind == "asof":
+            matched = matched.filter(F.col("__m").isNotNull())
+
+        qual = f"__asof{n}"
+        flat = matched.select(
+            *[F.col(f"__lrow.c{i}").alias(f"a{i}")
+              for i in range(len(lcols))],
+            *[F.col(f"__m.c{i}").alias(f"b{i}") for i in range(len(rcols))],
+        ).alias(qual)
+
+        out_rels: list[RelationInfo] = []
+        pos = {}
+        for i, (info, c) in enumerate(lcols):
+            pos.setdefault(id(info), {})[c.lower()] = f"a{i}"
+        for i, (info, c) in enumerate(rcols):
+            pos.setdefault(id(info), {})[c.lower()] = f"b{i}"
+        for info in left_rels + right_rels:
+            out_rels.append(_RemappedRelationInfo(
+                qualifier=qual, display=info.display,
+                columns=list(info.columns),
+                types=dict(info.types),
+                flatmap=pos[id(info)],
+            ))
+        return flat, out_rels
 
     def _compile_table_func(self, rel: ast.TableFuncRef) -> DataFrame:
         """FROM-clause table function: user-registered Python UDTF or the

@@ -386,6 +386,24 @@ class _Parser:
                 right = self._parse_relation_primary()
                 left = ast.Join(left=left, right=right, kind="cross")
                 continue
+            # ASOF [INNER|LEFT [OUTER]] JOIN — DuckDB-compatible syntax;
+            # 'asof' stays a soft keyword (valid as an identifier elsewhere)
+            if self.at_kw("asof") and self.peek().text.lower() in (
+                    "join", "left", "inner"):
+                self.advance()
+                kind = "asof"
+                if self.accept_kw("left"):
+                    kind = "asof_left"
+                    self.accept_kw("outer")
+                else:
+                    self.accept_kw("inner")
+                self.expect_kw("join")
+                right = self._parse_relation_primary()
+                self.expect_kw("on")
+                condition = self.parse_expr()
+                left = ast.Join(left=left, right=right, kind=kind,
+                                condition=condition)
+                continue
             kind = None
             if self.at_kw("join"):
                 kind = "inner"
