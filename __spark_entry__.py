@@ -879,7 +879,7 @@ _PRIORITY: list[str] = [
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
     "pipeline_text_bm25", "pipeline_streaming_interval_join",
-    "pipeline_pack_sequences",
+    "pipeline_pack_sequences", "pipeline_text_unigram_logprob",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1818,6 +1818,32 @@ def _add_pipeline_operators(out: dict) -> None:
             end_ts="win_end", by="user_id", bin_seconds=7200,
             point_cols=["event_id", "ts", "user_id", "value"],
             interval_cols=["error_event_id"])
+
+    # CCNet-style unigram-LM quality proxy: mean token log-probability
+    # under the corpus unigram distribution, recomputed end-to-end by DuckDB
+    def unigram_lm_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return text.unigram_logprob_score(_docs(spark, sf_dir))
+
+    out["pipeline_text_unigram_logprob"] = unigram_lm_entry
+    _PIPELINE_ORACLES["pipeline_text_unigram_logprob"] = r"""
+        WITH terms AS (
+          SELECT doc_id, unnest(string_split(lower(trim(regexp_replace(
+            text, '\s+', ' ', 'g'))), ' ')) AS term
+          FROM documents
+        ), t AS (
+          SELECT doc_id, term FROM terms WHERE term != ''
+        ), vocab AS (
+          SELECT term, CAST(count(*) AS DOUBLE) AS cnt FROM t GROUP BY term
+        ), tot AS (
+          SELECT sum(cnt) AS total FROM vocab
+        )
+        SELECT doc_id, count(*) AS n_tokens,
+               floor(avg(ln(cnt / total)) * 1000000.0) / 1000000.0
+                 AS mean_token_logprob
+        FROM t JOIN vocab USING (term), tot
+        GROUP BY doc_id
+    """
 
     # GPT-style sequence packing (concat-and-chunk): the engine's two-pass
     # distributed prefix sum must equal DuckDB's single global window scan

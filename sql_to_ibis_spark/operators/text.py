@@ -493,3 +493,41 @@ def pack_sequences(
         .alias("end_window"),
         (F.col("__before") % ctx_tokens).alias("offset_in_window"),
     )
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-unigram log-probability score per document — the deterministic
+    stand-in for the perplexity-based quality filter (CCNet-style) that
+    pipelines run with a trained LM: ``mean over tokens of
+    ln(corpus_count(token) / corpus_tokens)``. Documents full of rare or
+    garbage tokens score far more negative than fluent ones; ranking by
+    this score approximates ranking by LM perplexity with zero model
+    dependencies.
+
+    Scale shape: one explode→groupBy builds the unigram table (map-side
+    partial aggregation; the shuffle carries per-partition-distinct terms),
+    one 1-row aggregate for the normalizer, and a term-keyed join back onto
+    the exploded docs that AQE sizes at runtime (a real vocabulary can be
+    too large to broadcast; a measured-small one converts automatically).
+    Score truncated to 6 decimals for engine-portable comparison.
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    terms = df.select(F.col(id_col), F.explode(toks).alias("__term")) \
+        .filter(F.col("__term") != "")
+    vocab = terms.groupBy("__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__cnt"))
+    total = vocab.agg(F.sum("__cnt").alias("__total"))
+    scored = (
+        terms.join(vocab, "__term")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(id_col),
+                F.log(F.col("__cnt") / F.col("__total")).alias("__lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        _trunc(F.avg("__lp"), 6).alias("mean_token_logprob"),
+    )

@@ -718,3 +718,23 @@ def test_pack_sequences_stream_is_gapless(docs):
         assert r["offset_in_window"] == pos % 512
         pos += r["n_tokens"]
         assert r["end_window"] == (pos - 1) // 512
+
+
+def test_unigram_logprob_ranks_garbage_below_fluent(spark):
+    # doc 3 is made of corpus-rare tokens → most negative mean logprob
+    rows = [(1, "the cat sat on the mat the cat sat"),
+            (2, "the cat ran to the mat"),
+            (3, "zxqv wvut qqzz pplm")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_token_logprob"]
+           for r in text.unigram_logprob_score(df).collect()}
+    assert got[3] < got[1] and got[3] < got[2]
+
+
+def test_unigram_logprob_uniform_corpus_is_flat(spark):
+    # every token unique → every doc has the same per-token logprob
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    got = {r["doc_id"]: r["mean_token_logprob"]
+           for r in text.unigram_logprob_score(df).collect()}
+    assert got[1] == got[2]
