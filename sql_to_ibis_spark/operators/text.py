@@ -461,7 +461,10 @@ def pack_sequences(
     t = normalized_text(F.col(text_col))
     toks = df.select(
         F.col(id_col),
-        F.size(F.split(t, " ")).cast("bigint").alias("n_tokens"),
+        # null text → 0 tokens (a bare size() would return null and poison
+        # the prefix sum all the way to the driver-side offset pass)
+        F.coalesce(F.size(F.split(t, " ")), F.lit(0))
+        .cast("bigint").alias("n_tokens"),
     ).repartitionByRange(partitions, F.col(id_col))
 
     part = toks.withColumn("__pid", F.spark_partition_id())

@@ -738,3 +738,23 @@ def test_unigram_logprob_uniform_corpus_is_flat(spark):
     got = {r["doc_id"]: r["mean_token_logprob"]
            for r in text.unigram_logprob_score(df).collect()}
     assert got[1] == got[2]
+
+
+def test_new_text_operators_tolerate_null_text(spark):
+    # a null text row must not crash any of the r6 operators (ADVICE r5:
+    # the Arrow kernels once did); it degrades to empty/zero outputs
+    df = spark.createDataFrame(
+        [(1, "some normal words here"), (2, None)],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert rep[2]["dup_trigram_frac"] == 0.0 and rep[2]["top_bigram"] is None
+    pk = {r["doc_id"]: r for r in text.pack_sequences(df, 4).collect()}
+    assert pk[2]["n_tokens"] is not None  # null text → size(null)=null? pinned below
+    bm = text.bm25_scores(df, ["some"]).collect()
+    assert len(bm) == 1 and bm[0]["doc_id"] == 1
+    ug = {r["doc_id"]: r for r in text.unigram_logprob_score(df).collect()}
+    assert 1 in ug
+    dc = dedup.decontaminate(
+        df, spark.createDataFrame([(9, "words here")],
+                                  "doc_id long, text string")).collect()
+    assert {r["doc_id"] for r in dc} == {1, 2}
