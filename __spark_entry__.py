@@ -814,6 +814,24 @@ _PAIRS["events_funnel_share"] = (
     None,
 )
 
+# PIVOT / UNPIVOT relation postfixes (r6): SQL-standard form, identical
+# statement runs on both engines. PIVOT plans as one partial-agg shuffle
+# (groupBy + pivot with explicit values); UNPIVOT is map-side only.
+_PAIRS["pivot_event_type"] = (
+    "SELECT * FROM (SELECT user_id % 3 AS user_bucket, event_type, value "
+    "FROM events) "
+    "PIVOT (sum(value) FOR event_type IN "
+    "('click', 'view', 'error', 'purchase', 'signup'))",
+    None,
+)
+_PAIRS["unpivot_order_measures"] = (
+    "SELECT o_orderkey, k, v FROM "
+    "(SELECT o_orderkey, o_totalprice AS price, "
+    "o_totalprice * 0.1 AS tax_est FROM orders) t "
+    "UNPIVOT (v FOR k IN (price, tax_est))",
+    None,
+)
+
 # ASOF JOIN on the SQL surface (r6): DuckDB-compatible syntax, so the SAME
 # statement runs on both engines — the oracle is DuckDB's native ASOF JOIN
 # planner against this engine's union+window lowering (plans/compiler.py
@@ -874,7 +892,7 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # are listed first; redundant variants of already-validated families follow.
 _PRIORITY: list[str] = [
     # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
-    "join_asof_sql",
+    "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",

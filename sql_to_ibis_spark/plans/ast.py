@@ -249,6 +249,31 @@ class UnnestRef(Relation):
 
 
 @dataclass
+class PivotRef(Relation):
+    """SQL-standard pivot: ``<rel> PIVOT (fn(arg) FOR col IN (v1, ...))``.
+    Groups by every column not referenced in the clause (DuckDB
+    semantics)."""
+    source: Relation
+    agg_func: str
+    agg_arg: Expr
+    pivot_col: str
+    values: list[Expr] = field(default_factory=list)
+    alias: str | None = None
+
+
+@dataclass
+class UnpivotRef(Relation):
+    """``<rel> UNPIVOT [INCLUDE NULLS] (val FOR key IN (c1, c2, ...))``;
+    NULL value rows drop by default (DuckDB semantics)."""
+    source: Relation
+    value_name: str
+    key_name: str
+    columns: list[str] = field(default_factory=list)
+    alias: str | None = None
+    include_nulls: bool = False
+
+
+@dataclass
 class Join(Relation):
     left: Relation
     right: Relation

@@ -97,6 +97,20 @@ class RelationInfo:
         return F.col(f"{_bq(self.qualifier)}.{_bq(true_name)}")
 
 
+def _collect_column_refs(node, out: list) -> None:
+    """Generic AST walk collecting every ColumnRef under ``node``."""
+    import dataclasses as dc
+
+    if isinstance(node, ast.ColumnRef):
+        out.append(node)
+    elif dc.is_dataclass(node) and not isinstance(node, type):
+        for f in dc.fields(node):
+            _collect_column_refs(getattr(node, f.name), out)
+    elif isinstance(node, (list, tuple)):
+        for x in node:
+            _collect_column_refs(x, out)
+
+
 class _RemappedRelationInfo(RelationInfo):
     """RelationInfo over a reconstructed frame (ASOF JOIN lowers to a
     union+window plan, losing the per-side alias lineage): resolution keeps
@@ -664,6 +678,10 @@ class Compiler:
             display = rel.alias or rel.name
             info = self._make_rel_info(display, df, existing)
             return df.alias(info.qualifier), [info]
+        if isinstance(rel, ast.PivotRef):
+            return self._compile_pivot(rel, existing)
+        if isinstance(rel, ast.UnpivotRef):
+            return self._compile_unpivot(rel, existing)
         if isinstance(rel, ast.Join):
             left_df, left_rels = self._compile_relation(rel.left, existing)
             right_df, right_rels = self._compile_relation(
@@ -679,6 +697,88 @@ class Compiler:
             cond = self.compile_expr(rel.condition, scope)
             return left_df.join(right_df, cond, rel.kind), combined
         raise InvalidQueryException(f"Unsupported relation {type(rel).__name__}")
+
+    _PIVOT_AGGS = {
+        "sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max,
+        "count": F.count, "first": F.first, "last": F.last,
+    }
+
+    def _compile_pivot(
+        self, rel: ast.PivotRef, existing: list[RelationInfo]
+    ) -> tuple[DataFrame, list[RelationInfo]]:
+        """SQL-standard PIVOT → ``groupBy(rest).pivot(col, values).agg(fn)``.
+
+        The values list is REQUIRED (unlike DuckDB's dynamic ``PIVOT``
+        statement): Spark's two-pass value discovery is an extra job and a
+        nondeterministic column order — at scale you pivot on a known
+        vocabulary. Grouping keys are every source column not referenced in
+        the clause (DuckDB semantics), so the plan is one partial-agg
+        shuffle regardless of value count.
+        """
+        src_df, src_rels = self._compile_relation(rel.source, existing)
+        scope = Scope(src_rels)
+        fn = self._PIVOT_AGGS.get(rel.agg_func)
+        if fn is None:
+            raise InvalidQueryException(
+                f"PIVOT aggregate {rel.agg_func!r} not supported "
+                f"(use one of {sorted(self._PIVOT_AGGS)})")
+        p_rel, p_true = scope.resolve(rel.pivot_col)
+        arg = self.compile_expr(rel.agg_arg, scope)
+
+        used = {p_true.lower()}
+        refs: list[ast.ColumnRef] = []
+        _collect_column_refs(rel.agg_arg, refs)
+        for r in refs:
+            used.add(scope.resolve(r.name, r.table)[1].lower())
+
+        vals = []
+        for v in rel.values:
+            if isinstance(v, ast.StringLit):
+                vals.append(v.value)
+            elif isinstance(v, ast.NumberLit):
+                vals.append(v.value)
+            else:
+                raise InvalidQueryException(
+                    "PIVOT IN list must contain literals")
+
+        group_cols = [c for info in src_rels for c in info.columns
+                      if c.lower() not in used]
+        out = (src_df.groupBy(*[info.col(c) for info in src_rels
+                                for c in info.columns
+                                if c.lower() not in used])
+               .pivot(p_true, vals).agg(fn(arg)))
+        # restore the user-facing group column names (qualified refs would
+        # otherwise leak the internal qualifier)
+        out = out.toDF(*group_cols, *[str(v) for v in vals])
+        display = rel.alias or "pivot"
+        info = self._make_rel_info(display, out, existing)
+        return out.alias(info.qualifier), [info]
+
+    def _compile_unpivot(
+        self, rel: ast.UnpivotRef, existing: list[RelationInfo]
+    ) -> tuple[DataFrame, list[RelationInfo]]:
+        """UNPIVOT → ``DataFrame.unpivot`` (ids/values split by the IN
+        list); map-side only — each input row fans out to |IN| rows with no
+        shuffle. NULL value rows drop unless INCLUDE NULLS (DuckDB
+        semantics)."""
+        src_df, src_rels = self._compile_relation(rel.source, existing)
+        scope = Scope(src_rels)
+        melt_true = [scope.resolve(c)[1] for c in rel.columns]
+        melt_low = {c.lower() for c in melt_true}
+        ids = [c for info in src_rels for c in info.columns
+               if c.lower() not in melt_low]
+        out = src_df.unpivot(
+            [info.col(c) for info in src_rels for c in info.columns
+             if c.lower() not in melt_low],
+            [scope.resolve(c)[0].col(scope.resolve(c)[1])
+             for c in rel.columns],
+            rel.key_name, rel.value_name)
+        out = out.toDF(*ids, rel.key_name, rel.value_name)
+        if not rel.include_nulls:
+            out = out.filter(F.col(rel.value_name).isNotNull())
+        display = rel.alias or "unpivot"
+        info = self._make_rel_info(display, out, existing)
+        return out.alias(info.qualifier), [info]
 
     def _compile_asof_join(
         self,
@@ -713,20 +813,9 @@ class Compiler:
                 return conjuncts(e.left) + conjuncts(e.right)
             return [e]
 
-        def collect_refs(node, out):
-            import dataclasses as dc
-            if isinstance(node, ast.ColumnRef):
-                out.append(node)
-            elif dc.is_dataclass(node) and not isinstance(node, type):
-                for f in dc.fields(node):
-                    collect_refs(getattr(node, f.name), out)
-            elif isinstance(node, (list, tuple)):
-                for x in node:
-                    collect_refs(x, out)
-
         def side_of(e: ast.Expr) -> str:
             refs: list[ast.ColumnRef] = []
-            collect_refs(e, refs)
+            _collect_column_refs(e, refs)
             if not refs:
                 raise InvalidQueryException(
                     "each ASOF JOIN condition operand must reference "

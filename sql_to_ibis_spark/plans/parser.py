@@ -350,6 +350,13 @@ class _Parser:
         if self.cur.kind == QIDENT:
             return self.advance().text
         if self.cur.kind == IDENT and self.cur.text.lower() not in RESERVED:
+            # PIVOT/UNPIVOT are soft keywords: `FROM t PIVOT (...)` must not
+            # read PIVOT as t's alias (an alias genuinely named pivot is
+            # still fine anywhere `(` / INCLUDE can't follow)
+            if self.cur.text.lower() in ("pivot", "unpivot") and (
+                    self.peek().text == "("
+                    or self.peek().text.lower() == "include"):
+                return None
             return self.advance().text
         return None
 
@@ -421,6 +428,66 @@ class _Parser:
             left = ast.Join(left=left, right=right, kind=kind, condition=condition)
 
     def _parse_relation_primary(self) -> ast.Relation:
+        rel = self._parse_relation_atom()
+        while True:
+            if self.at_kw("pivot") and self.peek().text == "(":
+                self.advance()
+                self.expect_op("(")
+                if self.cur.kind != IDENT:
+                    self._fail("expected aggregate function in PIVOT")
+                fn = self.advance().text.lower()
+                self.expect_op("(")
+                arg = self.parse_expr()
+                self.expect_op(")")
+                self.expect_kw("for")
+                if self.cur.kind not in (IDENT, QIDENT):
+                    self._fail("expected pivot column after FOR")
+                col = self.advance().text
+                self.expect_kw("in")
+                self.expect_op("(")
+                vals = self._parse_expr_list()
+                self.expect_op(")")
+                self.expect_op(")")
+                alias = self._parse_alias_opt()
+                rel = ast.PivotRef(source=rel, agg_func=fn, agg_arg=arg,
+                                   pivot_col=col, values=vals, alias=alias)
+                continue
+            if self.at_kw("unpivot") and (
+                    self.peek().text == "("
+                    or self.peek().text.lower() == "include"):
+                self.advance()
+                include_nulls = False
+                if self.accept_kw("include"):
+                    self.expect_kw("nulls")
+                    include_nulls = True
+                self.expect_op("(")
+                if self.cur.kind not in (IDENT, QIDENT):
+                    self._fail("expected value column name in UNPIVOT")
+                vname = self.advance().text
+                self.expect_kw("for")
+                if self.cur.kind not in (IDENT, QIDENT):
+                    self._fail("expected key column name in UNPIVOT")
+                kname = self.advance().text
+                self.expect_kw("in")
+                self.expect_op("(")
+                cols = []
+                while True:
+                    if self.cur.kind not in (IDENT, QIDENT):
+                        self._fail("expected column name in UNPIVOT IN list")
+                    cols.append(self.advance().text)
+                    if not self.accept_op(","):
+                        break
+                self.expect_op(")")
+                self.expect_op(")")
+                alias = self._parse_alias_opt()
+                rel = ast.UnpivotRef(source=rel, value_name=vname,
+                                     key_name=kname, columns=cols,
+                                     alias=alias,
+                                     include_nulls=include_nulls)
+                continue
+            return rel
+
+    def _parse_relation_atom(self) -> ast.Relation:
         if self.at_op("("):
             self.advance()
             if self.at_kw("values"):
@@ -443,7 +510,13 @@ class _Parser:
             self.expect_op(")")
             alias = self._parse_alias_opt()
             if alias is None:
-                self._fail("derived table (subquery in FROM) requires an alias")
+                # a PIVOT/UNPIVOT postfix replaces the relation anyway, so
+                # the usual mandatory-alias rule relaxes (DuckDB-compatible)
+                if self.at_kw("pivot", "unpivot"):
+                    alias = "__pivot_src"
+                else:
+                    self._fail(
+                        "derived table (subquery in FROM) requires an alias")
             cols = self._parse_column_alias_list_opt()
             return ast.SubqueryRef(query=inner, alias=alias, columns=cols)
         if self.at_kw("unnest"):
