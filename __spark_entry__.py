@@ -898,6 +898,7 @@ _PRIORITY: list[str] = [
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
     "pipeline_text_bm25", "pipeline_streaming_interval_join",
     "pipeline_pack_sequences", "pipeline_text_unigram_logprob",
+    "pipeline_containment",
     # r06: every entry whose implementation changed this round, first.
     # New surfaces: NOW()/TODAY() under the injectable clock
     "scalar_today_pinned_filter", "scalar_now_today_projection",
@@ -1836,6 +1837,43 @@ def _add_pipeline_operators(out: dict) -> None:
             end_ts="win_end", by="user_id", bin_seconds=7200,
             point_cols=["event_id", "ts", "user_id", "value"],
             interval_cols=["error_event_id"])
+
+    # asymmetric containment (A's shingles ⊂ B's): inverted-index block
+    # join with a df-cap on boilerplate shingles; DuckDB recomputes on
+    # string shingles (same clip, same cap — hash-collision device as above)
+    def containment_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return dedup.containment_candidates(
+            _docs(spark, sf_dir), shingle_size=5, threshold=0.6, df_cap=100)
+
+    out["pipeline_containment"] = containment_entry
+    _PIPELINE_ORACLES["pipeline_containment"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 string_split(lower(trim(regexp_replace(text, '\s+', ' ',
+                                                        'g'))), ' ') AS toks
+          FROM documents
+        ), e AS (
+          SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, greatest(len(toks) - 4, 1) + 1),
+                   i -> array_to_string(toks[i:i+4], ' ')))) AS sg
+          FROM s
+        ), keep AS (
+          SELECT sg FROM e GROUP BY sg HAVING count(*) <= 100
+        ), ek AS (
+          SELECT e.doc_id, e.sg FROM e JOIN keep USING (sg)
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_a FROM ek GROUP BY doc_id
+        ), shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          FROM ek a JOIN ek b ON a.sg = b.sg AND a.doc_id != b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT id_a, id_b, shared, n_a,
+               shared / n_a AS containment
+        FROM shared JOIN sizes ON sizes.doc_id = shared.id_a
+        WHERE shared / n_a >= 0.6
+    """
 
     # CCNet-style unigram-LM quality proxy: mean token log-probability
     # under the corpus unigram distribution, recomputed end-to-end by DuckDB

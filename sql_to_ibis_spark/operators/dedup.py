@@ -629,6 +629,41 @@ def dedup_clusters(
     )
 
 
+def exploded_shingle_hashes(
+    df: DataFrame,
+    shingle_size: int,
+    text_col: str = "text",
+    carry_cols: list | None = None,
+) -> DataFrame:
+    """One row per (carried cols, word-shingle hash): ``shingle_size``
+    shifted array slices zipped + exploded, with the xxhash64 taken AFTER
+    the explode — plain whole-stage-codegen expressions end to end.
+
+    The token array is materialized in its OWN projection first: generators
+    get no common-subexpression elimination, so slicing
+    ``split(regexp_replace(...))`` inline re-runs the regex per slice per
+    row (measured 14× slower), and the HOF formulation
+    (``transform(sequence, i -> ...)``) is interpreted per element
+    (measured another ~4× on top). Short docs yield ONE clipped shingle
+    (``arrays_zip`` pads with null, ``concat_ws`` skips them) — the same
+    clip as ``_shingle_hashes``.
+    """
+    cols = carry_cols or []
+    pre = df.select(
+        *cols,
+        F.split(normalized_text(F.col(text_col)), " ").alias("__tk"))
+    tk = F.col("__tk")
+    ln = F.greatest(F.size(tk) - (shingle_size - 1), F.lit(1))
+    zipped = F.arrays_zip(*[F.slice(tk, i + 1, ln).alias(f"t{i}")
+                            for i in range(shingle_size)])
+    carried = [c for c in pre.columns if c != "__tk"]
+    return pre.select(*carried, F.explode(zipped).alias("__z")).select(
+        *carried,
+        F.xxhash64(F.concat_ws(" ", *[F.col(f"__z.t{i}")
+                                      for i in range(shingle_size)]))
+        .alias("__sg"))
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,
@@ -645,41 +680,20 @@ def decontaminate(
     ``(id_col, n_contaminated_ngrams, contaminated)`` — one row per train
     doc, so the caller can filter or audit.
 
-    Scale shape: shingles are built as ``shingle_size`` shifted array
-    slices zipped + exploded with the hash taken AFTER the explode — plain
-    whole-stage-codegen expressions (the ``_shingle_hashes`` HOF
-    formulation measured 4.2 s at sf0.1 for this operator; this shape runs
-    ~1 s). Distinct-per-doc collapses repetition with map-side partial
+    Scale shape: codegen zip-slice shingling (``exploded_shingle_hashes``;
+    the interpreted-HOF formulation measured 4.2 s at sf0.1 vs ~1 s).
+    Distinct-per-doc collapses repetition with map-side partial
     aggregation, and the eval-side distinct n-gram set — benchmark suites
     are tiny next to a training corpus — is broadcast, making the probe
     side a map-only hash lookup at any train size. Set
     ``broadcast_eval=False`` for an oversized eval set to fall back to a
     shuffle join.
     """
-    def _exploded_shingle_hashes(df: DataFrame, cols: list) -> DataFrame:
-        # tokens materialized in their own projection first — generators do
-        # no common-subexpression elimination, so k inline slices would
-        # re-run split+regex k times per row (measured 14× slower).
-        # Short docs yield ONE clipped shingle (arrays_zip pads with null,
-        # concat_ws skips them) — same clip as _shingle_hashes.
-        pre = df.select(
-            *cols,
-            F.split(normalized_text(F.col(text_col)), " ").alias("__tk"))
-        tk = F.col("__tk")
-        ln = F.greatest(F.size(tk) - (shingle_size - 1), F.lit(1))
-        zipped = F.arrays_zip(*[F.slice(tk, i + 1, ln).alias(f"t{i}")
-                                for i in range(shingle_size)])
-        carried = [c for c in pre.columns if c != "__tk"]
-        return pre.select(*carried, F.explode(zipped).alias("__z")).select(
-            *carried,
-            F.xxhash64(F.concat_ws(" ", *[F.col(f"__z.t{i}")
-                                          for i in range(shingle_size)]))
-            .alias("__sg"))
-
-    ev = _exploded_shingle_hashes(eval_df, []).distinct()
+    ev = exploded_shingle_hashes(eval_df, shingle_size, text_col).distinct()
     if broadcast_eval:
         ev = F.broadcast(ev)
-    tr = _exploded_shingle_hashes(train, [F.col(id_col)]).distinct()
+    tr = exploded_shingle_hashes(train, shingle_size, text_col,
+                                 [F.col(id_col)]).distinct()
     hits = (
         tr.join(ev, "__sg")
         .groupBy(id_col)
@@ -695,4 +709,56 @@ def decontaminate(
             (F.coalesce("n_contaminated_ngrams", F.lit(0)) >= min_overlap)
             .alias("contaminated"),
         )
+    )
+
+
+def containment_candidates(
+    df: DataFrame,
+    shingle_size: int = 5,
+    threshold: float = 0.8,
+    df_cap: int | None = 100,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Asymmetric containment detection: ordered pairs ``(id_a, id_b)``
+    where at least ``threshold`` of A's distinct word
+    ``shingle_size``-grams also appear in B — the "document A is a
+    substring/quote/subset of document B" relation that symmetric Jaccard
+    misses when B is much longer (RefinedWeb-style substring dedup, here
+    at shingle granularity). Returns
+    ``(id_a, id_b, shared, n_a, containment)``.
+
+    Scale shape: per-doc distinct shingle hashes (codegen zip-slice path)
+    self-joined on the shingle — an inverted-index block join whose cost is
+    O(sum over shingles of df²), NEVER an all-pairs product. ``df_cap``
+    drops shingles appearing in more than that many docs (boilerplate
+    n-grams are the classic inverted-index hot keys; capping bounds any
+    shingle's contribution at cap² pairs). The cap is part of the operator
+    contract — a capped shingle contributes to neither numerator nor
+    denominator — so results stay deterministic and oracle-reproducible.
+    """
+    sg = exploded_shingle_hashes(df, shingle_size, text_col,
+                                 [F.col(id_col)]).distinct()
+    if df_cap is not None:
+        keep = (sg.groupBy("__sg")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .filter(F.col("__df") <= df_cap)
+                .select("__sg"))
+        sg = sg.join(keep, "__sg")
+    sizes = sg.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+    a = sg.select(F.col(id_col).alias("id_a"), "__sg")
+    b = sg.select(F.col(id_col).alias("id_b"), "__sg")
+    shared = (
+        a.join(b, "__sg")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a"), "id_a")
+        .select(
+            "id_a", "id_b", "shared", "n_a",
+            (F.col("shared") / F.col("n_a")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
     )

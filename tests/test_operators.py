@@ -758,3 +758,35 @@ def test_new_text_operators_tolerate_null_text(spark):
         df, spark.createDataFrame([(9, "words here")],
                                   "doc_id long, text string")).collect()
     assert {r["doc_id"] for r in dc} == {1, 2}
+
+
+def test_containment_detects_quoted_subset(spark):
+    # B embeds ALL of A's text plus twice as much extra — Jaccard(A,B) is
+    # only ~1/3, but containment(A in B) is 1.0
+    a_text = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    extra = ("kilo lima mike november oscar papa quebec romeo sierra tango "
+             "uniform victor whiskey xray yankee zulu one two three four")
+    df = spark.createDataFrame(
+        [(1, a_text), (2, f"{extra} {a_text} {extra}"),
+         (3, "entirely different words with no overlap at all present here")],
+        "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r for r in
+             dedup.containment_candidates(df, threshold=0.8).collect()}
+    assert (1, 2) in pairs
+    assert pairs[(1, 2)]["containment"] == 1.0
+    assert (2, 1) not in pairs          # asymmetric: B is NOT inside A
+    assert all(3 not in p for p in pairs)
+
+
+def test_containment_df_cap_drops_boilerplate(spark):
+    # a shingle shared by every doc is boilerplate; with df_cap=2 it can't
+    # create candidates across the whole corpus
+    boiler = "this is the standard footer text appended to every document"
+    rows = [(i, f"unique{i} word{i} salt{i} pepper{i} {boiler}")
+            for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.containment_candidates(df, threshold=0.5, df_cap=2)
+    assert out.count() == 0
+    # without the cap the footer makes everyone a candidate of everyone
+    uncapped = dedup.containment_candidates(df, threshold=0.5, df_cap=None)
+    assert uncapped.count() > 0
