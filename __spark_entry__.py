@@ -814,6 +814,15 @@ _PAIRS["events_funnel_share"] = (
     None,
 )
 
+# DISTINCT ON (r6): Postgres/DuckDB first-row-per-group; lowered to a
+# row_number window (one shuffle on the group exprs), identical statement
+# runs on both engines
+_PAIRS["distinct_on_latest_event"] = (
+    "SELECT DISTINCT ON (user_id) user_id, event_id, ts, value "
+    "FROM events ORDER BY user_id, ts DESC",
+    None,
+)
+
 # PIVOT / UNPIVOT relation postfixes (r6): SQL-standard form, identical
 # statement runs on both engines. PIVOT plans as one partial-agg shuffle
 # (groupBy + pivot with explicit values); UNPIVOT is map-side only.
@@ -893,6 +902,7 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY: list[str] = [
     # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
     "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
+    "distinct_on_latest_event",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",

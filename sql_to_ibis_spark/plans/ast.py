@@ -313,6 +313,8 @@ class SelectNode(Node):
     limit: int | None = None
     offset: int | None = None
     distinct: bool = False
+    # DISTINCT ON (exprs): first row per group under ORDER BY (extension)
+    distinct_on: list[Expr] = field(default_factory=list)
     windows: dict[str, WindowSpec] = field(default_factory=dict)  # WINDOW clause
 
 

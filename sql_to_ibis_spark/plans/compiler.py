@@ -350,6 +350,9 @@ class Compiler:
         if node.where is not None:
             df = self._apply_where(df, node.where, scope)
 
+        if node.distinct_on:
+            df = self._apply_distinct_on(df, node, scope)
+
         has_aggregate = (
             bool(node.group_by)
             or any(self._contains_aggregate(i.expr) for i in node.items)
@@ -1561,6 +1564,45 @@ class Compiler:
         return agged.select(*final)
 
     # ------------------------------------------------------------- order/limit
+
+    def _apply_distinct_on(
+        self, df: DataFrame, node: ast.SelectNode, scope: Scope
+    ) -> DataFrame:
+        """DISTINCT ON (exprs): keep the first row per group under the
+        query's ORDER BY (Postgres/DuckDB semantics) — a ``row_number``
+        window, ONE shuffle on the group exprs, applied pre-projection so
+        the select list may reference any FROM column. ORDER BY must
+        therefore resolve against the FROM columns, not select aliases."""
+        if not node.order_by:
+            raise InvalidQueryException(
+                "DISTINCT ON requires an ORDER BY to define which row "
+                "is kept per group")
+        if any(self._contains_aggregate(i.expr) for i in node.items) \
+                or node.group_by or node.group_by_all:
+            raise InvalidQueryException(
+                "DISTINCT ON cannot be combined with aggregation")
+        def _pre_projection(expr: ast.Expr) -> Column:
+            # FROM columns first; a bare name may also be a select alias
+            # (ORDER BY resolves post-projection everywhere else in this
+            # engine, so aliases must keep working here)
+            try:
+                return self.compile_expr(expr, scope)
+            except ColumnNotFoundError:
+                if isinstance(expr, ast.ColumnRef) and expr.table is None:
+                    for it in node.items:
+                        if it.alias and it.alias.lower() == expr.name.lower():
+                            return self.compile_expr(it.expr, scope)
+                raise InvalidQueryException(
+                    "DISTINCT ON ORDER BY must reference FROM-clause "
+                    "columns or select aliases")
+
+        on_cols = [_pre_projection(e) for e in node.distinct_on]
+        order_cols = [_directed(_pre_projection(item.expr), item)
+                      for item in node.order_by]
+        tag = f"__don_{next(self._tmp_counter)}"
+        w = Window.partitionBy(*on_cols).orderBy(*order_cols)
+        return (df.withColumn(tag, F.row_number().over(w))
+                .filter(F.col(tag) == 1).drop(tag))
 
     def _apply_order_by(self, df: DataFrame, items: list[ast.OrderItem]) -> DataFrame:
         if not items:

@@ -226,6 +226,13 @@ class _Parser:
         self.expect_kw("select")
         node = ast.SelectNode()
         node.distinct = self.accept_kw("distinct")
+        if node.distinct and self.at_kw("on") and self.peek().text == "(":
+            # DISTINCT ON (exprs): Postgres/DuckDB first-row-per-group
+            self.advance()
+            self.expect_op("(")
+            node.distinct_on = self._parse_expr_list()
+            self.expect_op(")")
+            node.distinct = False
         self.accept_kw("all")
         node.items = self._parse_select_items()
         if self.accept_kw("from"):

@@ -386,3 +386,43 @@ def test_unnest_with_aggregate(oracle):
            "SELECT vec_id, round(sum(x), 4) AS s FROM ("
            "  SELECT vec_id, unnest(embedding) AS x FROM embeddings "
            "  WHERE vec_id < 5) t GROUP BY vec_id")
+
+
+# ---- DISTINCT ON (r6; Postgres/DuckDB first-row-per-group) ----
+
+def test_distinct_on_latest_per_key(engine, ddb):
+    from tests.conftest import compare_frames
+    sql = """
+        SELECT DISTINCT ON (user_id) user_id, event_id, ts, value
+        FROM events ORDER BY user_id, ts DESC
+    """
+    compare_frames(engine.query(sql).toPandas(), ddb.execute(sql).fetchdf())
+
+
+def test_distinct_on_expression_and_alias_order(engine, ddb):
+    from tests.conftest import compare_frames
+    sql = """
+        SELECT DISTINCT ON (user_id % 5) user_id % 5 AS bucket, event_id
+        FROM events ORDER BY bucket, event_id
+    """
+    compare_frames(engine.query(sql).toPandas(), ddb.execute(sql).fetchdf())
+
+
+def test_distinct_on_requires_order_by(engine):
+    import pytest
+
+    from sql_to_ibis_spark.errors import InvalidQueryException
+    with pytest.raises(InvalidQueryException):
+        engine.query("SELECT DISTINCT ON (user_id) user_id FROM events")
+
+
+def test_distinct_on_single_shuffle_plan(engine):
+    from tests.test_plan_quality import plan_of
+    df = engine.query("""
+        SELECT DISTINCT ON (user_id) user_id, event_id FROM events
+        ORDER BY user_id, event_id
+    """)
+    plan = plan_of(df, "simple")
+    # row_number window (1 hash exchange) + final sort (1 range exchange);
+    # never an aggregation-join or per-group collect
+    assert plan.count("Exchange") == 2
