@@ -111,3 +111,29 @@ def test_asof_is_not_reserved(engine):
     # 'asof' stays usable as an alias/identifier
     df = engine.query("SELECT n_name AS asof FROM nation LIMIT 1")
     assert df.columns == ["asof"]
+
+
+def test_asof_followed_by_regular_join(engine, ddb):
+    # the remapped post-ASOF scope must keep feeding later joins
+    sql = """
+        SELECT p.event_id AS pid, v.event_id AS view_id,
+               c.c_name AS customer
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+        JOIN customer c ON p.user_id = c.c_custkey
+    """
+    compare_frames(engine.query(sql).toPandas(), ddb.execute(sql).fetchdf())
+
+
+def test_join_followed_by_asof(engine, ddb):
+    # multi-relation LEFT side of the ASOF (two tables already in scope)
+    sql = """
+        SELECT p.event_id AS pid, c.c_name AS customer,
+               v.event_id AS view_id
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN customer c ON p.user_id = c.c_custkey
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
+    """
+    compare_frames(engine.query(sql).toPandas(), ddb.execute(sql).fetchdf())
