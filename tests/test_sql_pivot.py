@@ -78,3 +78,18 @@ def test_pivot_unpivot_stay_soft_keywords(engine):
     df = engine.query("SELECT n_name AS pivot, n_regionkey AS unpivot "
                       "FROM nation LIMIT 1")
     assert df.columns == ["pivot", "unpivot"]
+
+
+def test_pivot_plans_partial_aggregation(engine):
+    from tests.test_plan_quality import plan_of
+    df = engine.query("""
+        SELECT * FROM (SELECT user_id % 3 AS ub, event_type, value
+                       FROM events)
+        PIVOT (sum(value) FOR event_type IN ('click', 'view'))
+    """)
+    plan = plan_of(df, "simple")
+    # Spark's pivot shape: partial_sum on (keys, pivot col) then
+    # partial_pivotfirst on keys — two map-side-combined exchanges, and
+    # with explicit values NO third job for value discovery
+    assert plan.count("Exchange") == 2
+    assert "partial_sum" in plan and "partial_pivotfirst" in plan
