@@ -272,3 +272,35 @@ def test_partitioned_parquet_prunes(spark, engine, tmp_path):
     assert "PartitionFilters" in plan and "1-URGENT" in plan
     assert one.count() == src.filter(
         F.col("o_orderpriority") == "1-URGENT").count()
+
+
+def test_bucketed_join_eliminates_shuffle(engine):
+    # the 100-TB claim behind write_bucketed_table, proven on the plan: two
+    # tables bucketed identically on the join key sort-merge-join with ZERO
+    # exchanges (broadcast disabled so the bucketed path is what's tested)
+    from tests.test_plan_quality import plan_of
+
+    spark = engine.spark
+    cust = engine.query("SELECT c_custkey, c_name FROM customer")
+    orders = engine.query("SELECT o_custkey, o_totalprice FROM orders")
+    try:
+        sinks.write_bucketed_table(cust, "b_cust", bucket_cols=["c_custkey"],
+                                   num_buckets=4, sort_cols=["c_custkey"])
+        sinks.write_bucketed_table(orders, "b_ord", bucket_cols=["o_custkey"],
+                                   num_buckets=4, sort_cols=["o_custkey"])
+        old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("b_cust").join(
+                spark.table("b_ord"),
+                spark.table("b_cust")["c_custkey"]
+                == spark.table("b_ord")["o_custkey"])
+            plan = plan_of(joined, "simple")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan, \
+                "bucketed-bucketed equi-join must not shuffle"
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_cust")
+        spark.sql("DROP TABLE IF EXISTS b_ord")
