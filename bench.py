@@ -79,6 +79,9 @@ HEADLINE = [
     "pipeline_decontaminate",
     "pipeline_text_bm25",
     "pipeline_pack_sequences",
+    "join_asof_sql",
+    "pivot_event_type",
+    "distinct_on_latest_event",
 ]
 
 
