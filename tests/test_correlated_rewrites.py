@@ -1,0 +1,214 @@
+"""Decorrelation rewrites for equality-correlated scalar subqueries.
+
+Two scale rewrites (both absent from the reference, which has no scalar
+subqueries at all — SURVEY §2.10):
+
+* **window rewrite** — when the outer FROM is the same single table as the
+  inner, ``(SELECT agg(i.x) FROM t i WHERE i.k = o.k)`` is exactly
+  ``agg(x) OVER (PARTITION BY k)`` on the outer frame: ONE shuffle instead
+  of aggregate-all-groups + shuffle + join-back (at sf10 the join-back plan
+  partial-aggregates 60M near-unique keys and sort-merge-joins two 60M-row
+  sides — the window plan halves q17's wall time).
+* **magic-set restriction** — when outer and inner differ, the inner is
+  semi-joined with the DISTINCT correlation keys of the outer *pre-filtered
+  by the subquery-free WHERE conjuncts* before aggregating (DuckDB's
+  delim-join effect): only groups the filtered outer can request are
+  aggregated.
+
+Both must be invisible to results — every test here is a DuckDB oracle
+comparison, with NULL correlation keys covered explicitly (a window
+partition pools NULL keys; SQL equality correlation gives those rows an
+empty group — the rewrite NULL-masks to match).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from sql_to_ibis_spark import SqlEngine
+
+from tests.conftest import compare_frames
+from tests.test_plan_quality import plan_of
+
+
+@pytest.fixture(scope="module")
+def ceng(spark):
+    """Engine over a small table with NULL correlation keys and NULL
+    values — the corners the testdata tables (null-free) never exercise."""
+    eng = SqlEngine(spark)
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": list(range(1, 11)),
+                "k": [1, 1, 2, 2, 2, None, None, 3, 4, 4],
+                "v": [10.0, 20.0, 5.0, None, 15.0, 7.0, 9.0, 100.0, 1.0,
+                      3.0],
+                "flag": [True, False, True, True, False, True, False, True,
+                         False, True],
+            }
+        )
+    ).coalesce(1)
+    eng.register_temp_table(df, "ct")
+    yield eng
+    eng.remove_temp_table("ct")
+
+
+@pytest.fixture(scope="module")
+def cddb(ceng, ddb, spark):
+    pdf = ceng.catalog.get("ct").df.toPandas()
+    ddb.register("ct_pdf", pdf)
+    ddb.execute("CREATE VIEW ct AS SELECT * FROM ct_pdf")
+    yield ddb
+    ddb.execute("DROP VIEW ct")
+    ddb.unregister("ct_pdf")
+
+
+def corr_oracle(ceng, cddb, sql: str):
+    compare_frames(ceng.query(sql).toPandas(), cddb.execute(sql).fetchdf())
+
+
+class TestWindowRewriteSemantics:
+    """Same-table correlated scalars — the window path — against DuckDB,
+    including NULL keys and NULL aggregate inputs."""
+
+    def test_avg_null_keys(self, ceng, cddb):
+        # NULL-key outer rows: equality correlation finds no group → scalar
+        # NULL → comparison false → rows dropped. A window without the NULL
+        # mask would pool them into one partition and keep some.
+        corr_oracle(ceng, cddb, """
+            SELECT id, v FROM ct o
+            WHERE o.v < (SELECT avg(i.v) FROM ct i WHERE i.k = o.k)
+        """)
+
+    def test_scalar_in_select_null_keys(self, ceng, cddb):
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT max(i.v) FROM ct i WHERE i.k = o.k) AS grp_max
+            FROM ct o
+        """)
+
+    def test_count_star_null_key_is_zero(self, ceng, cddb):
+        # count(*) over the empty group is 0, not NULL — the window path
+        # NULL-masks first, then the coalesce(…, 0) must still fire
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT count(*) FROM ct i WHERE i.k = o.k) AS n_grp
+            FROM ct o
+        """)
+
+    def test_local_predicate_becomes_filter(self, ceng, cddb):
+        # inner-local predicate (i.flag) must restrict the aggregate but
+        # not the partition: sum(v) FILTER (WHERE flag) OVER (PARTITION k)
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT sum(i.v) FROM ct i
+                    WHERE i.k = o.k AND i.flag) AS s_flagged
+            FROM ct o
+        """)
+
+    def test_count_with_local_predicate(self, ceng, cddb):
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT count(*) FROM ct i
+                    WHERE i.k = o.k AND i.v > 8) AS n_big
+            FROM ct o
+        """)
+
+    def test_agg_expression_retargeted(self, ceng, cddb):
+        # aggregate over an expression of inner columns + outer WHERE mixes
+        corr_oracle(ceng, cddb, """
+            SELECT id FROM ct o
+            WHERE o.v >= (SELECT avg(i.v * 2) / 2 FROM ct i
+                          WHERE i.k = o.k)
+        """)
+
+    def test_distinct_agg_falls_back_correct(self, ceng, cddb):
+        # DISTINCT aggregates have no window form — must fall back to the
+        # groupBy rewrite and stay correct
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT count(DISTINCT i.v) FROM ct i
+                    WHERE i.k = o.k) AS nd
+            FROM ct o
+        """)
+
+    def test_different_tables_unaffected(self, oracle):
+        # outer != inner: window path must not fire; plain decorrelation
+        oracle("""
+            SELECT n_name,
+                   (SELECT max(c_acctbal) FROM customer c
+                    WHERE c.c_nationkey = n.n_nationkey) AS top_bal
+            FROM nation n
+        """)
+
+
+class TestMagicSetRestriction:
+    """Different-table correlated scalars with selective outer filters —
+    the aggregated key set must shrink, results must not change."""
+
+    def test_q17_canonical_shape(self, oracle):
+        # the real TPC-H Q17 shape (on the driver's container-less part
+        # table: brand+size stand in for brand+container): outer filtered
+        # by part attributes; the per-partkey AVG need only cover parts
+        # surviving that filter
+        oracle("""
+            SELECT round(CAST(sum(l_extendedprice) AS double) / 7.0, 2)
+                     AS avg_yearly
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_size = 1
+              AND p_brand LIKE 'Brand#1%'
+              AND l_quantity < (SELECT 0.5 * avg(l2.l_quantity)
+                                FROM lineitem l2
+                                WHERE l2.l_partkey = lineitem.l_partkey)
+        """)
+
+    def test_restriction_with_or_conjunct(self, oracle):
+        # OR inside one conjunct still restricts (it's subquery-free)
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE (o.o_orderpriority = '1-URGENT' OR o.o_orderstatus = 'F')
+              AND o.o_totalprice > (SELECT avg(l.l_extendedprice) * 2
+                                    FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey)
+        """)
+
+    def test_no_plain_conjunct_no_restriction(self, oracle):
+        # WHERE is only the subquery comparison — restriction skipped
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE o.o_totalprice > (SELECT sum(l.l_extendedprice)
+                                    FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey)
+        """)
+
+
+class TestRewritePlans:
+    """Plan pins: the rewrites must actually change the physical plan."""
+
+    def test_same_table_scalar_plans_window_not_join(self, engine):
+        # q17 self-correlation: the plan must contain a Window and NO join
+        # of any kind — the whole point of the rewrite
+        df = engine.query(
+            "SELECT sum(l_extendedprice) AS s FROM lineitem l1 "
+            "WHERE l1.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) "
+            "FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey)")
+        plan = plan_of(df, "simple")
+        assert "Window" in plan
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            assert join not in plan, plan
+        # exactly one exchange of the table (the window partition), plus
+        # the scalar-agg's single-partition exchange at most
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_magic_set_plans_semi_join(self, engine):
+        # different-table scalar with a selective outer filter: the inner
+        # aggregation must sit above a LeftSemi against the outer's keys
+        df = engine.query(
+            "SELECT count(*) AS n FROM orders o "
+            "WHERE o.o_orderpriority = '1-URGENT' "
+            "AND o.o_totalprice > (SELECT avg(l.l_extendedprice) * 10 "
+            "FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)")
+        plan = plan_of(df, "simple")
+        assert "LeftSemi" in plan, plan
