@@ -57,17 +57,22 @@ def cosine_topk_vs_query(
 ) -> DataFrame:
     """Exact top-k by cosine similarity against one stored vector.
 
-    Plan shape: broadcast the 1-row query vector, map-side similarity,
-    ``ORDER BY … LIMIT k`` (Catalyst plans TakeOrderedAndProject — per
-    partition heaps, no full sort, no shuffle of the corpus).
+    Plan shape: fetch the 1-row query vector (driver-side metadata, like
+    the IVF paths), Arrow-batched map-side similarity — one ``(n, dim) @
+    dim`` matvec per batch instead of n·dim interpreted ``zip_with``
+    evals — then ``ORDER BY … LIMIT k`` (Catalyst plans
+    TakeOrderedAndProject: per-partition heaps, no full sort, no shuffle
+    of the corpus).
     """
-    q = embs.filter(F.col(id_col) == query_vec_id).select(
+    qrow = embs.filter(F.col(id_col) == query_vec_id).select(
         _to_double(F.col(vec_col)).alias("qvec")
-    )
-    sim = cosine(_to_double(F.col(vec_col)), F.col("qvec"))
+    ).head()
+    if qrow is None or qrow["qvec"] is None:
+        raise ValueError(f"query vector {query_vec_id} not found or null")
+    qvec = np.asarray(qrow["qvec"], dtype=np.float64)
+    sim = _cosine_vs_const_udf(qvec)(F.col(vec_col))
     return (
-        embs.crossJoin(F.broadcast(q))
-        .filter(F.col(id_col) != query_vec_id)
+        embs.filter(F.col(id_col) != query_vec_id)
         .select(F.col(id_col), F.round(sim, 4).alias("sim"))
         .orderBy(F.col("sim").desc(), F.col(id_col).asc())
         .limit(k)
@@ -122,6 +127,70 @@ def _sig_vn_udf(dim: int, n_planes: int, seed: int = 42):
             vn_o[valid] = rows
         return pd.DataFrame({"bucket": pd.Series(bucket_o),
                              "vn": pd.Series(vn_o)})
+
+    return _f
+
+
+def _cosine_vs_const_udf(qvec: np.ndarray, normalize: bool = True):
+    """Arrow-batched cosine (or plain dot when ``normalize=False``) of an
+    embedding column against one constant query vector shipped in the UDF
+    closure — one ``(n, dim) @ dim`` matvec per batch. Division semantics
+    match the JVM expression it replaces (0-norm → inf/nan, no masking);
+    null embeddings → null sim."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    q = np.asarray(qvec, dtype=np.float64)
+    qn = float(np.linalg.norm(q))
+
+    @pandas_udf(T.DoubleType())
+    def _f(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        valid = ~vecs.isna().to_numpy()
+        out = np.full(n, np.nan)
+        if valid.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs[valid]])
+            dots = M @ q
+            if normalize:
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    dots = dots / (np.linalg.norm(M, axis=1) * qn)
+            out[valid] = dots
+        res = pd.Series(out)
+        if not valid.all():
+            res = res.astype(object)
+            res[~valid] = None
+        return res
+
+    return _f
+
+
+def _normalize_udf():
+    """Arrow-batched L2 normalization of an embedding column (zero vectors
+    pass through unchanged, matching ``x / max(norm, …)`` guards upstream;
+    null embeddings stay null)."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.DoubleType()))
+    def _f(vecs: pd.Series) -> pd.Series:
+        n = len(vecs)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        valid = ~vecs.isna().to_numpy()
+        out = np.full(n, None, dtype=object)
+        if valid.any():
+            M = np.stack([np.asarray(v, dtype=np.float64)
+                          for v in vecs[valid]])
+            norms = np.linalg.norm(M, axis=1)
+            norms[norms == 0] = 1.0
+            vn = M / norms[:, None]
+            rows = np.empty(len(vn), dtype=object)
+            rows[:] = list(vn)
+            out[valid] = rows
+        return pd.Series(out)
 
     return _f
 
@@ -229,13 +298,13 @@ def build_ivf_index(
     from pyspark.ml.functions import array_to_vector
 
     # null embeddings cannot be indexed (KMeans rejects null features);
-    # dropping them here mirrors how an ANN service treats missing vectors
+    # dropping them here mirrors how an ANN service treats missing vectors.
+    # Normalization is one Arrow matvec per batch (zero vectors pass
+    # through unnormalized rather than becoming NaN) — the interpreted
+    # per-element transform/aggregate form cost ~n·dim evals.
     norm = embs.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("id"),
-        F.transform(
-            _to_double(F.col(vec_col)),
-            lambda x: x / l2_norm(F.col(vec_col)).cast("double"),
-        ).alias("nvec"),
+        _normalize_udf()(F.col(vec_col)).alias("nvec"),
     )
     with_vec = norm.withColumn("features", array_to_vector("nvec"))
     model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(with_vec)
@@ -271,8 +340,8 @@ def ivf_ann_topk(
     cell_dist = ((centroids - qvec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(cell_dist)[:nprobe]]
 
-    qlit = F.array(*[F.lit(float(x)) for x in qvec])
-    sim = dot(F.col("nvec"), qlit)  # normalized → dot == cosine
+    # normalized → dot == cosine; Arrow matvec against the closure constant
+    sim = _cosine_vs_const_udf(qvec, normalize=False)(F.col("nvec"))
     return (
         assigned.filter(F.col("cell").isin(probe_cells))
         .filter(F.col("id") != query_vec_id)
@@ -326,7 +395,8 @@ def _ivf_batch_plan(
     # probed cell meets exactly the queries probing that cell; top-k per
     # query is one row_number window. No driver loop, no union chain —
     # plan size is O(1) in the number of queries.
-    sim = dot(F.col("nvec"), F.col("qvec"))  # normalized → dot == cosine
+    # normalized → dot == cosine; Arrow-batched pairwise einsum
+    sim = _pair_dot_udf()(F.col("nvec"), F.col("qvec"))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col(id_col).asc())
     out = (
