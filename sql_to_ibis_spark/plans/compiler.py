@@ -36,6 +36,7 @@ EXCEPT follows standard set semantics (validated against the DuckDB oracle).
 from __future__ import annotations
 
 import itertools
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, WindowSpec
@@ -695,7 +696,12 @@ class Compiler:
 
         Returns the compiled window Column, or None when the shape doesn't
         apply (different tables, joins in either FROM, distinct aggregates,
-        user-defined aggregates, expression correlation keys)."""
+        user-defined aggregates, expression correlation keys).
+
+        ``SPARK_GRAFT_NO_WINDOW_DECORRELATE=1`` disables the rewrite
+        (escape hatch + A/B measurement switch)."""
+        if os.environ.get("SPARK_GRAFT_NO_WINDOW_DECORRELATE"):
+            return None
         if outer_single is None or len(sub.relations) != 1:
             return None
         rel = sub.relations[0]
