@@ -312,25 +312,30 @@ class Compiler:
         if node.relations:
             df: DataFrame | None = None
             rels: list[RelationInfo] = []
-            for rel_ast in node.relations:
-                if isinstance(rel_ast, ast.UnnestRef):
-                    # lateral: explode over the frame built so far — the
-                    # argument may reference earlier FROM relations
-                    if df is None:
-                        df = self.spark.range(1).drop("id")
-                    col = self.compile_expr(rel_ast.expr, Scope(rels))
-                    out = (rel_ast.columns[0] if rel_ast.columns
-                           else rel_ast.alias)
-                    df = df.withColumn(out, F.explode(col))
-                    rels.append(RelationInfo(qualifier="",
-                                             display=rel_ast.alias,
-                                             columns=[out]))
-                    continue
-                rel_df, rel_infos = self._compile_relation(rel_ast, rels)
-                # comma-separated FROM list → chained cross joins
-                # (reference: parsing/sql_parser.py:674-693)
-                df = rel_df if df is None else df.crossJoin(rel_df)
-                rels.extend(rel_infos)
+            saved_semi = getattr(self, "_semi_plan", {})
+            self._semi_plan = self._plan_semi_reduction(node)
+            try:
+                for rel_ast in node.relations:
+                    if isinstance(rel_ast, ast.UnnestRef):
+                        # lateral: explode over the frame built so far — the
+                        # argument may reference earlier FROM relations
+                        if df is None:
+                            df = self.spark.range(1).drop("id")
+                        col = self.compile_expr(rel_ast.expr, Scope(rels))
+                        out = (rel_ast.columns[0] if rel_ast.columns
+                               else rel_ast.alias)
+                        df = df.withColumn(out, F.explode(col))
+                        rels.append(RelationInfo(qualifier="",
+                                                 display=rel_ast.alias,
+                                                 columns=[out]))
+                        continue
+                    rel_df, rel_infos = self._compile_relation(rel_ast, rels)
+                    # comma-separated FROM list → chained cross joins
+                    # (reference: parsing/sql_parser.py:674-693)
+                    df = rel_df if df is None else df.crossJoin(rel_df)
+                    rels.extend(rel_infos)
+            finally:
+                self._semi_plan = saved_semi
             scope = Scope(rels)
         else:
             df = self.spark.range(1)
@@ -841,6 +846,227 @@ class Compiler:
             back = piece if back is None else (back & piece)
         return grouped, back
 
+    # ----------------------------------------------- star semi-join reduction
+
+    _NONDETERMINISTIC_FNS = {"rand", "randn", "random", "uuid", "shuffle",
+                             "monotonically_increasing_id"}
+
+    def _contains_nondeterministic(self, expr: ast.Expr) -> bool:
+        """Registered nondeterministic builtins, plus ALL user functions
+        (their determinism is unknowable — evaluating one twice in a
+        reducer and again in the real filter could diverge)."""
+        found = False
+
+        def visit(e: object) -> None:
+            nonlocal found
+            if isinstance(e, ast.FuncCall) and (
+                    e.name in self._NONDETERMINISTIC_FNS
+                    or e.name in self.user_functions
+                    or e.name in self.user_aggregates):
+                found = True
+            for child in _children(e):
+                visit(child)
+
+        visit(expr)
+        return found
+
+    def _plan_semi_reduction(
+        self, node: ast.SelectNode
+    ) -> dict[int, list[tuple[list[tuple[str, str]], DataFrame]]]:
+        """Star semi-join reduction: pre-filter each LARGE base relation of
+        an inner-join chain by the join keys of its (transitively) filtered
+        SMALL neighbors, BEFORE the large side reaches any exchange.
+
+        On TPC-H Q5 at sf10 the region filter reaches lineitem only after
+        the 60 M-row exchange+sort (2.4 GB spill); the reduction semi-joins
+        lineitem with supplier⋉(nation⋉σ(region)) at the scan — a broadcast
+        hash semi per fact, cutting the shuffle ~5×. This is the runtime
+        analog of CBO join reordering, which Spark only does with ANALYZE
+        stats that in-memory DataFrames never have; DuckDB's optimizer does
+        the equivalent reorder from its own stats.
+
+        Soundness: for inner joins, a semi join on a SUBSET of the query's
+        own conjuncts (dimension local predicates + equi edges) only
+        removes fact rows that could never find a join partner — the full
+        conjunct set is still applied downstream, unchanged. The pass
+        therefore bails on: non-inner join trees (NULL-extension would
+        change), conjuncts containing subqueries or nondeterministic
+        functions (double evaluation would diverge), ambiguous column
+        sides, and same-table edges (trivial self-semi).
+
+        Size gates (Catalyst plan-time estimates): facts ≥
+        SPARK_GRAFT_SEMIJOIN_FACT_MIN (default 64 MB) get reducers from
+        dimension chains whose every member is ≤ …_DIM_MAX (default 32 MB)
+        and whose chain carries at least one literal predicate. Below the
+        gate (test scale) the pass is a no-op, so small queries pay
+        nothing. SPARK_GRAFT_NO_SEMIJOIN_REDUCTION=1 disables it.
+
+        Returns {id(TableRef ast): [(pairs, reduced_dim_df)]} where pairs
+        are (fact_col, dim_col) true names; applied in _compile_relation.
+        """
+        if os.environ.get("SPARK_GRAFT_NO_SEMIJOIN_REDUCTION"):
+            return {}
+        fact_min = int(os.environ.get(
+            "SPARK_GRAFT_SEMIJOIN_FACT_MIN", str(64 << 20)))
+        dim_max = int(os.environ.get(
+            "SPARK_GRAFT_SEMIJOIN_DIM_MAX", str(32 << 20)))
+
+        base: list[tuple[ast.TableRef, DataFrame]] = []
+        conj_pool: list[ast.Expr] = []
+
+        def flatten(rel: ast.Relation, acc_rels: list, acc_conj: list) -> bool:
+            if isinstance(rel, ast.TableRef):
+                df = self._cte_frames.get(rel.name.lower())
+                if df is None:
+                    try:
+                        df = self.catalog.get(rel.name).df
+                    except Exception:
+                        return False
+                acc_rels.append((rel, df))
+                return True
+            if isinstance(rel, ast.Join):
+                if rel.kind == "cross":
+                    return (flatten(rel.left, acc_rels, acc_conj)
+                            and flatten(rel.right, acc_rels, acc_conj))
+                if rel.kind != "inner":
+                    return False
+                if not (flatten(rel.left, acc_rels, acc_conj)
+                        and flatten(rel.right, acc_rels, acc_conj)):
+                    return False
+                acc_conj.extend(self._split_conjuncts(rel.condition))
+                return True
+            return False
+
+        for rel_ast in node.relations:
+            rels: list = []
+            conj: list = []
+            if flatten(rel_ast, rels, conj):
+                base.extend(rels)
+                conj_pool.extend(conj)
+        if len(base) < 2:
+            return {}
+        if node.where is not None:
+            conj_pool.extend(self._split_conjuncts(node.where))
+        conj_pool = [c for c in conj_pool
+                     if not self._contains_any_subquery(c)
+                     and not self._contains_nondeterministic(c)]
+
+        infos: list[RelationInfo] = []
+        scopes: list[Scope] = []
+        for rel, df in base:
+            q = f"__sred_{next(self._rel_counter)}"
+            info = RelationInfo(qualifier=q,
+                                display=rel.alias or rel.name,
+                                columns=list(df.columns))
+            infos.append(info)
+            scopes.append(Scope([info]))
+
+        local_preds: list[list[ast.Expr]] = [[] for _ in base]
+        from collections import defaultdict
+        edges: dict[tuple[int, int], list[tuple[str, str]]] = defaultdict(list)
+        for c in conj_pool:
+            owners = [i for i in range(len(base))
+                      if self._resolves_in(c, scopes[i])]
+            if len(owners) == 1:
+                local_preds[owners[0]].append(c)
+                continue
+            if owners:
+                continue  # resolves in several relations alone — ambiguous
+            if not (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                continue
+            sides = []
+            for side in (c.left, c.right):
+                side_owner = [i for i in range(len(base))
+                              if self._resolves_in(side, scopes[i])]
+                if len(side_owner) != 1:
+                    sides = None
+                    break
+                sides.append((side_owner[0],
+                              scopes[side_owner[0]].resolve(
+                                  side.name, side.table)[1]))
+            if not sides or sides[0][0] == sides[1][0]:
+                continue
+            (i, ci), (j, cj) = sides
+            edges[(i, j)].append((ci, cj))
+            edges[(j, i)].append((cj, ci))
+
+        if not edges:
+            return {}
+
+        def size_of(df: DataFrame) -> int:
+            try:
+                return int(str(df._jdf.queryExecution().optimizedPlan()
+                               .stats().sizeInBytes()))
+            except Exception:
+                return 1 << 62
+        sizes = [size_of(df) for _, df in base]
+
+        def build_reducer(
+            j: int, visited: frozenset[int], depth: int = 0
+        ) -> tuple[DataFrame | None, bool]:
+            """Dimension j filtered by its local predicates and recursively
+            by its own small filtered neighbors (chain depth ≤ 3 — star
+            schemas are shallow; deeper chains only bloat the plan).
+            Second element: does the chain carry any predicate (else
+            reduction buys nothing)."""
+            _, jdf = base[j]
+            df = jdf.alias(infos[j].qualifier)
+            has_filter = bool(local_preds[j])
+            for p in local_preds[j]:
+                df = df.filter(self.compile_expr(p, scopes[j]))
+            if depth >= 3:
+                return (df, has_filter) if has_filter else (None, False)
+            for k in range(len(base)):
+                pairs = edges.get((j, k))
+                if not pairs or k in visited or sizes[k] > dim_max:
+                    continue
+                if base[j][0].name.lower() == base[k][0].name.lower():
+                    continue
+                sub, sub_filtered = build_reducer(k, visited | {k}, depth + 1)
+                if sub is None or not sub_filtered:
+                    continue
+                keep = list(dict.fromkeys(ck for _cj, ck in pairs))
+                sub_sel = sub.select(*keep)
+                cond: Column | None = None
+                for cjn, ckn in pairs:
+                    piece = df[cjn] == sub_sel[ckn]
+                    cond = piece if cond is None else (cond & piece)
+                df = df.join(F.broadcast(sub_sel), cond, "left_semi")
+                has_filter = True
+            return df, has_filter
+
+        plan: dict[int, list[tuple[list[tuple[str, str]], DataFrame]]] = {}
+        for i in range(len(base)):
+            if sizes[i] < fact_min:
+                continue
+            reducers = []
+            for j in range(len(base)):
+                pairs = edges.get((i, j))
+                if not pairs or sizes[j] > dim_max:
+                    continue
+                if base[i][0].name.lower() == base[j][0].name.lower():
+                    continue
+                red, has_filter = build_reducer(j, frozenset({i, j}))
+                if red is None or not has_filter:
+                    continue
+                keep = list(dict.fromkeys(cj for _ci, cj in pairs))
+                reducers.append((pairs, red.select(*keep)))
+            if reducers:
+                plan[id(base[i][0])] = reducers
+        return plan
+
+    def _apply_semi_reduction(self, rel: ast.Relation,
+                              df: DataFrame) -> DataFrame:
+        for pairs, red in getattr(self, "_semi_plan", {}).get(id(rel), []):
+            cond: Column | None = None
+            for fc, dc in pairs:
+                piece = df[fc] == red[dc]
+                cond = piece if cond is None else (cond & piece)
+            df = df.join(F.broadcast(red), cond, "left_semi")
+        return df
+
     # -------------------------------------------------------------- FROM/join
 
     def _compile_relation(
@@ -851,11 +1077,13 @@ class Compiler:
             if cte is not None:
                 display = rel.alias or rel.name
                 info = self._make_rel_info(display, cte, existing)
-                return cte.alias(info.qualifier), [info]
+                reduced = self._apply_semi_reduction(rel, cte)
+                return reduced.alias(info.qualifier), [info]
             entry = self.catalog.get(rel.name)
             display = rel.alias or entry.name
             info = self._make_rel_info(display, entry.df, existing)
-            return entry.df.alias(info.qualifier), [info]
+            reduced = self._apply_semi_reduction(rel, entry.df)
+            return reduced.alias(info.qualifier), [info]
         if isinstance(rel, ast.SubqueryRef):
             inner = self.compile(rel.query)
             if rel.columns is not None:
