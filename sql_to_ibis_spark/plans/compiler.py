@@ -892,7 +892,10 @@ class Compiler:
         therefore bails on: non-inner join trees (NULL-extension would
         change), conjuncts containing subqueries or nondeterministic
         functions (double evaluation would diverge), ambiguous column
-        sides, and same-table edges (trivial self-semi).
+        sides, same-table edges (trivial self-semi), and CTE-backed
+        dimensions (a nondeterministic CTE plan re-executes independently
+        in the reducer and the main join). Registered tables are assumed
+        deterministic — the standard table contract.
 
         Size gates (Catalyst plan-time estimates): facts ≥
         SPARK_GRAFT_SEMIJOIN_FACT_MIN (default 64 MB) get reducers from
@@ -911,18 +914,19 @@ class Compiler:
         dim_max = int(os.environ.get(
             "SPARK_GRAFT_SEMIJOIN_DIM_MAX", str(32 << 20)))
 
-        base: list[tuple[ast.TableRef, DataFrame]] = []
+        base: list[tuple[ast.TableRef, DataFrame, bool]] = []
         conj_pool: list[ast.Expr] = []
 
         def flatten(rel: ast.Relation, acc_rels: list, acc_conj: list) -> bool:
             if isinstance(rel, ast.TableRef):
                 df = self._cte_frames.get(rel.name.lower())
+                is_cte = df is not None
                 if df is None:
                     try:
                         df = self.catalog.get(rel.name).df
                     except Exception:
                         return False
-                acc_rels.append((rel, df))
+                acc_rels.append((rel, df, is_cte))
                 return True
             if isinstance(rel, ast.Join):
                 if rel.kind == "cross":
@@ -953,7 +957,7 @@ class Compiler:
 
         infos: list[RelationInfo] = []
         scopes: list[Scope] = []
-        for rel, df in base:
+        for rel, df, _is_cte in base:
             q = f"__sred_{next(self._rel_counter)}"
             info = RelationInfo(qualifier=q,
                                 display=rel.alias or rel.name,
@@ -1001,7 +1005,7 @@ class Compiler:
                                .stats().sizeInBytes()))
             except Exception:
                 return 1 << 62
-        sizes = [size_of(df) for _, df in base]
+        sizes = [size_of(df) for _, df, _ in base]
 
         def build_reducer(
             j: int, visited: frozenset[int], depth: int = 0
@@ -1011,7 +1015,7 @@ class Compiler:
             schemas are shallow; deeper chains only bloat the plan).
             Second element: does the chain carry any predicate (else
             reduction buys nothing)."""
-            _, jdf = base[j]
+            _, jdf, _ = base[j]
             df = jdf.alias(infos[j].qualifier)
             has_filter = bool(local_preds[j])
             for p in local_preds[j]:
@@ -1020,7 +1024,11 @@ class Compiler:
                 return (df, has_filter) if has_filter else (None, False)
             for k in range(len(base)):
                 pairs = edges.get((j, k))
-                if not pairs or k in visited or sizes[k] > dim_max:
+                if not pairs or k in visited or sizes[k] > dim_max \
+                        or base[k][2]:
+                    # CTE-backed dims are excluded: a nondeterministic CTE
+                    # plan re-executes independently in the reducer and the
+                    # main join, which could diverge
                     continue
                 if base[j][0].name.lower() == base[k][0].name.lower():
                     continue
@@ -1044,7 +1052,7 @@ class Compiler:
             reducers = []
             for j in range(len(base)):
                 pairs = edges.get((i, j))
-                if not pairs or sizes[j] > dim_max:
+                if not pairs or sizes[j] > dim_max or base[j][2]:
                     continue
                 if base[i][0].name.lower() == base[j][0].name.lower():
                     continue
