@@ -855,6 +855,24 @@ _PAIRS["join_asof_sql"] = (
 )
 
 
+# Quantified comparisons (r6): x <op> ANY/ALL/SOME (subquery) — identical
+# statement runs on both engines. Equality forms lower to IN/NOT IN;
+# ordered forms lower to count/extremum/null-count aggregate scalar
+# subqueries (plans/compiler.py _lower_quantified), so the correlated form
+# below rides the window-decorrelation path (one shuffle, zero joins).
+_PAIRS["subquery_quantified_all_correlated"] = (
+    "SELECT count(*) AS n_line_max FROM lineitem l1 "
+    "WHERE l1.l_quantity >= ALL (SELECT l2.l_quantity FROM lineitem l2 "
+    "WHERE l2.l_orderkey = l1.l_orderkey)",
+    None,
+)
+_PAIRS["subquery_quantified_any_grouped"] = (
+    "SELECT count(*) AS n FROM orders "
+    "WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders "
+    "GROUP BY o_totalprice HAVING count(*) > 1)",
+    None,
+)
+
 # NOW()/TODAY() under a pinned clock (sql_to_ibis_spark.set_fixed_clock):
 # the reference maps them to the wall clock at query build time
 # (parsing/transformers.py:371-387), which is correct but unhashable; the
@@ -903,6 +921,7 @@ _PRIORITY: list[str] = [
     # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
     "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
     "distinct_on_latest_event",
+    "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",

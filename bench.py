@@ -82,6 +82,8 @@ HEADLINE = [
     "join_asof_sql",
     "pivot_event_type",
     "distinct_on_latest_event",
+    # round-6-late additions
+    "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
 ]
 
 

@@ -127,6 +127,20 @@ class ScalarSubquery(Expr):
 
 
 @dataclass
+class QuantifiedCompare(Expr):
+    """``x <op> ANY/ALL/SOME (subquery)`` — quantified comparison
+    (extension; SOME normalizes to ANY at parse time). Lowered in the
+    compiler to IN / NOT IN for the equality forms and to aggregate
+    scalar subqueries (count/min/max/null-count) for the ordered forms,
+    so correlated subqueries ride the existing decorrelation machinery."""
+
+    op: str                 # '=', '!=', '>', '>=', '<', '<='
+    operand: Expr = None
+    quantifier: str = "any"  # 'any' | 'all'
+    subquery: "SelectNode | SetOpNode" = None
+
+
+@dataclass
 class ScalarRef(Expr):
     """Internal marker: a scalar-subquery value materialized as a joined
     column. Produced by the compiler's rewrite, never by the parser."""

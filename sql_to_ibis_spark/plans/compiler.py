@@ -341,6 +341,7 @@ class Compiler:
             df = self.spark.range(1)
             scope = Scope([])
 
+        self._lower_quantified_in_node(node)
         df = self._bind_scalar_subqueries(df, node, scope)
 
         if node.group_by_all:
@@ -533,6 +534,148 @@ class Compiler:
             else:
                 df = df.join(sub, cond, "left")
         return df
+
+    # ------------------------------------------- quantified comparisons
+
+    def _lower_quantified_in_node(self, node: ast.SelectNode) -> None:
+        """Rewrite ``x <op> ANY/ALL (sub)`` before scalar binding. Equality
+        forms map to IN / NOT IN (identical semantics, incl. NOT IN's NULL
+        behavior); ordered forms become three aggregate scalar subqueries
+        (count, min-or-max extremum, null count) combined in a CASE that
+        reproduces SQL's three-valued quantifier semantics. Correlated
+        subqueries work on the plain-SELECT shape because the constructed
+        aggregates ride the existing decorrelation machinery (groupBy
+        rewrite / window rewrite / magic set)."""
+
+        def lower(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.QuantifiedCompare):
+                return self._lower_quantified(e)
+            return e
+
+        for item in node.items:
+            if not isinstance(item.expr, ast.Star):
+                item.expr = _transform_expr(item.expr, lower)
+        if node.where is not None:
+            node.where = _transform_expr(node.where, lower)
+        if node.having is not None:
+            node.having = _transform_expr(node.having, lower)
+
+    def _lower_quantified(self, qc: ast.QuantifiedCompare) -> ast.Expr:
+        import copy
+
+        op, quant, sub = qc.op, qc.quantifier, qc.subquery
+        if op == "=" and quant == "any":
+            return ast.InSubquery(operand=qc.operand, subquery=sub)
+        if op == "!=" and quant == "all":
+            return ast.InSubquery(operand=qc.operand, subquery=sub,
+                                  negated=True)
+        if op == "=" and quant == "all":
+            # x = ALL(S)  ⟺  x >= ALL(S) AND x <= ALL(S) (3VL-composable)
+            return ast.BinaryOp(
+                op="and",
+                left=self._lower_quantified(ast.QuantifiedCompare(
+                    op=">=", operand=_copy_expr(qc.operand),
+                    quantifier="all", subquery=copy.deepcopy(sub))),
+                right=self._lower_quantified(ast.QuantifiedCompare(
+                    op="<=", operand=_copy_expr(qc.operand),
+                    quantifier="all", subquery=copy.deepcopy(sub))))
+        if op == "!=" and quant == "any":
+            # x != ANY(S)  ⟺  NOT (x = ALL(S))
+            return ast.UnaryOp(op="not", operand=self._lower_quantified(
+                ast.QuantifiedCompare(op="=", operand=qc.operand,
+                                      quantifier="all", subquery=sub)))
+        if op not in (">", ">=", "<", "<="):
+            raise InvalidQueryException(
+                f"unsupported quantified comparison operator {op!r}")
+
+        # ordered forms: extremum choice makes  x op ext  ⟺
+        # exists/forall over the non-null elements
+        want_min = (op in (">", ">=")) == (quant == "any")
+        ext_fn = "min" if want_min else "max"
+        n_sq, ext_sq, nulls_sq = self._quantifier_aggregates(sub, ext_fn)
+
+        x = qc.operand
+        n0 = ast.BinaryOp(op="=", left=n_sq, right=ast.NumberLit(value=0))
+        cmp_ext = ast.BinaryOp(op=op, left=_copy_expr(x), right=ext_sq)
+        unknown = ast.BinaryOp(
+            op="or",
+            left=ast.BinaryOp(op=">", left=nulls_sq,
+                              right=ast.NumberLit(value=0)),
+            right=ast.IsNull(operand=_copy_expr(x)))
+        if quant == "any":
+            # FALSE on empty; TRUE if some non-null element satisfies;
+            # NULL if undecided only because of NULLs; else FALSE
+            return ast.Case(whens=[
+                (n0, ast.BoolLit(value=False)),
+                (cmp_ext, ast.BoolLit(value=True)),
+                (unknown, ast.NullLit()),
+            ], else_=ast.BoolLit(value=False))
+        # ALL: TRUE on empty; FALSE if some non-null element violates;
+        # NULL if undecided only because of NULLs; else TRUE
+        violation = ast.UnaryOp(op="not", operand=cmp_ext)
+        return ast.Case(whens=[
+            (n0, ast.BoolLit(value=True)),
+            (violation, ast.BoolLit(value=False)),
+            (unknown, ast.NullLit()),
+        ], else_=ast.BoolLit(value=True))
+
+    def _quantifier_aggregates(
+        self, sub, ext_fn: str
+    ) -> tuple[ast.Expr, ast.Expr, ast.Expr]:
+        """(count(*), min/max(v), count of NULL v) as ScalarSubquery exprs
+        over ``sub``'s rows. Plain single-item SELECTs swap the item in
+        place (preserving correlation); aggregated/limited/set-op bodies
+        wrap as a derived table (uncorrelated only — a correlated ref
+        inside the wrap fails resolution loudly, not silently)."""
+        import copy
+
+        plain = (isinstance(sub, ast.SelectNode)
+                 and len(sub.items) == 1
+                 and not isinstance(sub.items[0].expr, ast.Star)
+                 and not sub.group_by and not sub.group_by_all
+                 and sub.having is None and not sub.distinct
+                 and not sub.distinct_on and sub.limit is None
+                 and sub.offset is None and sub.qualify is None
+                 and not self._contains_aggregate(sub.items[0].expr))
+        if plain:
+            def variant(items_of) -> ast.SelectNode:
+                s = copy.deepcopy(sub)
+                v = s.items[0].expr
+                s.items = [ast.SelectItem(expr=items_of(v))]
+                return s
+
+            n = variant(lambda v: ast.FuncCall(name="count", is_star=True))
+            ext = variant(lambda v: ast.FuncCall(name=ext_fn, args=[v]))
+            nulls = variant(lambda v: ast.FuncCall(
+                name="count", is_star=True,
+                filter_where=ast.IsNull(operand=_copy_expr(v))))
+            return (ast.ScalarSubquery(subquery=n),
+                    ast.ScalarSubquery(subquery=ext),
+                    ast.ScalarSubquery(subquery=nulls))
+
+        if isinstance(sub, ast.SelectNode) and (
+                len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star)):
+            raise InvalidQueryException(
+                "quantified comparison subquery must return exactly 1 column")
+        col = f"__qv_{next(self._tmp_counter)}"
+
+        def wrapped(item: ast.Expr, where: ast.Expr | None = None
+                    ) -> ast.SelectNode:
+            return ast.SelectNode(
+                items=[ast.SelectItem(expr=item)],
+                relations=[ast.SubqueryRef(query=copy.deepcopy(sub),
+                                           alias=f"__q_{next(self._tmp_counter)}",
+                                           columns=[col])],
+                where=where)
+
+        vref = lambda: ast.ColumnRef(name=col)  # noqa: E731
+        n = wrapped(ast.FuncCall(name="count", is_star=True))
+        ext = wrapped(ast.FuncCall(name=ext_fn, args=[vref()]))
+        nulls = wrapped(ast.FuncCall(name="count", is_star=True),
+                        where=ast.IsNull(operand=vref()))
+        return (ast.ScalarSubquery(subquery=n),
+                ast.ScalarSubquery(subquery=ext),
+                ast.ScalarSubquery(subquery=nulls))
 
     def _restrict_outer(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope

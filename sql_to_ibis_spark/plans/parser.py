@@ -645,6 +645,17 @@ class _Parser:
                 op = self.advance().text
                 if op == "<>":
                     op = "!="
+                if self.at_kw("any", "all", "some") \
+                        and self.peek().text == "(":
+                    quant = self.advance().text.lower()
+                    self.expect_op("(")
+                    sub = self._parse_with_or_set_expr()
+                    self.expect_op(")")
+                    left = ast.QuantifiedCompare(
+                        op=op, operand=left,
+                        quantifier="any" if quant == "some" else quant,
+                        subquery=sub)
+                    continue
                 left = ast.BinaryOp(op=op, left=left, right=self._parse_concat())
                 continue
             if self.at_kw("is"):

@@ -426,3 +426,108 @@ def test_distinct_on_single_shuffle_plan(engine):
     # row_number window (1 hash exchange) + final sort (1 range exchange);
     # never an aggregation-join or per-group collect
     assert plan.count("Exchange") == 2
+
+
+class TestQuantifiedComparisons:
+    """x <op> ANY/ALL/SOME (subquery) — extension (absent from the
+    reference grammar). Equality forms lower to IN/NOT IN; ordered forms
+    lower to count/extremum/null-count aggregate scalar subqueries, so
+    correlated bodies reuse the decorrelation machinery."""
+
+    def test_gt_all_uncorrelated(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                      WHERE o_orderkey < 100)
+        """)
+
+    def test_gt_any_uncorrelated(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders
+                                      WHERE o_orderkey < 100)
+        """)
+
+    def test_some_is_any(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice < SOME (SELECT avg(o_totalprice) FROM orders)
+        """)
+
+    def test_eq_any_is_in(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_orderkey = ANY (SELECT o_orderkey FROM orders
+                                    WHERE o_totalprice > 400000)
+        """)
+
+    def test_neq_all_is_not_in(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM nation
+            WHERE n_nationkey <> ALL (SELECT r_regionkey FROM region)
+        """)
+
+    def test_empty_set_semantics(self, oracle):
+        # ALL over empty is TRUE for every row; ANY over empty is FALSE
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > ALL (SELECT o_totalprice FROM orders
+                                      WHERE o_orderkey < 0)
+        """)
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders
+                                      WHERE o_orderkey < 0)
+        """)
+
+    def test_null_element_semantics(self, oracle):
+        # 5 > ALL {3, NULL} is NULL (not TRUE): the NULL element leaves the
+        # quantifier undecided — rows with NULL predicate are filtered out
+        oracle("""
+            SELECT count(*) AS n FROM region
+            WHERE r_regionkey + 10 > ALL
+                  (SELECT v FROM (VALUES (3), (NULL)) t(v))
+        """)
+        oracle("""
+            SELECT count(*) AS n FROM region
+            WHERE r_regionkey - 10 > ANY
+                  (SELECT v FROM (VALUES (3), (NULL)) t(v))
+        """)
+
+    def test_eq_all(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM region
+            WHERE r_regionkey = ALL (SELECT min(r_regionkey) FROM region)
+        """)
+
+    def test_correlated_all_window_path(self, oracle):
+        # same-table correlated ALL → the aggregates take the window path
+        oracle("""
+            SELECT count(*) AS n FROM lineitem l1
+            WHERE l1.l_quantity >= ALL (SELECT l2.l_quantity FROM lineitem l2
+                                        WHERE l2.l_orderkey = l1.l_orderkey)
+        """)
+
+    def test_correlated_any_different_tables(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE o.o_totalprice > ALL (SELECT l.l_extendedprice
+                                        FROM lineitem l
+                                        WHERE l.l_orderkey = o.o_orderkey)
+        """)
+
+    def test_grouped_subquery_wraps(self, oracle):
+        # GROUP BY/HAVING bodies wrap as a derived table
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders
+                                      GROUP BY o_totalprice
+                                      HAVING count(*) > 1)
+        """)
+
+    def test_any_without_parens_is_column_error(self, engine):
+        from sql_to_ibis_spark.errors import ColumnNotFoundError
+        import pytest as _pytest
+        # 'any' not followed by ( parses as a column reference
+        with _pytest.raises(ColumnNotFoundError):
+            engine.query("SELECT 1 AS x FROM region WHERE r_regionkey > any")
