@@ -688,8 +688,23 @@ class Compiler:
         keeps also passes every subquery-free conjunct — the restricted
         outer's key set covers every row whose scalar value can matter.
         Rows outside it get NULL from the decorrelating left join, and are
-        discarded by those same conjuncts regardless of the scalar."""
+        discarded by those same conjuncts regardless of the scalar.
+
+        Cost gate: the restriction RE-EXECUTES the outer FROM to compute
+        its distinct keys (Spark has no DuckDB-style delim-scan sharing),
+        so it only pays when the outer is cheap to duplicate — at most two
+        base relations (the Q17 lineitem×part shape). Duplicating a
+        five-way join (TPC-H Q2's outer) costs more than the narrowed
+        aggregation saves (measured: q2 +165% at sf1 before this gate)."""
         if node.where is None:
+            return None
+
+        def n_base(rel: ast.Relation) -> int:
+            if isinstance(rel, ast.Join):
+                return n_base(rel.left) + n_base(rel.right)
+            return 1
+
+        if sum(n_base(r) for r in node.relations) > 2:
             return None
         plain = [c for c in self._split_conjuncts(node.where)
                  if not self._contains_any_subquery(c)]
