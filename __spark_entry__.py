@@ -922,6 +922,7 @@ _PRIORITY: list[str] = [
     "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
     "distinct_on_latest_event",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
+    "pipeline_dedup_lines",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
@@ -1081,6 +1082,38 @@ def _add_pipeline_operators(out: dict) -> None:
                round(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS double)
                      / NULLIF(length(text), 0), 6) AS alpha_ratio
         FROM documents
+    """
+
+    # corpus-level line dedup (C4/Dolma boilerplate removal): drop lines in
+    # more than max_doc_freq distinct docs, rebuild docs in line order.
+    # The synthetic docs are single-line, so max_doc_freq=1 makes the
+    # duplicate texts (the planted exact-dup group) blank out — the oracle
+    # reproduces posexplode/anti-join/ordered-rebuild with WITH ORDINALITY
+    def line_dedup(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        return dedup.dedup_lines(_docs(spark, sf_dir), max_doc_freq=1)
+
+    out["pipeline_dedup_lines"] = line_dedup
+    _PIPELINE_ORACLES["pipeline_dedup_lines"] = """
+        WITH parts AS (
+          SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+        ), lines AS (
+          SELECT p.doc_id, p.ls[t.i] AS line, t.i AS pos
+          FROM parts p, LATERAL (
+            SELECT unnest(generate_series(1, len(p.ls))) AS i) t
+          WHERE trim(p.ls[t.i]) != ''
+        ), common AS (
+          SELECT line FROM lines GROUP BY line
+          HAVING count(DISTINCT doc_id) > 1
+        ), kept AS (
+          SELECT * FROM lines
+          WHERE line NOT IN (SELECT line FROM common)
+        )
+        SELECT d.doc_id,
+               coalesce(string_agg(k.line, chr(10) ORDER BY k.pos), '')
+                 AS text
+        FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
+        GROUP BY d.doc_id
     """
 
     def term_freq(spark, sf_dir):

@@ -762,3 +762,60 @@ def containment_candidates(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int = 2,
+) -> DataFrame:
+    """Corpus-level line dedup (C4/Dolma boilerplate removal): drop every
+    non-empty line that occurs in MORE than ``max_doc_freq`` distinct
+    documents, then rebuild each document from its surviving lines in the
+    original order. Catches navigation bars, cookie banners, license
+    headers — repeated boilerplate that per-document dedup can't see.
+
+    Whitespace-only lines are normalized away (they'd otherwise count as
+    corpus-wide duplicates and delete every blank separator); the rebuilt
+    text joins surviving lines with a single newline. Documents whose
+    lines are all dropped survive with empty text (downstream length
+    filters decide their fate — this operator never drops documents).
+
+    Scale shape: posexplode keeps line order without a window; the line
+    document-frequency aggregate is one shuffle on the line (map-side
+    partial count-distinct); the over-represented-line set is tiny in
+    practice (boilerplate is heavy-tailed), so the anti join broadcasts
+    under AQE; the rebuild is one shuffle on the doc id with
+    ``array_sort``-of-structs restoring order — no window, no UDFs.
+    """
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), r"\n"))
+            .alias("__pos", "__line"),
+        )
+        .filter(F.trim(F.col("__line")) != "")
+    )
+    common = (
+        lines.groupBy("__line")
+        .agg(F.count_distinct(F.col(id_col)).alias("__df"))
+        .filter(F.col("__df") > max_doc_freq)
+        .select("__line")
+    )
+    kept = lines.join(common, "__line", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.struct(F.col("__pos"), F.col("__line")))),
+                lambda s: s["__line"],
+            ),
+        ).alias("__text")
+    )
+    return (
+        df.select(F.col(id_col)).join(rebuilt, id_col, "left")
+        .select(F.col(id_col),
+                F.coalesce(F.col("__text"), F.lit("")).alias(text_col))
+    )

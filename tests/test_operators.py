@@ -790,3 +790,41 @@ def test_containment_df_cap_drops_boilerplate(spark):
     # without the cap the footer makes everyone a candidate of everyone
     uncapped = dedup.containment_candidates(df, threshold=0.5, df_cap=None)
     assert uncapped.count() > 0
+
+
+def test_dedup_lines_corpus_boilerplate(spark):
+    """Corpus-level line dedup: boilerplate in > max_doc_freq docs drops,
+    unique lines survive in original order, whitespace lines normalize
+    away, fully-boilerplate docs survive with empty text."""
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["COOKIE BANNER\nreal content one\nFOOTER",
+                 "COOKIE BANNER\nreal content two\nFOOTER",
+                 "COOKIE BANNER\nunique stuff\n\n  \nFOOTER",
+                 "all original\nno boilerplate",
+                 "COOKIE BANNER\nFOOTER"],
+    })).coalesce(2)
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.dedup_lines(df, max_doc_freq=2).collect()}
+    assert got == {
+        1: "real content one",
+        2: "real content two",
+        3: "unique stuff",
+        4: "all original\nno boilerplate",
+        5: "",
+    }
+
+
+def test_dedup_lines_plan_no_window_no_udf(spark):
+    import pandas as pd
+
+    from tests.test_plan_quality import plan_of
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a\nb"]}))
+    plan = plan_of(dedup.dedup_lines(df), "simple")
+    # order restored via array_sort-of-structs, not a window; no Python
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
