@@ -922,7 +922,7 @@ _PRIORITY: list[str] = [
     "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
     "distinct_on_latest_event",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
-    "pipeline_dedup_lines",
+    "pipeline_dedup_lines", "pipeline_take_token_budget",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
@@ -1114,6 +1114,36 @@ def _add_pipeline_operators(out: dict) -> None:
                  AS text
         FROM documents d LEFT JOIN kept k ON d.doc_id = k.doc_id
         GROUP BY d.doc_id
+    """
+
+    # global token-budget curation: fill a fixed token budget with the
+    # longest documents first (n_chars as the ranking; ties by doc_id).
+    # The ordered prefix sum runs as the two-pass distributed scan — the
+    # oracle is a plain window cumsum, which only matches if the
+    # partition-base bookkeeping is exact
+    def token_budget(spark, sf_dir):
+        from sql_to_ibis_spark.operators import sampling
+
+        _engine_for(spark, sf_dir)
+        return sampling.take_token_budget(
+            _docs(spark, sf_dir), budget_tokens=5000, order_col="n_chars")
+
+    out["pipeline_take_token_budget"] = token_budget
+    _PIPELINE_ORACLES["pipeline_take_token_budget"] = r"""
+        WITH tok AS (
+          SELECT doc_id, n_chars,
+                 CAST(len(string_split(lower(trim(regexp_replace(
+                   text, '\s+', ' ', 'g'))), ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), c AS (
+          SELECT doc_id, n_tokens,
+                 CAST(sum(n_tokens) OVER (ORDER BY n_chars DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS BIGINT) AS tokens_before
+          FROM tok
+        )
+        SELECT doc_id, n_tokens, tokens_before FROM c
+        WHERE tokens_before < 5000
     """
 
     def term_freq(spark, sf_dir):

@@ -84,7 +84,7 @@ HEADLINE = [
     "distinct_on_latest_event",
     # round-6-late additions
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
-    "pipeline_dedup_lines",
+    "pipeline_dedup_lines", "pipeline_take_token_budget",
 ]
 
 

@@ -3,8 +3,10 @@
 At 100 TB the only splits that survive reruns, backfills, and incremental
 ingestion are DETERMINISTIC ones: a row's membership must be a pure function
 of its key, never of partition layout or RNG state. Everything here is
-expressed with JVM hash/window expressions — no Python, no collect, no
-nondeterministic ``rand()`` in the persisted path.
+expressed with JVM hash/window expressions — no Python, no collect of data
+rows (``take_token_budget``'s two-pass scan collects O(partitions)
+per-partition totals only), no nondeterministic ``rand()`` in the
+persisted path.
 
 Reference has no sampling surface at all; these are Spark-native extensions
 (brief: "operations a large-scale training-data pipeline would need").
@@ -110,3 +112,70 @@ def top_n_per_key(
     w = Window.partitionBy(key_col).orderBy(order, F.col(id_col))
     return (df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= n).drop("__rn"))
+
+
+def take_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    order_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    partitions: int = 32,
+    descending: bool = True,
+) -> DataFrame:
+    """Fill a global token budget with the best documents first: order the
+    corpus by ``order_col`` (descending by default — quality-first), take
+    documents while the EXCLUSIVE running token total stays under
+    ``budget_tokens``. This is the "build an N-token training mix from the
+    top of the quality ranking" curation step. The boundary document that
+    crosses the budget IS included (its ``tokens_before`` tells the loader
+    where to truncate); everything after it is dropped.
+
+    Returns ``(id, n_tokens, tokens_before)`` for selected documents.
+
+    Scale shape: the global ordered prefix sum uses the same two-pass
+    distributed scan as ``text.pack_sequences`` — range-repartition on the
+    ordering key so partitions are globally ordered, window-scan within
+    each partition, prefix-sum the O(partitions) per-partition totals on
+    the driver, broadcast the base offsets back. A naive
+    ``ORDER BY`` window would run the scan on ONE task; driver state here
+    is O(partitions), never O(rows).
+    """
+    from pyspark.sql import Window
+
+    from sql_to_ibis_spark.operators.dedup import normalized_text
+
+    t = normalized_text(F.col(text_col))
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    toks = df.select(
+        F.col(id_col), F.col(order_col),
+        F.coalesce(F.size(F.split(t, " ")), F.lit(0))
+        .cast("bigint").alias("n_tokens"),
+    ).repartitionByRange(partitions, key, F.col(id_col))
+
+    part = toks.withColumn("__pid", F.spark_partition_id())
+    w = (Window.partitionBy("__pid").orderBy(key, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = part.withColumn("__local_cum", F.sum("n_tokens").over(w))
+
+    totals = sorted(
+        local.groupBy("__pid").agg(F.max("__local_cum").alias("t"))
+        .collect(), key=lambda r: r["__pid"])
+    base, offsets = 0, {}
+    for r in totals:
+        offsets[r["__pid"]] = base
+        base += r["t"]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()],
+        "__pid int, __base long")
+
+    return (
+        local.join(F.broadcast(base_df), "__pid")
+        .select(
+            F.col(id_col), F.col("n_tokens"),
+            (F.col("__base") + F.col("__local_cum") - F.col("n_tokens"))
+            .alias("tokens_before"),
+        )
+        .filter(F.col("tokens_before") < budget_tokens)
+    )

@@ -828,3 +828,43 @@ def test_dedup_lines_plan_no_window_no_udf(spark):
     # order restored via array_sort-of-structs, not a window; no Python
     assert "Window" not in plan
     assert "EvalPython" not in plan
+
+
+def test_take_token_budget_matches_single_window(spark):
+    """The two-pass distributed prefix scan must equal a naive global
+    window cumsum, including the boundary document (included, with
+    tokens_before telling the loader where to truncate)."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+    from sql_to_ibis_spark.operators import sampling
+    from sql_to_ibis_spark.operators.dedup import normalized_text
+
+    pdf = pd.DataFrame({
+        "doc_id": range(50),
+        "text": [" ".join(["tok"] * (3 + i % 7)) for i in range(50)],
+        "quality": [(i * 37) % 50 for i in range(50)],
+    })
+    df = spark.createDataFrame(pdf).repartition(5)
+    got = sampling.take_token_budget(
+        df, budget_tokens=100, order_col="quality", partitions=4)
+    w = (Window.orderBy(F.col("quality").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    naive = (
+        df.select("doc_id", "quality",
+                  F.size(F.split(normalized_text(F.col("text")), " "))
+                  .cast("bigint").alias("n_tokens"))
+        .withColumn("tokens_before",
+                    F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .filter(F.col("tokens_before") < 100)
+        .select("doc_id", "n_tokens", "tokens_before")
+    )
+    a = sorted(map(tuple, got.collect()))
+    b = sorted(map(tuple, naive.collect()))
+    assert a == b and len(a) > 0
+    # budget boundary: the selected set is exactly the ordered prefix that
+    # first crosses the budget — its total minus the boundary doc's tokens
+    # (the doc with the largest tokens_before) stays under budget
+    total = sum(r[1] for r in a)
+    boundary = max(a, key=lambda r: r[2])
+    assert total >= 100 and total - boundary[1] < 100
