@@ -817,6 +817,18 @@ def test_dedup_lines_corpus_boilerplate(spark):
     }
 
 
+def test_dedup_lines_null_text_becomes_empty(spark):
+    # null text has no lines -> survives as '' like a fully-dropped doc
+    # (the operator never drops documents)
+    import pandas as pd
+
+    df = spark.createDataFrame(pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["a\nb", None]})).coalesce(1)
+    got = {r["doc_id"]: r["text"]
+           for r in dedup.dedup_lines(df).collect()}
+    assert got == {1: "a\nb", 2: ""}
+
+
 def test_dedup_lines_plan_no_window_no_udf(spark):
     import pandas as pd
 
