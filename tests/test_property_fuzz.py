@@ -322,3 +322,38 @@ def test_random_in_subquery_matches_duckdb(engine, ddb, neg, pred):
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+@given(op=st.sampled_from(["<", "<=", ">", ">=", "=", "!="]),
+       quant=st.sampled_from(["ANY", "ALL", "SOME"]),
+       col=st.sampled_from(["l_quantity", "l_extendedprice", "l_orderkey"]),
+       subcol=st.sampled_from(["l_quantity", "l_linenumber"]),
+       bound=st.integers(min_value=-50, max_value=400))
+@FUZZ
+def test_random_quantified_comparison_matches_duckdb(
+        engine, ddb, op, quant, col, subcol, bound):
+    # subquery ranges over empty / small / large sets as `bound` moves, so
+    # empty-set semantics (ALL→TRUE, ANY→FALSE) fuzz along with the op grid
+    sql = (f"SELECT count(*) AS n FROM lineitem "
+           f"WHERE {col} {op} {quant} "
+           f"(SELECT {subcol} FROM lineitem WHERE l_orderkey < {bound})")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(op=st.sampled_from(["<", "<=", ">", ">="]),
+       quant=st.sampled_from(["ANY", "ALL"]),
+       agg_null=st.booleans())
+@FUZZ
+def test_random_quantified_null_elements_match_duckdb(
+        engine, ddb, op, quant, agg_null):
+    # NULL elements in the subquery set: undecided quantifiers must be
+    # NULL, not FALSE/TRUE — exercised via a VALUES set with/without NULL
+    vals = "(3), (NULL), (7)" if agg_null else "(3), (7)"
+    sql = (f"SELECT count(*) AS n FROM orders "
+           f"WHERE o_orderkey {op} {quant} "
+           f"(SELECT v FROM (VALUES {vals}) t(v))")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
