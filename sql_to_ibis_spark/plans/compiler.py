@@ -341,7 +341,7 @@ class Compiler:
             df = self.spark.range(1)
             scope = Scope([])
 
-        self._lower_quantified_in_node(node)
+        self._lower_expr_subqueries_in_node(node)
         df = self._bind_scalar_subqueries(df, node, scope)
 
         if node.group_by_all:
@@ -537,28 +537,131 @@ class Compiler:
 
     # ------------------------------------------- quantified comparisons
 
-    def _lower_quantified_in_node(self, node: ast.SelectNode) -> None:
-        """Rewrite ``x <op> ANY/ALL (sub)`` before scalar binding. Equality
-        forms map to IN / NOT IN (identical semantics, incl. NOT IN's NULL
-        behavior); ordered forms become three aggregate scalar subqueries
-        (count, min-or-max extremum, null count) combined in a CASE that
-        reproduces SQL's three-valued quantifier semantics. Correlated
-        subqueries work on the plain-SELECT shape because the constructed
-        aggregates ride the existing decorrelation machinery (groupBy
-        rewrite / window rewrite / magic set)."""
+    def _lower_expr_subqueries_in_node(self, node: ast.SelectNode) -> None:
+        """Pre-binding rewrites of subquery predicates in EXPRESSION
+        position:
+
+        * ``x <op> ANY/ALL (sub)`` — equality forms map to IN / NOT IN
+          (identical semantics, incl. NOT IN's NULL behavior); ordered
+          forms become three aggregate scalar subqueries (count,
+          min-or-max extremum, null count) combined in a CASE that
+          reproduces SQL's three-valued quantifier semantics.
+        * ``EXISTS (sub)`` anywhere an expression is allowed (SELECT list,
+          OR branches, CASE, HAVING) — lowered to
+          ``(SELECT count(*) …) > 0``. Correlated bodies ride the scalar
+          decorrelation machinery (groupBy / window rewrite / magic set).
+        * ``x IN (sub)`` in expression position — lowered to
+          hit-count / null-count / total-count scalar subqueries with
+          full three-valued semantics.
+
+        Top-level WHERE conjuncts whose core is IN/EXISTS are left alone —
+        the semi/anti-join path in ``_apply_where`` is the scalable plan
+        for them; this rewrite only covers positions that previously
+        raised "only supported as top-level AND-conjuncts"."""
 
         def lower(e: ast.Expr) -> ast.Expr:
             if isinstance(e, ast.QuantifiedCompare):
                 return self._lower_quantified(e)
+            if isinstance(e, ast.ExistsSubquery):
+                return self._lower_exists_expr(e)
+            if isinstance(e, ast.InSubquery):
+                return self._lower_in_expr(e)
             return e
+
+        def lower_interior_only(conjunct: ast.Expr) -> ast.Expr:
+            # keep the semi/anti path for [NOT]* (IN|EXISTS) conjuncts
+            core = conjunct
+            while isinstance(core, ast.UnaryOp) and core.op == "not":
+                core = core.operand
+            if isinstance(core, (ast.InSubquery, ast.ExistsSubquery)):
+                return conjunct
+            return _transform_expr(conjunct, lower)
 
         for item in node.items:
             if not isinstance(item.expr, ast.Star):
                 item.expr = _transform_expr(item.expr, lower)
         if node.where is not None:
-            node.where = _transform_expr(node.where, lower)
+            conjs = [lower_interior_only(c)
+                     for c in self._split_conjuncts(node.where)]
+            out = conjs[0]
+            for c in conjs[1:]:
+                out = ast.BinaryOp(op="and", left=out, right=c)
+            node.where = out
         if node.having is not None:
             node.having = _transform_expr(node.having, lower)
+
+    def _lower_exists_expr(self, e: ast.ExistsSubquery) -> ast.Expr:
+        """EXISTS in expression position → ``(SELECT count(*) …) > 0``
+        (count coalesces to 0 through the correlated binder, so empty
+        groups read FALSE — EXISTS is never NULL)."""
+        import copy
+
+        sub = e.subquery
+        plain = (isinstance(sub, ast.SelectNode)
+                 and not sub.group_by and not sub.group_by_all
+                 and sub.having is None and not sub.distinct
+                 and not sub.distinct_on and sub.limit is None
+                 and sub.offset is None and sub.qualify is None
+                 and not any(not isinstance(i.expr, ast.Star)
+                             and self._contains_aggregate(i.expr)
+                             for i in sub.items))
+        if plain:
+            cnt = copy.deepcopy(sub)
+            cnt.items = [ast.SelectItem(
+                expr=ast.FuncCall(name="count", is_star=True))]
+        else:
+            cnt = ast.SelectNode(
+                items=[ast.SelectItem(
+                    expr=ast.FuncCall(name="count", is_star=True))],
+                relations=[ast.SubqueryRef(
+                    query=copy.deepcopy(sub),
+                    alias=f"__q_{next(self._tmp_counter)}")])
+        op = "=" if e.negated else ">"
+        return ast.BinaryOp(op=op,
+                            left=ast.ScalarSubquery(subquery=cnt),
+                            right=ast.NumberLit(value=0))
+
+    def _lower_in_expr(self, e: ast.InSubquery) -> ast.Expr:
+        """IN in expression position → hit/null/total count scalar
+        subqueries with SQL's three-valued result: TRUE on a match, NULL
+        when undecided only because of NULLs (NULL operand over a
+        non-empty set, or no match but NULL elements), FALSE otherwise
+        (including every operand over the empty set)."""
+        import copy
+
+        sub = e.subquery
+        col = f"__qv_{next(self._tmp_counter)}"
+
+        def wrapped(where: ast.Expr | None) -> ast.ScalarSubquery:
+            return ast.ScalarSubquery(subquery=ast.SelectNode(
+                items=[ast.SelectItem(
+                    expr=ast.FuncCall(name="count", is_star=True))],
+                relations=[ast.SubqueryRef(
+                    query=copy.deepcopy(sub),
+                    alias=f"__q_{next(self._tmp_counter)}",
+                    columns=[col])],
+                where=where))
+
+        hits = wrapped(ast.BinaryOp(op="=",
+                                    left=ast.ColumnRef(name=col),
+                                    right=_copy_expr(e.operand)))
+        nulls = wrapped(ast.IsNull(operand=ast.ColumnRef(name=col)))
+        total = wrapped(None)
+        core: ast.Expr = ast.Case(whens=[
+            (ast.BinaryOp(op=">", left=hits, right=ast.NumberLit(value=0)),
+             ast.BoolLit(value=True)),
+            (ast.BinaryOp(
+                op="and",
+                left=ast.IsNull(operand=_copy_expr(e.operand)),
+                right=ast.BinaryOp(op=">", left=total,
+                                   right=ast.NumberLit(value=0))),
+             ast.NullLit()),
+            (ast.BinaryOp(op=">", left=nulls, right=ast.NumberLit(value=0)),
+             ast.NullLit()),
+        ], else_=ast.BoolLit(value=False))
+        if e.negated:
+            core = ast.UnaryOp(op="not", operand=core)
+        return core
 
     def _lower_quantified(self, qc: ast.QuantifiedCompare) -> ast.Expr:
         import copy

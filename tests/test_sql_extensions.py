@@ -531,3 +531,76 @@ class TestQuantifiedComparisons:
         # 'any' not followed by ( parses as a column reference
         with _pytest.raises(ColumnNotFoundError):
             engine.query("SELECT 1 AS x FROM region WHERE r_regionkey > any")
+
+
+class TestSubqueryPredicatesInExpressions:
+    """EXISTS / IN anywhere an expression is allowed — SELECT list, OR
+    branches, CASE, HAVING — lowered to count-aggregate scalar subqueries
+    (previously: 'only supported as top-level AND-conjuncts of WHERE').
+    Top-level WHERE conjuncts keep the semi/anti-join path."""
+
+    def test_exists_in_select_list_correlated(self, oracle):
+        oracle("""
+            SELECT n_name,
+                   EXISTS (SELECT 1 FROM customer c
+                           WHERE c.c_nationkey = n.n_nationkey
+                           AND c.c_acctbal > 9000) AS has_rich
+            FROM nation n ORDER BY n_name
+        """, ordered=True)
+
+    def test_not_exists_in_select_list(self, oracle):
+        oracle("""
+            SELECT r_name,
+                   NOT EXISTS (SELECT 1 FROM nation
+                               WHERE n_regionkey = r.r_regionkey)
+                     AS empty_region
+            FROM region r ORDER BY r_name
+        """, ordered=True)
+
+    def test_exists_inside_or(self, oracle):
+        # OR-nested EXISTS can't be a semi join; the count lowering makes
+        # it a plain boolean expression
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE o.o_totalprice > 450000
+               OR EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_quantity > 49)
+        """)
+
+    def test_in_select_list_three_valued(self, oracle):
+        # NULL element set: non-matching operands read NULL, matches TRUE
+        oracle("""
+            SELECT r_regionkey,
+                   (r_regionkey IN (SELECT v FROM (VALUES (1), (NULL)) t(v)))
+                     AS hit,
+                   (r_regionkey NOT IN
+                    (SELECT v FROM (VALUES (1), (NULL)) t(v))) AS miss
+            FROM region ORDER BY r_regionkey
+        """, ordered=True)
+
+    def test_in_inside_case(self, oracle):
+        oracle("""
+            SELECT count(*) AS n FROM orders
+            WHERE CASE WHEN o_custkey IN (SELECT c_custkey FROM customer
+                                          WHERE c_nationkey = 1)
+                       THEN o_totalprice > 1000 ELSE false END
+        """)
+
+    def test_exists_in_having(self, oracle):
+        oracle("""
+            SELECT o_orderpriority, count(*) AS n FROM orders
+            GROUP BY o_orderpriority
+            HAVING count(*) > 100
+               AND EXISTS (SELECT 1 FROM region WHERE r_name = 'ASIA')
+        """)
+
+    def test_where_conjunct_still_semi_join(self, engine):
+        # top-level conjunct EXISTS must still plan the semi join, not the
+        # scalar-count lowering
+        from tests.test_plan_quality import plan_of
+        df = engine.query("""
+            SELECT o_orderkey FROM orders o WHERE EXISTS
+            (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+        """)
+        assert "LeftSemi" in plan_of(df, "simple")
