@@ -560,19 +560,33 @@ class Compiler:
         raised "only supported as top-level AND-conjuncts"."""
 
         def lower(e: ast.Expr) -> ast.Expr:
-            if isinstance(e, ast.QuantifiedCompare):
-                return self._lower_quantified(e)
-            if isinstance(e, ast.ExistsSubquery):
-                return self._lower_exists_expr(e)
-            if isinstance(e, ast.InSubquery):
-                return self._lower_in_expr(e)
+            # iterate: "= ANY" lowers to an IN node that (in expression
+            # position) must lower again to the count form
+            for _ in range(4):
+                if isinstance(e, ast.QuantifiedCompare):
+                    e = self._lower_quantified(e)
+                elif isinstance(e, ast.ExistsSubquery):
+                    e = self._lower_exists_expr(e)
+                elif isinstance(e, ast.InSubquery):
+                    e = self._lower_in_expr(e)
+                else:
+                    return e
             return e
 
         def lower_interior_only(conjunct: ast.Expr) -> ast.Expr:
-            # keep the semi/anti path for [NOT]* (IN|EXISTS) conjuncts
+            # keep the semi/anti path for [NOT]* (IN|EXISTS) conjuncts —
+            # including the equality quantifier forms that lower to IN
+            nots = 0
             core = conjunct
             while isinstance(core, ast.UnaryOp) and core.op == "not":
+                nots += 1
                 core = core.operand
+            if isinstance(core, ast.QuantifiedCompare):
+                low = self._lower_quantified(core)
+                if isinstance(low, ast.InSubquery):
+                    for _ in range(nots):
+                        low = ast.UnaryOp(op="not", operand=low)
+                    return low
             if isinstance(core, (ast.InSubquery, ast.ExistsSubquery)):
                 return conjunct
             return _transform_expr(conjunct, lower)

@@ -604,3 +604,19 @@ class TestSubqueryPredicatesInExpressions:
             (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
         """)
         assert "LeftSemi" in plan_of(df, "simple")
+
+
+def test_eq_any_in_select_list(oracle, engine):
+    # "= ANY" in expression position reaches the count lowering (two
+    # lowering steps); as a top-level WHERE conjunct it stays a semi join
+    oracle("""
+        SELECT n_name,
+               n_nationkey = ANY (SELECT c_nationkey FROM customer
+                                  WHERE c_acctbal > 9900) AS has_rich
+        FROM nation ORDER BY n_name
+    """, ordered=True)
+    from tests.test_plan_quality import plan_of
+    df = engine.query(
+        "SELECT count(*) AS n FROM orders WHERE o_custkey = ANY "
+        "(SELECT c_custkey FROM customer WHERE c_nationkey = 1)")
+    assert "LeftSemi" in plan_of(df, "simple")
