@@ -866,6 +866,17 @@ _PAIRS["subquery_quantified_all_correlated"] = (
     "WHERE l2.l_orderkey = l1.l_orderkey)",
     None,
 )
+# EXISTS in the SELECT list (r6): lowered to (SELECT count(*) ...) > 0;
+# the correlated count rides the scalar decorrelation machinery, so this
+# plans as one grouped count + broadcast join, never a per-row probe
+_PAIRS["subquery_exists_in_select"] = (
+    "SELECT n_name, "
+    "EXISTS (SELECT 1 FROM customer c "
+    "WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > 9000) "
+    "AS has_rich FROM nation n ORDER BY n_name",
+    None,
+)
+
 _PAIRS["subquery_quantified_any_grouped"] = (
     "SELECT count(*) AS n FROM orders "
     "WHERE o_totalprice > ANY (SELECT o_totalprice FROM orders "
@@ -923,6 +934,7 @@ _PRIORITY: list[str] = [
     "distinct_on_latest_event",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_dedup_lines", "pipeline_take_token_budget",
+    "subquery_exists_in_select",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
