@@ -935,6 +935,10 @@ _PRIORITY: list[str] = [
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_dedup_lines", "pipeline_take_token_budget",
     "subquery_exists_in_select",
+    # r06-late: plans changed by the decorrelation/semi-reduction work —
+    # keep inside the driver's 50-entry verification window
+    "subquery_correlated_scalar_q17", "tpch_q5_local_supplier_volume",
+    "tpch_q2_minimum_cost_supplier",
     "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
     # r06: new text-pipeline operators
     "pipeline_text_repetition_signals", "pipeline_decontaminate",
