@@ -866,6 +866,19 @@ _PAIRS["subquery_quantified_all_correlated"] = (
     "WHERE l2.l_orderkey = l1.l_orderkey)",
     None,
 )
+# two-column statistical aggregates (r6): corr/covar/regr family — the
+# same statement runs on both engines; rounded for float stability
+_PAIRS["agg_corr_regr"] = (
+    "SELECT l_returnflag, "
+    "round(corr(l_quantity, l_extendedprice), 6) AS c, "
+    "round(covar_samp(l_quantity, l_extendedprice), 4) AS cs, "
+    "round(regr_slope(l_extendedprice, l_quantity), 4) AS m, "
+    "round(regr_r2(l_extendedprice, l_quantity), 6) AS r2, "
+    "CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n "
+    "FROM lineitem GROUP BY l_returnflag",
+    None,
+)
+
 # EXISTS in the SELECT list (r6): lowered to (SELECT count(*) ...) > 0;
 # the correlated count rides the scalar decorrelation machinery, so this
 # plans as one grouped count + broadcast join, never a per-row probe
@@ -934,7 +947,7 @@ _PRIORITY: list[str] = [
     "distinct_on_latest_event",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_dedup_lines", "pipeline_take_token_budget",
-    "subquery_exists_in_select",
+    "subquery_exists_in_select", "agg_corr_regr",
     # r06-late: plans changed by the decorrelation/semi-reduction work —
     # keep inside the driver's 50-entry verification window
     "subquery_correlated_scalar_q17", "tpch_q5_local_supplier_volume",

@@ -79,7 +79,20 @@ AGGREGATE_FUNCTIONS: dict[str, ColumnBuilder] = {
     "collect_list": F.collect_list,
     "array_agg": F.collect_list,
     "collect_set": F.collect_set,
-    "string_agg": lambda c: F.array_join(F.collect_list(c), ","),
+    "string_agg": lambda c, sep=None: F.listagg(
+        c, sep if sep is not None else F.lit(",")),
+    "listagg": lambda c, sep=None: F.listagg(
+        c, sep if sep is not None else F.lit(",")),
+    # two-column statistical aggregates (ANSI/DuckDB-compatible)
+    "corr": F.corr,
+    "covar_samp": F.covar_samp,
+    "covar_pop": F.covar_pop,
+    "regr_slope": F.regr_slope,
+    "regr_intercept": F.regr_intercept,
+    "regr_r2": F.regr_r2,
+    "regr_count": F.regr_count,
+    "regr_avgx": F.regr_avgx,
+    "regr_avgy": F.regr_avgy,
 }
 
 # aggregates that require a numeric input (reference raises

@@ -215,3 +215,45 @@ def test_decimal_sum_wide_precision_keeps_decimal_path(oracle):
     # p > 18 must NOT take the fast path (domain too wide for long limbs)
     oracle("SELECT CAST(sum(CAST(l_extendedprice AS decimal(22,2))) AS double)"
            " AS s FROM lineitem")
+
+
+class TestStatisticalAggregates:
+    """Two-column statistical aggregates (corr/covar/regr family) and
+    separator-form string_agg/listagg — extensions, DuckDB-checked."""
+
+    def test_corr_covar(self, oracle):
+        oracle("""
+            SELECT l_returnflag,
+                   round(corr(l_quantity, l_extendedprice), 6) AS c,
+                   round(covar_samp(l_quantity, l_extendedprice), 4) AS cs,
+                   round(covar_pop(l_quantity, l_discount), 8) AS cp
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """, ordered=True)
+
+    def test_regr_family(self, oracle):
+        oracle("""
+            SELECT round(regr_slope(l_extendedprice, l_quantity), 4) AS m,
+                   round(regr_intercept(l_extendedprice, l_quantity), 4) AS b,
+                   round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+                   regr_count(l_extendedprice, l_quantity) AS n,
+                   round(regr_avgx(l_extendedprice, l_quantity), 6) AS ax,
+                   round(regr_avgy(l_extendedprice, l_quantity), 4) AS ay
+            FROM lineitem
+        """)
+
+    def test_string_agg_separator(self, engine, ddb):
+        # aggregation order is engine-defined; compare as SETS of parts
+        sql = ("SELECT r_regionkey, string_agg(n_name, '|') AS names "
+               "FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey "
+               "GROUP BY r_regionkey")
+        mine = {r["r_regionkey"]: set(r["names"].split("|"))
+                for r in engine.query(sql).collect()}
+        theirs = {k: set(v.split("|"))
+                  for k, v in ddb.execute(sql).fetchall()}
+        assert mine == theirs
+
+    def test_listagg_default_comma(self, engine):
+        got = engine.query(
+            "SELECT listagg(r_name) AS all_names FROM region").collect()
+        assert set(got[0]["all_names"].split(",")) == {
+            "AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"}
