@@ -85,7 +85,7 @@ HEADLINE = [
     # round-6-late additions
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_dedup_lines", "pipeline_take_token_budget",
-    "subquery_exists_in_select",
+    "subquery_exists_in_select", "agg_corr_regr",
 ]
 
 
