@@ -357,3 +357,36 @@ def test_random_quantified_null_elements_match_duckdb(
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+@given(neg=st.booleans(),
+       col=st.sampled_from(["o_custkey", "o_orderkey"]),
+       bound=st.integers(min_value=-10, max_value=2000),
+       with_null=st.booleans())
+@FUZZ
+def test_random_in_expression_position_matches_duckdb(
+        engine, ddb, neg, col, bound, with_null):
+    # IN/NOT IN in the SELECT list: three-valued results fuzz across
+    # empty / partial / NULL-bearing subquery sets
+    extra = "UNION ALL SELECT NULL" if with_null else ""
+    kw = "NOT IN" if neg else "IN"
+    sql = (f"SELECT o_orderkey, ({col} {kw} "
+           f"(SELECT c_custkey FROM customer WHERE c_custkey < {bound} "
+           f"{extra})) AS hit "
+           f"FROM orders WHERE o_orderkey < 60")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(neg=st.booleans(), bal=st.integers(min_value=-1000, max_value=12000))
+@FUZZ
+def test_random_exists_expression_position_matches_duckdb(
+        engine, ddb, neg, bal):
+    kw = "NOT EXISTS" if neg else "EXISTS"
+    sql = (f"SELECT n_name, ({kw} (SELECT 1 FROM customer c "
+           f"WHERE c.c_nationkey = n.n_nationkey AND c.c_acctbal > {bal})) "
+           f"AS flag FROM nation n")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
