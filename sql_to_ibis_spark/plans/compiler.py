@@ -990,11 +990,10 @@ class Compiler:
         oname, oalias = outer_single
         if rel.name.lower() != oname:
             return None
-        if self._cte_frames.get(rel.name.lower()) is not None:
-            # a CTE body is an arbitrary derived frame; the equality of
-            # "same name → same rows" still holds, but keep the rewrite to
-            # base tables until a dedicated test pins the CTE case
-            return None
+        # CTE-backed outers are eligible too: the window aggregates the
+        # outer frame ITSELF, so "same name → same rows" holds by
+        # construction — unlike the join path, which re-executes the CTE
+        # body and could diverge on a nondeterministic plan
         inner_alias = (rel.alias or rel.name).lower()
         inner_names = {inner_alias, rel.name.lower()}
 

@@ -212,3 +212,34 @@ class TestRewritePlans:
             "FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)")
         plan = plan_of(df, "simple")
         assert "LeftSemi" in plan, plan
+
+
+class TestWindowRewriteCte:
+    """Same-CTE correlated scalars take the window path too: the window
+    aggregates the outer frame itself, so 'same name → same rows' holds by
+    construction (the join path would re-execute the CTE body)."""
+
+    def test_cte_outer_window_path(self, oracle, engine):
+        sql = """
+            WITH big AS (SELECT l_orderkey, l_quantity, l_extendedprice
+                         FROM lineitem WHERE l_quantity > 10)
+            SELECT count(*) AS n FROM big b1
+            WHERE b1.l_quantity < (SELECT avg(b2.l_quantity) FROM big b2
+                                   WHERE b2.l_orderkey = b1.l_orderkey)
+        """
+        oracle(sql)
+        plan = plan_of(engine.query(sql), "simple")
+        assert "Window" in plan
+        for join in ("SortMergeJoin", "BroadcastHashJoin",
+                     "ShuffledHashJoin", "BroadcastNestedLoopJoin"):
+            assert join not in plan, plan
+
+    def test_cte_with_local_predicate(self, oracle):
+        oracle("""
+            WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice
+                       FROM orders)
+            SELECT count(*) AS n FROM o a
+            WHERE a.o_totalprice > (SELECT avg(b.o_totalprice) FROM o b
+                                    WHERE b.o_custkey = a.o_custkey
+                                    AND b.o_orderkey < 5000)
+        """)
