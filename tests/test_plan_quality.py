@@ -199,3 +199,17 @@ def test_values_relation_is_local_plan(engine):
         "SELECT id, name FROM (VALUES (1, 'a'), (2, 'b')) t(id, name)")
     plan = plan_of(df, "simple")
     assert "Exchange" not in plan and "parquet" not in plan.lower()
+
+
+def test_quantified_correlated_plans_single_shuffle(engine):
+    # x >= ALL correlated on the same table lowers to three window
+    # aggregates sharing ONE exchange — never a join per aggregate
+    df = engine.query(
+        "SELECT count(*) AS n FROM lineitem l1 "
+        "WHERE l1.l_quantity >= ALL (SELECT l2.l_quantity FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey)")
+    plan = plan_of(df, "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin"):
+        assert join not in plan, plan
