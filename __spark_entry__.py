@@ -1683,14 +1683,31 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents
     """
 
-    # stub decoder path (exotic codecs): deterministic fake, rows-only —
-    # kept as its own entry so the fallback plumbing stays exercised
+    # stub decoder path (exotic codecs): deterministic length-derived fake
+    # with a CLOSED-FORM oracle (r7: was the only rows-only entry). The
+    # 'stub:' prefix pins blobs away from the BMP/PNG magic bytes so every
+    # row takes the stub branch; the mapInPandas plumbing (schema, Arrow
+    # batching, blob column) is the same real path the codec decoders use.
     def decode_stub(spark, sf_dir):
+        from pyspark.sql import functions as F
+
         _engine_for(spark, sf_dir)
-        return multimodal.decode_images(_blobs(spark, sf_dir),
-                                        use_stub_decoder=True)
+        blobs = _docs(spark, sf_dir).select(
+            "doc_id",
+            F.encode(F.concat(F.lit("stub:"), F.col("text")), "UTF-8")
+            .alias("blob"))
+        return multimodal.decode_images(blobs, use_stub_decoder=True)
 
     out["pipeline_multimodal_decode_stub"] = decode_stub
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_stub"] = """
+        SELECT doc_id,
+               CAST(16 + (L % 64) AS INT) AS width,
+               CAST(16 + ((L // 64) % 64) AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(L % 251 AS DOUBLE) / 7 AS mean_pixel
+        FROM (SELECT doc_id, 5 + octet_length(encode(text)) AS L
+              FROM documents) t
+    """
 
     # REAL decode path: synthesize an actual 24bpp BMP per doc_id
     # (deterministic closed form), decode it with the real header+numpy

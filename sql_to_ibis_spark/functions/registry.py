@@ -261,6 +261,7 @@ SCALAR_FUNCTIONS: dict[str, ColumnBuilder] = {
     "radians": F.radians,
     "pi": lambda: F.lit(3.141592653589793),
     "random": F.rand,
+    "rand": F.rand,
     "isnan": F.isnan,
     # --- null handling (extensions) ---
     "nullif": F.nullif,

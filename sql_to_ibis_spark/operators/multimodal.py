@@ -133,12 +133,13 @@ def decode_images(
                         "use_stub_decoder=True or plug a real decoder here"
                     )
                 else:
-                    # deterministic fake from the bytes
+                    # deterministic fake from the byte length (closed form,
+                    # so the oracle gate can hash-check the stub path; the
+                    # REAL byte-touching decodes are the BMP/PNG/WAV paths)
                     w = 16 + (len(data) % 64)
                     h = 16 + ((len(data) // 64) % 64)
                     c = 3
-                    mean = (sum(data[:256]) / max(1, min(len(data), 256))) \
-                        if data else 0.0
+                    mean = (len(data) % 251) / 7.0
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)

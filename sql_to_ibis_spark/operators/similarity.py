@@ -68,7 +68,12 @@ def cosine_topk_vs_query(
         _to_double(F.col(vec_col)).alias("qvec")
     ).head()
     if qrow is None or qrow["qvec"] is None:
-        raise ValueError(f"query vector {query_vec_id} not found or null")
+        # missing / null-vector query id → empty result with the output
+        # schema, preserving the pre-eager-fetch contract (the broadcast
+        # cross-join plan this replaced yielded zero rows lazily)
+        return (embs.select(F.col(id_col),
+                            F.lit(None).cast("double").alias("sim"))
+                .limit(0))
     qvec = np.asarray(qrow["qvec"], dtype=np.float64)
     sim = _cosine_vs_const_udf(qvec)(F.col(vec_col))
     return (

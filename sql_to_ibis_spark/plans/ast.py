@@ -149,6 +149,19 @@ class ScalarRef(Expr):
 
 
 @dataclass
+class ScalarSubqueryField(Expr):
+    """Internal marker: output column ``index`` of a MULTI-column scalar
+    subquery. Several fields referencing the SAME ``subquery`` object (by
+    identity) bind to ONE aggregation pass + ONE join — this is how the
+    quantified-comparison lowering emits its (count, extremum, null-count)
+    triple in a single scan of the inner relation instead of three.
+    Produced by the compiler's rewrite, never by the parser."""
+
+    subquery: "SelectNode | SetOpNode" = None
+    index: int = 0
+
+
+@dataclass
 class Like(Expr):
     """LIKE / ILIKE / RLIKE — extension beyond the reference surface."""
 

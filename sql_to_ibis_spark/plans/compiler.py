@@ -495,7 +495,37 @@ class Compiler:
                     self._restrict_outer(df, node, scope))
             return restricted_cache[0]
 
+        # multi-column scalar subqueries (quantified-comparison lowering):
+        # every ScalarSubqueryField sharing one subquery object binds to
+        # ONE aggregation pass + ONE join — memoized by body identity
+        msq_refs: dict[int, list[ast.Expr]] = {}
+
+        def bind_multi(sq) -> list[ast.Expr]:
+            key = id(sq)
+            if key in msq_refs:
+                return msq_refs[key]
+            if self._is_correlated(sq, scope):
+                r = restricted()
+                refs = self._bind_correlated_scalar(
+                    sq, scope, joins, r if r is not None else df,
+                    r is not None, outer_single, wincols, multi=True)
+            else:
+                sub = self.compile(sq)
+                names = [f"__scalar_{next(self._tmp_counter)}"
+                         for _ in sub.columns]
+                joins.append((
+                    sub.select(*[F.col(_bq(c)).alias(n)
+                                 for c, n in zip(sub.columns, names)])
+                    .limit(1),
+                    None,
+                ))
+                refs = [ast.ScalarRef(name=n) for n in names]
+            msq_refs[key] = refs
+            return refs
+
         def bind(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ScalarSubqueryField):
+                return bind_multi(e.subquery)[e.index]
             if not isinstance(e, ast.ScalarSubquery):
                 return e
             if self._is_correlated(e.subquery, scope):
@@ -739,11 +769,15 @@ class Compiler:
     def _quantifier_aggregates(
         self, sub, ext_fn: str
     ) -> tuple[ast.Expr, ast.Expr, ast.Expr]:
-        """(count(*), min/max(v), count of NULL v) as ScalarSubquery exprs
-        over ``sub``'s rows. Plain single-item SELECTs swap the item in
-        place (preserving correlation); aggregated/limited/set-op bodies
-        wrap as a derived table (uncorrelated only — a correlated ref
-        inside the wrap fails resolution loudly, not silently)."""
+        """(count(*), min/max(v), count of NULL v) over ``sub``'s rows as
+        three ``ScalarSubqueryField``s of ONE fused subquery — a single
+        aggregation pass over the inner relation and a single bind/join,
+        where r6 emitted three separate scalar subqueries that re-ran the
+        inner (7 shuffles on the grouped-inner entry; ~3 suffice). Plain
+        single-item SELECTs swap the items in place (preserving
+        correlation); aggregated/limited/set-op bodies wrap as a derived
+        table (uncorrelated only — a correlated ref inside the wrap fails
+        resolution loudly, not silently)."""
         import copy
 
         plain = (isinstance(sub, ast.SelectNode)
@@ -755,44 +789,42 @@ class Compiler:
                  and sub.offset is None and sub.qualify is None
                  and not self._contains_aggregate(sub.items[0].expr))
         if plain:
-            def variant(items_of) -> ast.SelectNode:
-                s = copy.deepcopy(sub)
-                v = s.items[0].expr
-                s.items = [ast.SelectItem(expr=items_of(v))]
-                return s
-
-            n = variant(lambda v: ast.FuncCall(name="count", is_star=True))
-            ext = variant(lambda v: ast.FuncCall(name=ext_fn, args=[v]))
-            nulls = variant(lambda v: ast.FuncCall(
-                name="count", is_star=True,
-                filter_where=ast.IsNull(operand=_copy_expr(v))))
-            return (ast.ScalarSubquery(subquery=n),
-                    ast.ScalarSubquery(subquery=ext),
-                    ast.ScalarSubquery(subquery=nulls))
-
-        if isinstance(sub, ast.SelectNode) and (
-                len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star)):
-            raise InvalidQueryException(
-                "quantified comparison subquery must return exactly 1 column")
-        col = f"__qv_{next(self._tmp_counter)}"
-
-        def wrapped(item: ast.Expr, where: ast.Expr | None = None
-                    ) -> ast.SelectNode:
-            return ast.SelectNode(
-                items=[ast.SelectItem(expr=item)],
-                relations=[ast.SubqueryRef(query=copy.deepcopy(sub),
-                                           alias=f"__q_{next(self._tmp_counter)}",
-                                           columns=[col])],
-                where=where)
-
-        vref = lambda: ast.ColumnRef(name=col)  # noqa: E731
-        n = wrapped(ast.FuncCall(name="count", is_star=True))
-        ext = wrapped(ast.FuncCall(name=ext_fn, args=[vref()]))
-        nulls = wrapped(ast.FuncCall(name="count", is_star=True),
-                        where=ast.IsNull(operand=vref()))
-        return (ast.ScalarSubquery(subquery=n),
-                ast.ScalarSubquery(subquery=ext),
-                ast.ScalarSubquery(subquery=nulls))
+            fused = copy.deepcopy(sub)
+            v = fused.items[0].expr
+            fused.items = [
+                ast.SelectItem(expr=ast.FuncCall(name="count", is_star=True)),
+                ast.SelectItem(expr=ast.FuncCall(name=ext_fn,
+                                                 args=[_copy_expr(v)])),
+                ast.SelectItem(expr=ast.FuncCall(
+                    name="count", is_star=True,
+                    filter_where=ast.IsNull(operand=_copy_expr(v)))),
+            ]
+        else:
+            if isinstance(sub, ast.SelectNode) and (
+                    len(sub.items) != 1
+                    or isinstance(sub.items[0].expr, ast.Star)):
+                raise InvalidQueryException(
+                    "quantified comparison subquery must return exactly "
+                    "1 column")
+            col = f"__qv_{next(self._tmp_counter)}"
+            vref = lambda: ast.ColumnRef(name=col)  # noqa: E731
+            fused = ast.SelectNode(
+                items=[
+                    ast.SelectItem(expr=ast.FuncCall(name="count",
+                                                     is_star=True)),
+                    ast.SelectItem(expr=ast.FuncCall(name=ext_fn,
+                                                     args=[vref()])),
+                    ast.SelectItem(expr=ast.FuncCall(
+                        name="count", is_star=True,
+                        filter_where=ast.IsNull(operand=vref()))),
+                ],
+                relations=[ast.SubqueryRef(
+                    query=copy.deepcopy(sub),
+                    alias=f"__q_{next(self._tmp_counter)}",
+                    columns=[col])])
+        return (ast.ScalarSubqueryField(subquery=fused, index=0),
+                ast.ScalarSubqueryField(subquery=fused, index=1),
+                ast.ScalarSubqueryField(subquery=fused, index=2))
 
     def _restrict_outer(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
@@ -812,7 +844,12 @@ class Compiler:
         so it only pays when the outer is cheap to duplicate — at most two
         base relations (the Q17 lineitem×part shape). Duplicating a
         five-way join (TPC-H Q2's outer) costs more than the narrowed
-        aggregation saves (measured: q2 +165% at sf1 before this gate)."""
+        aggregation saves (measured: q2 +165% at sf1 before this gate).
+
+        Nondeterministic conjuncts (rand(), user functions) are excluded
+        from the restriction: re-evaluating them here could drop keys the
+        real WHERE keeps, silently nulling those rows' scalars. Excluding
+        them only widens the key set — always safe."""
         if node.where is None:
             return None
 
@@ -824,7 +861,8 @@ class Compiler:
         if sum(n_base(r) for r in node.relations) > 2:
             return None
         plain = [c for c in self._split_conjuncts(node.where)
-                 if not self._contains_any_subquery(c)]
+                 if not self._contains_any_subquery(c)
+                 and not self._contains_nondeterministic(c)]
         if not plain:
             return None
         out = df
@@ -833,12 +871,20 @@ class Compiler:
         return out
 
     def _contains_any_subquery(self, expr: ast.Expr) -> bool:
+        """True when ``expr`` contains any subquery form — including
+        ``QuantifiedCompare`` (its body is a subquery that only lowers
+        LATER, in ``_lower_expr_subqueries_in_node``; the semi-join
+        reducer runs before that and must not try to compile it) and
+        ``ScalarRef`` (an already-rewritten subquery value whose column
+        only exists after the decorrelating join — never resolvable in a
+        pre-join restriction or reducer)."""
         found = False
 
         def visit(e: object) -> None:
             nonlocal found
             if isinstance(e, (ast.InSubquery, ast.ExistsSubquery,
-                              ast.ScalarSubquery)):
+                              ast.ScalarSubquery, ast.QuantifiedCompare,
+                              ast.ScalarRef, ast.ScalarSubqueryField)):
                 found = True
             for child in _children(e):
                 visit(child)
@@ -853,8 +899,14 @@ class Compiler:
         outer_is_restricted: bool = False,
         outer_single: tuple[str, str] | None = None,
         wincols: list[tuple[str, Column]] | None = None,
-    ) -> ast.Expr:
-        if len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star):
+        multi: bool = False,
+    ) -> "ast.Expr | list[ast.Expr]":
+        """Decorrelate a scalar subquery. With ``multi=True`` (internal,
+        from the fused quantified-comparison lowering) ``sub`` may have
+        several aggregate items — ONE aggregation pass produces them all,
+        returning one ref per item."""
+        if not multi and (len(sub.items) != 1
+                          or isinstance(sub.items[0].expr, ast.Star)):
             raise InvalidQueryException(
                 "scalar subquery must return exactly 1 column")
         if sub.group_by or sub.having is not None or sub.distinct \
@@ -862,7 +914,8 @@ class Compiler:
             raise InvalidQueryException(
                 "correlated scalar subqueries support only a plain "
                 "aggregate SELECT")
-        if not self._contains_aggregate(sub.items[0].expr):
+        if any(isinstance(i.expr, ast.Star)
+               or not self._contains_aggregate(i.expr) for i in sub.items):
             raise InvalidQueryException(
                 "correlated scalar subqueries must select an aggregate "
                 "(e.g. (SELECT avg(x) FROM t WHERE t.k = outer.k))")
@@ -870,14 +923,20 @@ class Compiler:
             self._compile_inner_from(sub, scope)
         all_equality = all(
             isinstance(c, ast.BinaryOp) and c.op == "=" for c in correlated)
-        name = f"__scalar_{next(self._tmp_counter)}"
+        names = [f"__scalar_{next(self._tmp_counter)}" for _ in sub.items]
+
+        def refs() -> "ast.Expr | list[ast.Expr]":
+            out = [self._scalar_ref_with_count_default(sub, n, i)
+                   for i, n in enumerate(names)]
+            return out if multi else out[0]
+
         if all_equality and wincols is not None:
-            win = self._try_window_correlated(
+            wins = self._try_window_correlated(
                 sub, scope, correlated, local, outer_single)
-            if win is not None:
-                wincols.append((name, win))
-                return self._scalar_ref_with_count_default(sub, name)
-        value = self.compile_expr(sub.items[0].expr, inner_scope)
+            if wins is not None:
+                wincols.extend(zip(names, wins))
+                return refs()
+        values = [self.compile_expr(i.expr, inner_scope) for i in sub.items]
         if all_equality:
             # fast path: group the inner by its correlation keys — one
             # shuffle on the keys, no distinct over the outer needed
@@ -923,7 +982,8 @@ class Compiler:
                     piece = ic == keys_df[kcol_name]
                     semi = piece if semi is None else (semi & piece)
                 grouped_src = inner_df.join(keys_df, semi, "left_semi")
-            grouped = grouped_src.groupBy(*key_cols).agg(value.alias(name))
+            grouped = grouped_src.groupBy(*key_cols).agg(
+                *[v.alias(n) for v, n in zip(values, names)])
             joins.append((grouped, cond))
         else:
             # general path (non-equality / range correlation): the scalar
@@ -933,15 +993,15 @@ class Compiler:
             # over the (small) distinct-key side, not per outer row.
             grouped, cond = self._decorrelate_by_outer_keys(
                 outer_df, inner_df, inner_scope, scope, correlated,
-                value, name)
+                values, names)
             joins.append((grouped, cond))
-        return self._scalar_ref_with_count_default(sub, name)
+        return refs()
 
     def _scalar_ref_with_count_default(
-        self, sub: ast.SelectNode, name: str
+        self, sub: ast.SelectNode, name: str, item_idx: int = 0
     ) -> ast.Expr:
         ref: ast.Expr = ast.ScalarRef(name=name)
-        root = sub.items[0].expr
+        root = sub.items[item_idx].expr
         if isinstance(root, ast.FuncCall) and (root.name == "count"
                                                or root.is_star):
             # COUNT over an empty correlated group is 0, not NULL; the
@@ -955,7 +1015,7 @@ class Compiler:
         self, sub: ast.SelectNode, scope: Scope,
         correlated: list[ast.Expr], local: list[ast.Expr],
         outer_single: tuple[str, str] | None,
-    ) -> Column | None:
+    ) -> list[Column] | None:
         """Window-function decorrelation for the self-comparison shape:
 
             SELECT ... FROM t o WHERE o.x < (SELECT agg(i.y) FROM t i
@@ -974,9 +1034,10 @@ class Compiler:
         group (scalar NULL / count 0) while a window would pool them into
         one partition — the result is NULL-masked on the key to match.
 
-        Returns the compiled window Column, or None when the shape doesn't
-        apply (different tables, joins in either FROM, distinct aggregates,
-        user-defined aggregates, expression correlation keys).
+        Returns the compiled window Columns (one per subquery item), or
+        None when the shape doesn't apply (different tables, joins in
+        either FROM, distinct aggregates, user-defined aggregates,
+        expression correlation keys).
 
         ``SPARK_GRAFT_NO_WINDOW_DECORRELATE=1`` disables the rewrite
         (escape hatch + A/B measurement switch)."""
@@ -1029,7 +1090,8 @@ class Compiler:
             for c in _children(e):
                 check(c)
 
-        check(sub.items[0].expr)
+        for item in sub.items:
+            check(item.expr)
         if not ok:
             return None
 
@@ -1063,19 +1125,21 @@ class Compiler:
                 return ast.WindowFunc(func=f, window=spec)
             return e
 
-        value_ast = _transform_expr(
-            _copy_expr(sub.items[0].expr), retarget)
-        value_ast = _transform_expr(value_ast, to_window)
-        col = self.compile_expr(value_ast, scope)
         mask: Column | None = None
         for k in part_keys:
             piece = self.compile_expr(k, scope).isNotNull()
             mask = piece if mask is None else (mask & piece)
-        return F.when(mask, col)
+        out: list[Column] = []
+        for item in sub.items:
+            value_ast = _transform_expr(_copy_expr(item.expr), retarget)
+            value_ast = _transform_expr(value_ast, to_window)
+            out.append(F.when(mask, self.compile_expr(value_ast, scope)))
+        return out
 
     def _decorrelate_by_outer_keys(
         self, outer_df: DataFrame, inner_df: DataFrame, inner_scope: Scope,
-        scope: Scope, correlated: list[ast.Expr], value: Column, name: str,
+        scope: Scope, correlated: list[ast.Expr],
+        values: list[Column], names: list[str],
     ) -> tuple[DataFrame, Column]:
         """Magic-set decorrelation for arbitrary correlation predicates.
 
@@ -1112,7 +1176,7 @@ class Compiler:
         grouped = (
             keys_df.join(inner_df, cond, "inner")
             .groupBy(*[F.col(kname) for kname, _ in okeys.values()])
-            .agg(value.alias(name))
+            .agg(*[v.alias(n) for v, n in zip(values, names)])
         )
         back: Column | None = None
         for kname, ref in okeys.values():
@@ -2926,6 +2990,8 @@ def _children(node: object) -> list:
     if isinstance(node, ast.InList):
         return [node.operand, *node.items]
     if isinstance(node, ast.InSubquery):
+        return [node.operand]
+    if isinstance(node, ast.QuantifiedCompare):
         return [node.operand]
     if isinstance(node, ast.Like):
         return [node.operand, node.pattern]

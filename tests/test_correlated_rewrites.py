@@ -243,3 +243,67 @@ class TestWindowRewriteCte:
                                     WHERE b.o_custkey = a.o_custkey
                                     AND b.o_orderkey < 5000)
         """)
+
+
+class TestAdviceRegressionsR7:
+    """Round-7 fixes for r6-advisor findings (ADVICE.md)."""
+
+    def test_uncorrelated_then_correlated_scalar_conjuncts(self, ceng, cddb):
+        # HIGH: bind() rewrote the uncorrelated conjunct to a ScalarRef in
+        # place BEFORE the correlated conjunct triggered _restrict_outer,
+        # which then compiled __scalar_N against the pre-join frame →
+        # UNRESOLVED_COLUMN. ScalarRef now counts as a subquery marker.
+        corr_oracle(ceng, cddb, """
+            SELECT id FROM ct o
+            WHERE v > (SELECT avg(v) FROM ct)
+              AND v < (SELECT max(v) FROM ct i WHERE i.k = o.k)
+        """)
+
+    def test_correlated_then_uncorrelated_scalar_conjuncts(self, ceng, cddb):
+        # the mirrored order must also hold
+        corr_oracle(ceng, cddb, """
+            SELECT id FROM ct o
+            WHERE v < (SELECT max(v) FROM ct i WHERE i.k = o.k)
+              AND v > (SELECT avg(v) FROM ct)
+        """)
+
+    def test_two_uncorrelated_one_correlated_in_select(self, ceng, cddb):
+        corr_oracle(ceng, cddb, """
+            SELECT id,
+                   (SELECT min(i.v) FROM ct i WHERE i.k = o.k) AS grp_min
+            FROM ct o
+            WHERE v >= (SELECT min(v) FROM ct)
+              AND v <= (SELECT max(v) FROM ct)
+        """)
+
+    def test_quantified_compare_inside_or_conjunct(self, oracle):
+        # HIGH: (dim-local OR x > ANY(sub)) was classified dimension-local
+        # by the semi-join reducer (which runs before quantifier lowering)
+        # and crashed compile_expr with the reducer gates open. Gates here
+        # are closed (test scale) — this pins the lowering path; the
+        # gates-open variant is pinned in test_semijoin_reduction.
+        oracle("""
+            SELECT n_name, count(*) AS n
+            FROM nation JOIN customer ON c_nationkey = n_nationkey
+            WHERE (n_regionkey = 1
+                   OR c_acctbal > ANY (SELECT o_totalprice / 100000
+                                       FROM orders))
+            GROUP BY n_name ORDER BY n_name
+        """)
+
+    def test_nondeterministic_conjunct_excluded_from_restriction(self, ceng):
+        # LOW: rand() in WHERE must not be re-evaluated inside the
+        # magic-set restriction (a diverging sample would silently NULL
+        # scalars for keys the real WHERE kept). rand() >= 0 keeps every
+        # row, so the result must equal the query without it.
+        sql = """
+            SELECT id FROM ct o
+            WHERE rand() >= 0
+              AND v < (SELECT max(v) FROM ct i WHERE i.k = o.k)
+        """
+        base = """
+            SELECT id FROM ct o
+            WHERE v < (SELECT max(v) FROM ct i WHERE i.k = o.k)
+        """
+        compare_frames(ceng.query(sql).toPandas(),
+                       ceng.query(base).toPandas())

@@ -213,3 +213,17 @@ def test_quantified_correlated_plans_single_shuffle(engine):
     for join in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
                  "BroadcastNestedLoopJoin"):
         assert join not in plan, plan
+
+
+def test_quantified_ordered_fuses_single_inner_pass(engine):
+    # r7: the ordered-form quantifier lowering emits (count, extremum,
+    # null-count) as ONE fused aggregation over the inner subquery — one
+    # bind join, not three re-runs of the inner GROUP BY+HAVING. Pin the
+    # executed-plan exchange count (was 7 pre-fusion; inner groupBy +
+    # fused global agg + outer global agg ≈ 4).
+    df = engine.query(
+        "SELECT count(*) AS n FROM orders WHERE o_totalprice > ANY "
+        "(SELECT o_totalprice FROM orders GROUP BY o_totalprice "
+        "HAVING count(*) > 1)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 4, plan

@@ -126,3 +126,18 @@ def test_self_join_not_reduced(engine, forced):
     """
     plan = plan_of(engine.query(sql), "simple")
     assert "LeftSemi" not in plan
+
+
+def test_quantified_compare_in_or_conjunct_not_reduced(oracle, forced):
+    # r7 regression (ADVICE r6 high): the reducer runs BEFORE quantifier
+    # lowering, and a conjunct like (dim-local OR x > ANY(sub)) used to be
+    # classified dimension-local — compile_expr then crashed on the raw
+    # QuantifiedCompare node with the gates open. It must be excluded from
+    # the conjunct pool (subquery-bearing) and still evaluate correctly.
+    oracle("""
+        SELECT n_name, count(*) AS n
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE (n_regionkey = 1
+               OR c_acctbal > ANY (SELECT o_totalprice / 100000 FROM orders))
+        GROUP BY n_name ORDER BY n_name
+    """)
