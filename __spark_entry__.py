@@ -938,61 +938,72 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver's correctness gate only records the FIRST 50 queries() entries
-# (dict order), so the highest-value entries — TPC-H composites, correlated
-# subqueries, grouping extensions, window frames, and the pipeline operators —
-# are listed first; redundant variants of already-validated families follow.
+# (dict order). ROTATION POLICY (r7, replacing r6's changed-first triage):
+# each round the window re-records the LONGEST-STALE 50 entries — those
+# whose last driver record is oldest (computed from CORRECTNESS_r0*.json;
+# r6 left 103 entries last verified in r05 or earlier: 41×r01, 6×r03,
+# 25×r04, 31×r05). Within the stale set, families whose implementation
+# changed since their last record lead (this round: the aggregation
+# entries the r6 decimal-limb path touched, plus the TPC-H composites
+# re-planned by the r6 broadcast/semi-join work). Entries whose plan
+# changed THIS round but already carry an r06 record come immediately
+# after the window (positions 51+); the full 153-entry local oracle run
+# (scripts/check_oracle.py, recorded per-round) is the safety net that
+# covers them until their window slot comes up.
 _PRIORITY: list[str] = [
-    # r06: new temporal-join operators (as-of oracle = DuckDB native ASOF)
-    "join_asof_sql", "pivot_event_type", "unpivot_order_measures",
-    "distinct_on_latest_event",
+    # --- driver window (50): all last driver-verified in r05 or earlier ---
+    # aggregation family touched by the r6 decimal-limb fast path
+    "tpch_q1_pricing_summary", "agg_group_by", "agg_global", "group_by_all",
+    "agg_expression_mix",
+    # changed this round (new closed-form oracle) AND stale since r04
+    "pipeline_multimodal_decode_stub",
+    # oldest-verified TPC-H composites
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
+    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
+    "tpch_q16_parts_supplier_relationship", "tpch_q18_large_volume_customer",
+    "tpch_q19_discounted_revenue", "tpch_q20_potential_part_promotion",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
+    # stale window + set-op families
+    "window_cumulative_default_frame", "window_partition_only",
+    "window_in_expression", "window_lag_lead", "window_percent_cume",
+    "window_first_last_value", "union_all", "union_distinct", "except_all",
+    "except_distinct", "intersect", "intersect_all",
+    # r01-verified core surfaces (the oldest records on file)
+    "agg_count_star_distinct", "agg_extended_stats", "agg_group_key_dropped",
+    "agg_groupby_no_agg_distinct", "agg_having", "agg_having_global",
+    "agg_having_hidden_agg", "arithmetic", "case_when", "cast_types",
+    "coalesce_nullif", "filter_between_in", "filter_compare",
+    "filter_is_null", "filter_like", "join_anti_not_in_subquery",
+    "join_comma_implicit_cross", "join_cross", "join_full_outer",
+    "join_inner",
+    # --- positions 51+: plans changed in r7 (quantifier fusion / binder
+    # refactor / similarity contract) but r06-verified — next in line ---
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
-    "pipeline_dedup_lines", "pipeline_take_token_budget",
-    "subquery_exists_in_select", "agg_corr_regr",
-    # r06-late: plans changed by the decorrelation/semi-reduction work —
-    # keep inside the driver's 50-entry verification window
-    "subquery_correlated_scalar_q17", "tpch_q5_local_supplier_volume",
-    "tpch_q2_minimum_cost_supplier",
-    "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
-    # r06: new text-pipeline operators
-    "pipeline_text_repetition_signals", "pipeline_decontaminate",
-    "pipeline_text_bm25", "pipeline_streaming_interval_join",
-    "pipeline_pack_sequences", "pipeline_text_unigram_logprob",
-    "pipeline_containment",
-    # r06: every entry whose implementation changed this round, first.
-    # New surfaces: NOW()/TODAY() under the injectable clock
-    "scalar_today_pinned_filter", "scalar_now_today_projection",
-    # int-width alignment (ranks/date parts/length/instr/size/grouping all
-    # widened to BIGINT engine-side) — every entry whose output schema moved
-    "window_rank_dense_rank", "window_row_number", "window_ntile",
-    "window_named", "window_qualify_topn",
-    "group_rollup", "group_cube_grouping", "group_grouping_sets",
-    "date_extract", "date_functions",
-    "string_functions", "string_ansi_forms",
-    "tpch_q7_volume_shipping", "tpch_q8_market_share",
-    "tpch_q9_product_profit",
-    "pipeline_text_token_stats", "pipeline_text_bpe_tokens",
-    "pipeline_text_quality_score", "pipeline_curate_documents",
-    "embeddings_unnest_dims",
-    # batched IVF rewrite (one joined plan) + null-guarded Arrow kernels —
-    # hashes must stay identical on the driver record
-    "pipeline_ann_ivf_nprobe", "pipeline_ann_ivf",
-    "pipeline_dedup_minhash_lsh", "pipeline_dedup_ngram_jaccard",
-    "pipeline_dedup_clusters", "pipeline_dedup_simhash",
-    "pipeline_embedding_near_dup", "pipeline_ann_lsh_bucketed",
-    # broadcast-threshold change (10m static / 64m adaptive) re-plans every
-    # join query; re-confirm the join-heavy composites on the record
-    "tpch_q5_local_supplier_volume", "tpch_q18_large_volume_customer",
-    "subquery_correlated_scalar_q17", "subquery_correlated_exists_q4",
-    "tpch_q3_shipping_priority", "tpch_q21_suppliers_kept_waiting",
-    "tpch_q2_minimum_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q10_returned_items", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier",
-    "join_multiway", "join_semi_in_subquery",
-    # flagship + streaming re-confirmations (green in earlier windows)
-    "tpch_q1_pricing_summary", "tpch_q6_forecast_revenue",
-    "pipeline_streaming_tumbling", "pipeline_stateful_dedup",
-    "events_tumbling_window", "pipeline_dedup_exact",
-    "pipeline_ann_cosine_topk",
+    "subquery_correlated_scalar_q17", "tpch_q2_minimum_cost_supplier",
+    "subquery_exists_in_select", "pipeline_ann_cosine_topk",
+    # --- remaining stale entries, oldest record first (r8 window feed) ---
+    "join_left", "join_multiway", "join_right", "join_semi_in_subquery",
+    "join_theta", "limit_offset", "order_by_multi_key", "select_alias_expr",
+    "select_distinct", "select_project", "select_star", "top_k",
+    "events_funnel_share", "events_user_daily", "pipeline_sample_stratified",
+    "pipeline_skew_salted_join", "agg_percentile", "cte_chained",
+    "pipeline_doc_fingerprint", "pipeline_multimodal_audio_rms",
+    "pipeline_multimodal_blob_dedup", "pipeline_multimodal_blob_metadata",
+    "pipeline_multimodal_decode_bmp", "pipeline_sample_top_n_per_key",
+    "pipeline_skew_salted_count", "pipeline_split_train_eval",
+    "pipeline_text_chunk_documents", "pipeline_text_language_id",
+    "pipeline_text_redact_pii", "pipeline_text_term_frequencies",
+    "subquery_correlated_not_exists", "subquery_from_nested",
+    "subquery_join", "subquery_scalar", "agg_approx_count_distinct",
+    "agg_group_by_ordinal", "events_json_extract", "events_tumbling_window",
+    "pipeline_ann_lsh_bucketed", "pipeline_dedup_exact",
+    "pipeline_embedding_near_dup", "pipeline_multimodal_decode_images",
+    "pipeline_stateful_dedup", "pipeline_streaming_sessionize",
+    "pipeline_streaming_sliding", "pipeline_streaming_tumbling",
+    "subquery_correlated_exists_q4", "tpch_q11_important_stock",
+    "tpch_q6_forecast_revenue", "window_range_frame",
+    "window_range_interval", "window_rows_frame",
 ]
 
 

@@ -129,14 +129,52 @@ def main() -> None:
         timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
-    print(json.dumps({
-        "metric": "headline_queries_total_wall",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "floor_sec": round(floor, 4),
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full-fidelity record (long names, 4-decimal) on disk — BASELINE.md
+    # references this file; the stdout line below is the driver's record.
+    os.makedirs("bench_results", exist_ok=True)
+    full_path = os.path.join("bench_results", f"bench_full_sf{sf}.json")
+    with open(full_path, "w") as f:
+        json.dump({"metric": "headline_queries_total_wall", "value": total,
+                   "unit": "sec", "queries": timings,
+                   "floor_sec": round(floor, 4), "sf": sf_val}, f, indent=1)
+
+    # The driver captures only the TAIL of stdout (~2000 chars) and parses
+    # the result line from it — r06's line outgrew that window and the
+    # record landed unparsed. Emit compact separators + abbreviated
+    # per-query keys (mapping documented in BASELINE.md §keys: tpch_qN_* →
+    # qN, pipeline_ → '', subquery_ → sq_, window_ → w_, events_ → ev_),
+    # and if the line still exceeds the window, fold the FASTEST entries
+    # into an "_other" bucket (sum) so the slow, interesting ones survive.
+    def short(name: str) -> str:
+        if name.startswith("tpch_"):
+            return name.split("_")[1]
+        for pre, rep in (("pipeline_", ""), ("subquery_", "sq_"),
+                         ("window_", "w_"), ("events_", "ev_")):
+            if name.startswith(pre):
+                return rep + name[len(pre):]
+        return name
+
+    compact = {short(k): round(v, 3) for k, v in timings.items()}
+    assert len(compact) == len(timings), "short-key collision"
+
+    def line_of(q: dict) -> str:
+        return json.dumps({
+            "metric": "headline_queries_total_wall", "value": total,
+            "unit": "sec", "queries": q, "floor_sec": round(floor, 4),
+            "sf": sf_val, "full": full_path,
+        }, separators=(",", ":"))
+
+    line = line_of(compact)
+    if len(line) > 1900:
+        keep = dict(sorted(compact.items(), key=lambda kv: -kv[1]))
+        while len(line_of(keep)) > 1850 and len(keep) > 1:
+            keep.pop(min(keep, key=lambda k: keep[k]))
+        folded = round(sum(v for k, v in compact.items() if k not in keep), 3)
+        keep["_other"] = folded
+        line = line_of(keep)
+    print(line)
 
 
 if __name__ == "__main__":
