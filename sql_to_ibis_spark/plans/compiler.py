@@ -2679,13 +2679,19 @@ class Compiler:
         from the three limb sums per group — integer arithmetic end to end,
         identical values to the decimal sum.
 
-        Exactness domain: ``|x·10^s| < 2^52`` — enforced per row by an
+        Unscaled-value extraction (r7): ``u = round(round(x, s)·10^s)``.
+        The INNER round picks the same integer as the decimal cast — both
+        are ``BigDecimal.valueOf(x).setScale(s, HALF_UP)`` in Spark — and
+        the outer round only recovers that integer from the double after
+        the 10^s rescale. The r6 single-round form ``round(x·10^s)``
+        drifted one unscaled unit on doubles adjacent to ``.5`` boundaries
+        (131 of 3800 probed x.xx5 values at s=2; pinned by the boundary
+        fuzz in tests/test_property_fuzz.py).
+
+        Exactness domain: ``|x·10^s| < 2^49`` — enforced per row by an
         in-plan ``raise_error`` so out-of-domain data fails LOUDLY rather
-        than summing wrong. Known caveat: for adversarial doubles lying
-        within one double-rounding ulp of a ``.5`` rounding boundary,
-        ``round(fl(x·10^s))`` can differ from the decimal cast's
-        ``setScale(x, s)`` in the last digit (~1e-13 per row); the oracle
-        gate hash-verifies equality continuously on every entry.
+        than summing wrong (2^49 leaves 3 ulps of slack so the rescale's
+        integer recovery is exact across the whole domain).
         """
         if not self._agg_low_card_groups:
             # high-cardinality grouping (numeric ID keys): per-group limb
@@ -2700,14 +2706,14 @@ class Compiler:
         if p > 18 or s > 4:
             return None
         d = recurse(cast_node.operand).cast("double")
-        lim = F.lit(float(1 << 52) / (10 ** s))
-        u_raw = F.round(d * F.lit(10 ** s)).cast("long")
+        lim = F.lit(float(1 << 49) / (10 ** s))
+        u_raw = F.round(F.round(d, s) * F.lit(10 ** s)).cast("long")
         u = (
             F.when(d.isNull(), F.lit(None).cast("long"))
             .when(F.abs(d) < lim, u_raw)
             .otherwise(F.raise_error(F.lit(
                 f"sum(decimal({p},{s})) fast path: |value| outside the "
-                f"exact domain 2^52/10^{s}")).cast("long"))
+                f"exact domain 2^49/10^{s}")).cast("long"))
         )
         mask = F.lit((1 << 22) - 1)
         tot = (

@@ -8,6 +8,7 @@ type-coercion drift the hand-written cases miss."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -390,3 +391,63 @@ def test_random_exists_expression_position_matches_duckdb(
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected)
+
+
+class TestDecimalLimbBoundary:
+    """r7: hammer the decimal-limb sum fast path with values adjacent to
+    ``.5`` scaled-rounding boundaries and require exact equality with
+    Spark's own decimal sum, at scales 0-4.
+
+    The r6 single-round form ``round(x·10^s)`` drifted one unscaled unit
+    on such doubles (e.g. 1.005 → 100 where the cast picks 101); the r7
+    two-step ``round(round(x, s)·10^s)`` picks the same integer as the
+    cast. This test fails on the r6 form within the first few dozen
+    values — the drift the blessed oracle data never exercised."""
+
+    def _boundary_values(self, s: int) -> list[float]:
+        import math
+
+        vals: list[float] = []
+        # dense sweep of m + 0.5 half-way patterns at scale s, both signs,
+        # plus their one-ulp neighbours (the adversarial side)
+        for m in range(0, 4000, 7):
+            for sign in (1.0, -1.0):
+                x = sign * (m + 0.5) / (10 ** s)
+                vals.extend([x, math.nextafter(x, 0.0),
+                             math.nextafter(x, math.inf)])
+        # seeded random magnitudes deeper into the domain
+        import numpy as np
+        rng = np.random.RandomState(42 + s)
+        m_rand = rng.randint(0, 2 ** 31, size=500)
+        vals.extend(((m * 10 + 5) / (10 ** (s + 1)))
+                    for m in m_rand.tolist())
+        return vals
+
+    @pytest.mark.parametrize("s", [0, 1, 2, 3, 4])
+    def test_limb_sum_matches_spark_decimal_sum(self, spark, s):
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark import SqlEngine
+
+        vals = self._boundary_values(s)
+        # 3 string groups → the low-cardinality gate opens the limb path
+        rows = [(f"g{i % 3}", v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "g string, v double")
+        eng = SqlEngine(spark)
+        eng.register_temp_table(df, "limb_t")
+        try:
+            got = eng.query(
+                f"SELECT g, sum(CAST(v AS DECIMAL(18,{s}))) AS sv "
+                f"FROM limb_t GROUP BY g")
+            # the plan must actually take the limb path (bit-shift limbs),
+            # else this test silently stops covering it
+            plan = got._jdf.queryExecution().optimizedPlan().toString()
+            assert "shiftright" in plan, plan
+            exp = (df.groupBy("g")
+                   .agg(F.sum(F.col("v").cast(f"decimal(18,{s})"))
+                        .alias("sv")))
+            a = {r["g"]: r["sv"] for r in got.collect()}
+            e = {r["g"]: r["sv"] for r in exp.collect()}
+            assert a == e, (s, a, e)
+        finally:
+            eng.remove_temp_table("limb_t")
