@@ -2183,7 +2183,9 @@ class Compiler:
             return None
 
         # ---- select list → (post-agg expression, output name, is_pandas)
-        agg_cols: list[tuple[Column, str, bool]] = []
+        # (compiled column, output name, is_pandas_udaf, source FuncCall ast
+        # or None) — the ast powers the grouping-sets pre-agg rewrite below
+        agg_cols: list[tuple[Column, str, bool, "ast.FuncCall | None"]] = []
 
         def placeholder(agg_expr: ast.Expr) -> Column:
             name = f"__agg_{len(agg_cols)}"
@@ -2197,7 +2199,9 @@ class Compiler:
                 compiled = self.compile_expr(agg_expr, scope)
             finally:
                 self._agg_low_card_groups = prev
-            agg_cols.append((compiled, name, is_pandas))
+            agg_cols.append((compiled, name, is_pandas,
+                             agg_expr if isinstance(agg_expr, ast.FuncCall)
+                             else None))
             return F.col(name)
 
         def lower_post_agg(expr: ast.Expr) -> Column:
@@ -2211,7 +2215,8 @@ class Compiler:
                 # scalar-subquery value is constant per group; carry it
                 # through the aggregation with FIRST
                 name = f"__agg_{len(agg_cols)}"
-                agg_cols.append((F.first(F.col(_bq(expr.name))), name, False))
+                agg_cols.append((F.first(F.col(_bq(expr.name))), name, False,
+                                 None))
                 return F.col(name)
             if isinstance(expr, ast.FuncCall) and (
                 self._is_agg_name(expr.name) or expr.is_star
@@ -2283,10 +2288,10 @@ class Compiler:
         if not agg_cols:
             # aggregates may be only in HAVING; need at least one agg column
             agg_cols.append((F.count(F.lit(1)), f"__agg_{len(agg_cols)}",
-                             False))
-        agg_exprs = [c.alias(n) for c, n, _ in agg_cols]
-        pandas_cols = [(c, n) for c, n, p in agg_cols if p]
-        jvm_cols = [(c, n) for c, n, p in agg_cols if not p]
+                             False, ast.FuncCall(name="count", is_star=True)))
+        agg_exprs = [c.alias(n) for c, n, _, _ in agg_cols]
+        pandas_cols = [(c, n) for c, n, p, _ in agg_cols if p]
+        jvm_cols = [(c, n) for c, n, p, _ in agg_cols if not p]
         if pandas_cols and jvm_cols:
             # Spark can't mix grouped-agg pandas UDFs with JVM aggregates in
             # one agg() (INVALID_PANDAS_UDF_PLACEMENT) — split into two
@@ -2326,6 +2331,21 @@ class Compiler:
             # stay UNALIASED so grouping()/grouping_id() resolve against
             # them (aliases get fresh exprIds per use in PySpark 4); output
             # names are applied positionally after the agg.
+            #
+            # Pre-aggregation rewrite (r7): Expand replicates EVERY input
+            # row once per grouping set before any aggregation — 3× the
+            # 60M-row scan for ROLLUP(a, b). When every aggregate is
+            # decomposable (count/sum/min/max), aggregate at the finest key
+            # level FIRST (one pass, no Expand), then run the grouping-sets
+            # aggregation over the tiny base with merge functions
+            # (count→sum, sum→sum, min/max→min/max); grouping()/
+            # grouping_id() still resolve natively. Gated to the same
+            # low-cardinality key shapes as the limb path — high-card keys
+            # would make the base as big as the input.
+            preagg = self._plan_grouping_sets_preagg(
+                df, node, keys, agg_cols, low_card_groups)
+            if preagg is not None:
+                df, agg_exprs = preagg
             raw_keys = [k["col"] for k in keys]
             if node.group_mode == "rollup":
                 grouped = df.rollup(*raw_keys)
@@ -2665,6 +2685,85 @@ class Compiler:
                 return fast
         return AGGREGATE_FUNCTIONS[name](*args)
 
+    def _plan_grouping_sets_preagg(
+        self, df: DataFrame, node: ast.SelectNode, keys: list[dict],
+        agg_cols: list, low_card_groups: bool,
+    ) -> tuple[DataFrame, list[Column]] | None:
+        """Pre-aggregate rewrite for ROLLUP/CUBE/GROUPING SETS (see the
+        call site for the plan-shape rationale). Returns ``(base,
+        merge_exprs)`` — the finest-level aggregate and per-set merge
+        expressions — or None when the shape doesn't qualify:
+
+        * high-cardinality keys (base ≈ input, the Expand was cheaper),
+        * expression group keys (the grouped frame re-binds attribute
+          refs only for plain columns),
+        * non-decomposable aggregates (avg/stddev/count DISTINCT/user
+          UDAFs) or aggregates the compiler synthesized without an AST.
+
+        ``SPARK_GRAFT_NO_GROUPING_PREAGG=1`` disables the rewrite."""
+        if os.environ.get("SPARK_GRAFT_NO_GROUPING_PREAGG"):
+            return None
+        if not low_card_groups:
+            return None
+        if not all(isinstance(g, ast.ColumnRef) for g in node.group_by):
+            return None
+        # (kind, compiled, name): kind drives the merge function
+        plan: list[tuple[str, Column, str]] = []
+        for compiled, name, is_pandas, a in agg_cols:
+            if is_pandas or not isinstance(a, ast.FuncCall):
+                return None
+            if a.name in ("grouping", "grouping_id"):
+                # resolves against the grouping columns of the merge agg —
+                # carried through unchanged
+                plan.append(("asis", compiled, name))
+                continue
+            if a.distinct:
+                return None
+            if a.is_star or a.name == "count":
+                plan.append(("count", compiled, name))
+            elif a.name == "sum":
+                plan.append(("sum", compiled, name))
+            elif a.name in ("min", "minimum"):
+                plan.append(("min", compiled, name))
+            elif a.name in ("max", "maximum"):
+                plan.append(("max", compiled, name))
+            else:
+                return None
+        raw_keys = [k["col"] for k in keys]
+        partial_aliases: dict[int, str] = {}
+        partials: list[Column] = []
+        for i, (kind, compiled, _name) in enumerate(plan):
+            if kind == "asis":
+                continue
+            pn = f"__p_{i}"
+            partial_aliases[i] = pn
+            partials.append(compiled.alias(pn))
+        if not partials:
+            return None
+        base = df.groupBy(*raw_keys).agg(*partials)
+        ptypes = {f.name: f.dataType for f in base.schema.fields}
+        merge_exprs: list[Column] = []
+        for i, (kind, compiled, name) in enumerate(plan):
+            if kind == "asis":
+                merge_exprs.append(compiled.alias(name))
+                continue
+            pc = F.col(partial_aliases[i])
+            if kind == "count":
+                # counts are non-null and base groups are never empty, so
+                # the merged sum is never null — count semantics preserved
+                m = F.sum(pc)
+            elif kind == "sum":
+                # merging widens decimal precision by 10; cast back to the
+                # direct result's type (the partial's own) — exact, and a
+                # loud ANSI overflow matches the direct path's semantics
+                m = F.sum(pc).cast(ptypes[partial_aliases[i]])
+            elif kind == "min":
+                m = F.min(pc)
+            else:
+                m = F.max(pc)
+            merge_exprs.append(m.alias(name))
+        return base, merge_exprs
+
     def _try_split_decimal_sum(self, cast_node: ast.Cast, recurse) -> Column | None:
         """Exact fast path for ``sum(CAST(x AS decimal(p≤18, s≤4)))``.
 
@@ -2679,19 +2778,25 @@ class Compiler:
         from the three limb sums per group — integer arithmetic end to end,
         identical values to the decimal sum.
 
-        Unscaled-value extraction (r7): ``u = round(round(x, s)·10^s)``.
-        The INNER round picks the same integer as the decimal cast — both
-        are ``BigDecimal.valueOf(x).setScale(s, HALF_UP)`` in Spark — and
-        the outer round only recovers that integer from the double after
-        the 10^s rescale. The r6 single-round form ``round(x·10^s)``
-        drifted one unscaled unit on doubles adjacent to ``.5`` boundaries
-        (131 of 3800 probed x.xx5 values at s=2; pinned by the boundary
-        fuzz in tests/test_property_fuzz.py).
+        Unscaled-value extraction (r7): the r6 form ``round(x·10^s)``
+        drifted one unscaled unit on doubles adjacent to ``.5`` rounding
+        boundaries, where the double product crosses the half-integer the
+        decimal cast (``BigDecimal.valueOf(x).setScale(s, HALF_UP)``)
+        doesn't (131 of 3800 probed x.xx5 values at s=2). Now rows whose
+        scaled value lies within an error-bound eps of a half-integer take
+        a per-row decimal-cast branch (exact by construction — it IS the
+        cast), everyone else keeps the cheap double round, which provably
+        agrees with the cast outside eps. Real data essentially never hits
+        the boundary branch, so this costs nothing at scale (A/B at sf10:
+        1.00 s vs 1.01 s for the unsafe single round; the always-exact
+        ``round(round(x,s)·10^s)`` alternative was 1.56 s — per-row
+        BigDecimal). Pinned by the boundary fuzz in
+        tests/test_property_fuzz.py.
 
         Exactness domain: ``|x·10^s| < 2^49`` — enforced per row by an
         in-plan ``raise_error`` so out-of-domain data fails LOUDLY rather
-        than summing wrong (2^49 leaves 3 ulps of slack so the rescale's
-        integer recovery is exact across the whole domain).
+        than summing wrong (within 2^49, eps covers the double product's
+        worst-case representation error with ≥16 ulps of slack).
         """
         if not self._agg_low_card_groups:
             # high-cardinality grouping (numeric ID keys): per-group limb
@@ -2707,7 +2812,15 @@ class Compiler:
             return None
         d = recurse(cast_node.operand).cast("double")
         lim = F.lit(float(1 << 49) / (10 ** s))
-        u_raw = F.round(F.round(d, s) * F.lit(10 ** s)).cast("long")
+        scaled = d * F.lit(float(10 ** s))
+        dist = F.abs(scaled - F.floor(scaled) - F.lit(0.5))
+        eps = F.greatest(F.lit(1e-9), F.abs(scaled) * F.lit(2.0 ** -48))
+        u_raw = (
+            F.when(dist < eps,
+                   (d.cast(f"decimal({p},{s})") * F.lit(10 ** s))
+                   .cast("long"))
+            .otherwise(F.round(scaled).cast("long"))
+        )
         u = (
             F.when(d.isNull(), F.lit(None).cast("long"))
             .when(F.abs(d) < lim, u_raw)

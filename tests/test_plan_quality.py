@@ -227,3 +227,27 @@ def test_quantified_ordered_fuses_single_inner_pass(engine):
         "HAVING count(*) > 1)")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 4, plan
+
+
+def test_grouping_sets_preagg_rewrite(engine, monkeypatch):
+    # r7: ROLLUP/CUBE over low-card keys pre-aggregates at the finest key
+    # level BEFORE the Expand, so Expand replicates the tiny base instead
+    # of every input row (sf10: rollup 2.07→1.09 s, cube 1.23→0.55 s).
+    sql = ("SELECT l_returnflag, l_linestatus, count(*) AS n, "
+           "CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS s "
+           "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)")
+    df = engine.query(sql)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("Expand")
+    assert i >= 0, plan
+    # the scan-side aggregate sits BELOW the Expand (printed after it) —
+    # Expand replicates aggregated rows, not input rows
+    assert "HashAggregate" in plan[i:], plan
+    assert plan.count("Scan") == 1, plan
+    # values must be identical to the Expand plan
+    monkeypatch.setenv("SPARK_GRAFT_NO_GROUPING_PREAGG", "1")
+    expanded = engine.query(sql)
+    key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+    a = sorted(map(tuple, df.collect()), key=key)
+    b = sorted(map(tuple, expanded.collect()), key=key)
+    assert a == b
