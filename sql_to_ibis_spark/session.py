@@ -38,6 +38,16 @@ def get_spark(app_name: str = "sql_to_ibis_spark",
         # the RUNTIME threshold is generous: AQE sees actual shuffle bytes,
         # not estimates, so converting a ≤64 MB side to broadcast is safe
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+        # Prefer shuffled-hash over sort-merge when a side can build a
+        # local hash map (Spark still falls back to SMJ otherwise, and AQE
+        # skew-splitting keeps build sides bounded): skips sorting the big
+        # shuffled side. Interleaved A/B at sf10 (scripts/ab_shj.py): q13
+        # −27%, q5 −21%, dedup_exact −15%, q7 −13%, q21 −12%, q18/q3/
+        # multiway within noise — no regressions across two sweeps.
+        # SPARK_GRAFT_PREFER_SMJ=1 restores the sort-merge preference.
+        .config("spark.sql.join.preferSortMergeJoin",
+                "true" if os.environ.get("SPARK_GRAFT_PREFER_SMJ")
+                else "false")
         # Arrow for any pandas interchange (UDF paths, toPandas)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep timestamps deterministic across engines/oracles
