@@ -149,6 +149,21 @@ class ScalarRef(Expr):
 
 
 @dataclass
+class GroupTotalSubquery(Expr):
+    """Internal marker: an uncorrelated scalar subquery that aggregates
+    the SAME FROM+WHERE as the enclosing grouped query (TPC-H q11's
+    HAVING threshold, share-of-total projections). Lowered by the
+    aggregation compiler into a window total over the outer's own grouped
+    frame — the per-group partials are re-aggregated with merge functions
+    — instead of re-executing the whole join/scan a second time.
+    ``item`` is the subquery's select item with inner aliases already
+    retargeted to the outer's. Produced by the compiler's rewrite, never
+    by the parser."""
+
+    item: Expr = None
+
+
+@dataclass
 class ScalarSubqueryField(Expr):
     """Internal marker: output column ``index`` of a MULTI-column scalar
     subquery. Several fields referencing the SAME ``subquery`` object (by

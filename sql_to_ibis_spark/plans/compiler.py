@@ -523,6 +523,10 @@ class Compiler:
             msq_refs[key] = refs
             return refs
 
+        # total-over-groups rewrite is only sound in post-aggregation
+        # positions (select items / HAVING); WHERE binds with it off
+        allow_total = [False]
+
         def bind(e: ast.Expr) -> ast.Expr:
             if isinstance(e, ast.ScalarSubqueryField):
                 return bind_multi(e.subquery)[e.index]
@@ -534,6 +538,10 @@ class Compiler:
                                                     r if r is not None else df,
                                                     r is not None,
                                                     outer_single, wincols)
+            if allow_total[0]:
+                marker = self._try_total_over_groups(e.subquery, node)
+                if marker is not None:
+                    return marker
             sub = self.compile(e.subquery)
             if len(sub.columns) != 1:
                 raise InvalidQueryException(
@@ -549,6 +557,7 @@ class Compiler:
 
         if node.where is not None:
             node.where = _transform_expr(node.where, bind)
+        allow_total[0] = True
         for item in node.items:
             if not isinstance(item.expr, ast.Star):
                 item.expr = _transform_expr(item.expr, bind)
@@ -825,6 +834,175 @@ class Compiler:
         return (ast.ScalarSubqueryField(subquery=fused, index=0),
                 ast.ScalarSubqueryField(subquery=fused, index=1),
                 ast.ScalarSubqueryField(subquery=fused, index=2))
+
+    def _try_total_over_groups(
+        self, sub, node: ast.SelectNode
+    ) -> "ast.GroupTotalSubquery | None":
+        """TPC-H q11-shape rewrite: an uncorrelated scalar subquery in a
+        post-aggregation position whose body aggregates the SAME
+        FROM+WHERE as the outer grouped query. The global total equals a
+        merge-re-aggregation of the outer's per-group partials (sum of
+        group sums, sum of group counts, min of group mins, …), so the
+        scalar compiles to a window total over the outer's own grouped
+        frame — the second execution of the whole join/scan disappears.
+        Exchange reuse CANNOT recover this (measured: Spark's canonical
+        matching fails across DeduplicateRelations even for shared plan
+        objects — BASELINE.md round-7 investigation).
+
+        Soundness: FROM trees and WHERE conjunct sets must fingerprint
+        identically modulo alias names (aliases normalize positionally);
+        nondeterministic predicates disqualify (outer and inner would
+        sample independently); multidimensional grouping disqualifies
+        (rollup/cube groups overlap — partials would double count);
+        aggregates must be decomposable (count/sum/min/max, no DISTINCT).
+        The window total is computed BEFORE the HAVING filter, matching
+        the scalar's independence from HAVING.
+
+        ``SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE=1`` disables the rewrite."""
+        if os.environ.get("SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE"):
+            return None
+        if not isinstance(sub, ast.SelectNode):
+            return None
+        if (len(sub.items) != 1 or isinstance(sub.items[0].expr, ast.Star)
+                or sub.group_by or sub.group_by_all
+                or sub.having is not None or sub.distinct or sub.distinct_on
+                or sub.limit is not None or sub.offset is not None
+                or sub.qualify is not None):
+            return None
+        if node.group_mode is not None or node.group_by_all:
+            return None
+        # outer must itself be a grouped/global aggregation
+        outer_is_agg = bool(node.group_by) or any(
+            not isinstance(i.expr, ast.Star)
+            and self._contains_aggregate(i.expr) for i in node.items)
+        if not outer_is_agg:
+            return None
+        if node.where is not None and (
+                self._contains_nondeterministic(node.where)):
+            return None
+        fpo = self._from_where_fingerprint(node)
+        fpi = self._from_where_fingerprint(sub)
+        if fpo is None or fpi is None or fpo[0] != fpi[0]:
+            return None
+        mapping = dict(zip(fpi[1], fpo[1]))
+
+        item = _copy_expr(sub.items[0].expr)
+        valid, has_agg = True, False
+
+        def check(e: object, inside_agg: bool = False) -> None:
+            nonlocal valid, has_agg
+            if isinstance(e, ast.ColumnRef) and not inside_agg:
+                # a column outside any aggregate would have to resolve
+                # against the grouped frame — not this rewrite's shape
+                valid = False
+                return
+            if isinstance(e, ast.FuncCall) and (
+                    self._is_agg_name(e.name) or e.is_star):
+                has_agg = True
+                if e.distinct or e.name in self.user_aggregates:
+                    valid = False
+                if not e.is_star and e.name not in (
+                        "count", "sum", "min", "minimum", "max", "maximum"):
+                    valid = False
+                for c in _children(e):
+                    check(c, True)
+                return
+            for c in _children(e):
+                check(c, inside_agg)
+
+        check(item)
+        if not valid or not has_agg:
+            return None
+
+        def retarget(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ColumnRef) and e.table is not None:
+                t = e.table.lower()
+                if t in mapping:
+                    return ast.ColumnRef(name=e.name, table=mapping[t])
+            return e
+
+        return ast.GroupTotalSubquery(item=_transform_expr(item, retarget))
+
+    def _from_where_fingerprint(
+        self, n: ast.SelectNode
+    ) -> tuple[str, list[str]] | None:
+        """Alias-normalized fingerprint of a SELECT's FROM tree + WHERE
+        conjunct set, with the alias list in FROM order (for retargeting).
+        Returns None for shapes the fingerprint can't prove equal
+        (derived tables, table functions, unsupported expression nodes,
+        subqueries inside WHERE)."""
+        aliases: list[str] = []
+        ok = True
+
+        def efp(e) -> str:
+            nonlocal ok
+            if e is None:
+                return "~"
+            if isinstance(e, ast.ColumnRef):
+                if e.table is None:
+                    q = "?"
+                else:
+                    t = e.table.lower()
+                    q = str(aliases.index(t)) if t in aliases else f"!{t}"
+                return f"C{q}.{e.name.lower()}"
+            if isinstance(e, ast.NumberLit):
+                return f"N{e.value}"
+            if isinstance(e, ast.StringLit):
+                return f"S{e.value!r}"
+            if isinstance(e, ast.BoolLit):
+                return f"B{e.value}"
+            if isinstance(e, ast.NullLit):
+                return "NULL"
+            if isinstance(e, ast.BinaryOp):
+                return f"({efp(e.left)}{e.op}{efp(e.right)})"
+            if isinstance(e, ast.UnaryOp):
+                return f"({e.op} {efp(e.operand)})"
+            if isinstance(e, ast.IsNull):
+                return f"isnull{int(e.negated)}({efp(e.operand)})"
+            if isinstance(e, ast.Between):
+                return (f"btw{int(e.negated)}({efp(e.operand)},"
+                        f"{efp(e.low)},{efp(e.high)})")
+            if isinstance(e, ast.InList):
+                return (f"in{int(e.negated)}({efp(e.operand)};"
+                        + ",".join(sorted(efp(i) for i in e.items)) + ")")
+            if isinstance(e, ast.Like):
+                return (f"like{int(e.negated)}{int(e.case_insensitive)}"
+                        f"{int(e.regexp)}({efp(e.operand)},{efp(e.pattern)})")
+            if isinstance(e, ast.Cast):
+                return f"cast({efp(e.operand)} as {e.type_name})"
+            if isinstance(e, ast.Case):
+                parts = [f"{efp(c)}:{efp(v)}" for c, v in e.whens]
+                return f"case({';'.join(parts)};{efp(e.else_)})"
+            if isinstance(e, ast.FuncCall):
+                if (e.name in self._NONDETERMINISTIC_FNS
+                        or e.name in self.user_functions
+                        or self._is_agg_name(e.name) or e.is_star
+                        or e.distinct or e.filter_where is not None):
+                    ok = False
+                    return "!"
+                return f"{e.name}(" + ",".join(efp(a) for a in e.args) + ")"
+            ok = False
+            return "!"
+
+        def rfp(r) -> str:
+            nonlocal ok
+            if isinstance(r, ast.TableRef):
+                aliases.append((r.alias or r.name).lower())
+                return f"T:{r.name.lower()}"
+            if isinstance(r, ast.Join):
+                left = rfp(r.left)
+                right = rfp(r.right)
+                cond = efp(r.condition) if r.condition is not None else "~"
+                return f"J:{r.kind}({left},{right},on={cond})"
+            ok = False
+            return "!"
+
+        rels = ",".join(rfp(r) for r in n.relations)
+        conjs = sorted(efp(c) for c in self._split_conjuncts(n.where)) \
+            if n.where is not None else []
+        if not ok:
+            return None
+        return f"FROM[{rels}]WHERE[{'&'.join(conjs)}]", aliases
 
     def _restrict_outer(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
@@ -2204,6 +2382,36 @@ class Compiler:
                              else None))
             return F.col(name)
 
+        # (name, window Column) staged AFTER the aggregation, BEFORE the
+        # HAVING filter — window functions can't live inside filter()
+        post_win_cols: list[tuple[str, Column]] = []
+
+        def lower_group_total(marker: ast.GroupTotalSubquery) -> Column:
+            """Total-over-groups scalar (see _try_total_over_groups):
+            each aggregate becomes a hidden per-group partial; the scalar
+            is the merge re-aggregation of those partials as an
+            unpartitioned window over the grouped frame."""
+
+            def walk(e: ast.Expr) -> Column:
+                if isinstance(e, ast.FuncCall) and (
+                        self._is_agg_name(e.name) or e.is_star):
+                    partial = placeholder(e)
+                    if e.is_star or e.name == "count":
+                        m = F.sum(partial)
+                    elif e.name == "sum":
+                        m = F.sum(partial)
+                    elif e.name in ("min", "minimum"):
+                        m = F.min(partial)
+                    else:
+                        m = F.max(partial)
+                    return m.over(Window.partitionBy())
+                return self._compile_expr_generic(e, walk)
+
+            col = walk(marker.item)
+            tmp = f"__gtotal_{next(self._tmp_counter)}"
+            post_win_cols.append((tmp, col))
+            return F.col(tmp)
+
         def lower_post_agg(expr: ast.Expr) -> Column:
             """Rewrite an expression so group-key subtrees become key refs,
             aggregates become placeholder refs, and any other plain column
@@ -2211,6 +2419,8 @@ class Compiler:
             k = key_for(expr)
             if k is not None:
                 return F.col(_bq(k["out"]))
+            if isinstance(expr, ast.GroupTotalSubquery):
+                return lower_group_total(expr)
             if isinstance(expr, ast.ScalarRef):
                 # scalar-subquery value is constant per group; carry it
                 # through the aggregation with FIRST
@@ -2317,6 +2527,8 @@ class Compiler:
                     *[f"__rk_{i}" for i in range(len(keys))])
             else:
                 agged = df.agg(*jvm_exprs).crossJoin(df.agg(*pd_exprs))
+            for tmp, col in post_win_cols:
+                agged = agged.withColumn(tmp, col)
             if having_col is not None:
                 agged = agged.filter(having_col)
             final_mixed: list[Column] = []
@@ -2370,6 +2582,11 @@ class Compiler:
             agged = df.groupBy(*key_exprs).agg(*agg_exprs)
         else:
             agged = df.agg(*agg_exprs)
+        for tmp, col in post_win_cols:
+            # staged pre-HAVING: the scalar total is over ALL groups,
+            # independent of the HAVING filter (and windows can't appear
+            # inside filter())
+            agged = agged.withColumn(tmp, col)
         if having_col is not None:
             agged = agged.filter(having_col)
 
@@ -3112,6 +3329,8 @@ def _children(node: object) -> list:
         return [node.operand]
     if isinstance(node, ast.QuantifiedCompare):
         return [node.operand]
+    if isinstance(node, ast.GroupTotalSubquery):
+        return [node.item]
     if isinstance(node, ast.Like):
         return [node.operand, node.pattern]
     if isinstance(node, ast.Case):
