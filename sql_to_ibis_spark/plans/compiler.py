@@ -479,7 +479,9 @@ class Compiler:
         delim-join; the reference (single-threaded pandas backend) has no
         analog."""
         joins: list[tuple[DataFrame, Column | None]] = []
-        wincols: list[tuple[str, Column]] = []
+        # (name, window Column, partition-key exprs) per window-decorrelated
+        # scalar — the keys drive the partition-complete WHERE pushdown
+        wincols: list[tuple[str, Column, list[ast.Expr]]] = []
         restricted_cache: list[DataFrame | None] = []
         outer_single: tuple[str, str] | None = None
         if len(node.relations) == 1 and isinstance(node.relations[0],
@@ -563,7 +565,48 @@ class Compiler:
                 item.expr = _transform_expr(item.expr, bind)
         if node.having is not None:
             node.having = _transform_expr(node.having, bind)
-        for wname, wcol in wincols:
+        if wincols and node.where is not None:
+            # partition-complete pushdown: WHERE conjuncts that reference
+            # only columns in EVERY window's partition keys remove whole
+            # partitions, so applying them BELOW the windows cannot change
+            # any surviving row's scalar. This is what lets q20's part
+            # semi-filter run before the 60M-row window shuffle instead of
+            # after it. Uncorrelated [NOT] IN conjuncts on a partition key
+            # qualify (they lower to semi/anti joins that preserve the
+            # frame's schema); nondeterministic conjuncts never do.
+            allowed: set | None = None
+            for _n, _c, pkeys in wincols:
+                idents = set()
+                complete = True
+                for k in pkeys:
+                    try:
+                        idents.add(self._canon(k, scope))
+                    except Exception:
+                        complete = False
+                if not complete:
+                    allowed = set()
+                    break
+                allowed = idents if allowed is None else (allowed & idents)
+            pre: list[ast.Expr] = []
+            keep: list[ast.Expr] = []
+            for c in self._split_conjuncts(node.where):
+                if allowed and self._partition_complete(c, allowed, scope):
+                    pre.append(c)
+                else:
+                    keep.append(c)
+            if pre:
+                pre_expr = pre[0]
+                for c in pre[1:]:
+                    pre_expr = ast.BinaryOp(op="and", left=pre_expr, right=c)
+                df = self._apply_where(df, pre_expr, scope)
+                if keep:
+                    kept = keep[0]
+                    for c in keep[1:]:
+                        kept = ast.BinaryOp(op="and", left=kept, right=c)
+                    node.where = kept
+                else:
+                    node.where = None
+        for wname, wcol, _pk in wincols:
             df = df.withColumn(wname, wcol)
         for sub, cond in joins:
             if cond is None:
@@ -1048,6 +1091,45 @@ class Compiler:
             out = out.filter(self.compile_expr(conj, scope))
         return out
 
+    def _partition_complete(
+        self, conj: ast.Expr, allowed: set, scope: Scope
+    ) -> bool:
+        """True when a WHERE conjunct's outcome depends only on columns in
+        ``allowed`` (the intersection of the window-decorrelated scalars'
+        partition keys) — such a conjunct removes whole window partitions
+        and may run below the windows. Deterministic only; uncorrelated
+        [NOT] IN subqueries qualify when their operand does."""
+        if self._contains_nondeterministic(conj):
+            return False
+        core = conj
+        while isinstance(core, ast.UnaryOp) and core.op == "not":
+            core = core.operand
+        if isinstance(core, ast.InSubquery):
+            if self._is_correlated(core.subquery, scope):
+                return False
+            return self._cols_within(core.operand, allowed, scope)
+        if self._contains_any_subquery(conj):
+            return False
+        return self._cols_within(conj, allowed, scope)
+
+    def _cols_within(self, expr: ast.Expr, allowed: set,
+                     scope: Scope) -> bool:
+        ok = True
+
+        def visit(e: object) -> None:
+            nonlocal ok
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    if self._canon(e, scope) not in allowed:
+                        ok = False
+                except Exception:
+                    ok = False
+            for ch in _children(e):
+                visit(ch)
+
+        visit(expr)
+        return ok
+
     def _contains_any_subquery(self, expr: ast.Expr) -> bool:
         """True when ``expr`` contains any subquery form — including
         ``QuantifiedCompare`` (its body is a subquery that only lowers
@@ -1112,7 +1194,9 @@ class Compiler:
             wins = self._try_window_correlated(
                 sub, scope, correlated, local, outer_single)
             if wins is not None:
-                wincols.extend(zip(names, wins))
+                win_cols, part_keys = wins
+                for n, c in zip(names, win_cols):
+                    wincols.append((n, c, part_keys))
                 return refs()
         values = [self.compile_expr(i.expr, inner_scope) for i in sub.items]
         if all_equality:
@@ -1193,7 +1277,7 @@ class Compiler:
         self, sub: ast.SelectNode, scope: Scope,
         correlated: list[ast.Expr], local: list[ast.Expr],
         outer_single: tuple[str, str] | None,
-    ) -> list[Column] | None:
+    ) -> tuple[list[Column], list[ast.Expr]] | None:
         """Window-function decorrelation for the self-comparison shape:
 
             SELECT ... FROM t o WHERE o.x < (SELECT agg(i.y) FROM t i
@@ -1212,10 +1296,12 @@ class Compiler:
         group (scalar NULL / count 0) while a window would pool them into
         one partition — the result is NULL-masked on the key to match.
 
-        Returns the compiled window Columns (one per subquery item), or
-        None when the shape doesn't apply (different tables, joins in
-        either FROM, distinct aggregates, user-defined aggregates,
-        expression correlation keys).
+        Returns (compiled window Columns — one per subquery item —, the
+        partition-key exprs), or None when the shape doesn't apply
+        (different tables, joins in either FROM, distinct aggregates,
+        user-defined aggregates, expression correlation keys). The keys
+        let the caller pre-apply partition-complete WHERE conjuncts
+        below the window.
 
         ``SPARK_GRAFT_NO_WINDOW_DECORRELATE=1`` disables the rewrite
         (escape hatch + A/B measurement switch)."""
@@ -1312,7 +1398,7 @@ class Compiler:
             value_ast = _transform_expr(_copy_expr(item.expr), retarget)
             value_ast = _transform_expr(value_ast, to_window)
             out.append(F.when(mask, self.compile_expr(value_ast, scope)))
-        return out
+        return out, part_keys
 
     def _decorrelate_by_outer_keys(
         self, outer_df: DataFrame, inner_df: DataFrame, inner_scope: Scope,
