@@ -788,6 +788,17 @@ _PAIRS["tpch_q2_minimum_cost_supplier"] = (
 
 # Q11 shape (adapted, same partsupp substitution): important part value in
 # one nation — grouped HAVING against an uncorrelated scalar aggregate
+# share-of-total projection: the scalar total aggregates the same
+# FROM+WHERE as the outer grouped query → compiled by the r7
+# total-over-groups rewrite as a window total over the grouped frame
+# (ONE lineitem pass; the naive plan scans twice)
+_PAIRS["agg_share_of_total"] = (
+    "SELECT l_returnflag, "
+    "round(CAST(sum(l_extendedprice) AS double) "
+    "      / (SELECT sum(l_extendedprice) FROM lineitem), 6) "
+    "  AS revenue_share "
+    "FROM lineitem GROUP BY l_returnflag", None)
+
 _PAIRS["tpch_q11_important_stock"] = (
     "SELECT l.l_partkey, "
     "CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) "
@@ -979,6 +990,7 @@ _PRIORITY: list[str] = [
     "join_inner",
     # --- positions 51+: plans changed in r7 (quantifier fusion / binder
     # refactor / similarity contract) but r06-verified — next in line ---
+    "agg_share_of_total",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "subquery_correlated_scalar_q17", "tpch_q2_minimum_cost_supplier",
     "subquery_exists_in_select", "pipeline_ann_cosine_topk",

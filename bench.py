@@ -86,6 +86,8 @@ HEADLINE = [
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "pipeline_dedup_lines", "pipeline_take_token_budget",
     "subquery_exists_in_select", "agg_corr_regr",
+    # round 7: total-over-groups rewrite surface
+    "agg_share_of_total",
 ]
 
 
