@@ -201,6 +201,13 @@ class Compiler:
         self._rel_counter = itertools.count()
         self._tmp_counter = itertools.count()
         self._cte_frames: dict[str, DataFrame] = {}
+        # name → the CTE's output is group-reduced (one row per group key /
+        # single global-agg row) — gates the CTE-scalar window attach
+        self._cte_reduced: dict[str, bool] = {}
+        # name → [(tmp col, window Column)] pending attachment when the
+        # outer FROM compiles that CTE reference (see
+        # _plan_cte_scalar_attach); scoped per select body
+        self._cte_attach: dict[str, list] = {}
         self._window_defs: dict[str, ast.WindowSpec] = {}
         # set (scoped) by _compile_aggregation while compiling aggregate
         # items; gates the decimal-sum limb fast path
@@ -262,12 +269,33 @@ class Compiler:
         the body's scope — Catalyst shares/reuses the subplan; later CTEs
         may reference earlier ones."""
         saved = dict(self._cte_frames)
+        saved_reduced = dict(self._cte_reduced)
         try:
             for name, query in node.ctes:
                 self._cte_frames[name.lower()] = self.compile(query)
+                self._cte_reduced[name.lower()] = \
+                    self._select_is_group_reduced(query)
             return self.compile(node.body)
         finally:
             self._cte_frames = saved
+            self._cte_reduced = saved_reduced
+
+    def _select_is_group_reduced(self, q) -> bool:
+        """True when the query's output is one row per group key (GROUP BY
+        without rollup/cube) or a single global-aggregate row — the shapes
+        whose output the CTE-scalar attach may run an unpartitioned window
+        over."""
+        if isinstance(q, ast.WithNode):
+            return self._select_is_group_reduced(q.body)
+        if not isinstance(q, ast.SelectNode):
+            return False
+        if q.group_mode is not None:
+            return False
+        if q.group_by or q.group_by_all:
+            return True
+        return any(
+            not isinstance(i.expr, ast.Star)
+            and self._contains_aggregate(i.expr) for i in q.items)
 
     def _compile_setop(self, node: ast.SetOpNode) -> DataFrame:
         left = self.compile(node.left)
@@ -313,6 +341,10 @@ class Compiler:
             df: DataFrame | None = None
             rels: list[RelationInfo] = []
             saved_semi = getattr(self, "_semi_plan", {})
+            saved_attach = self._cte_attach
+            # runs BEFORE semi-reduction planning: the rewritten conjunct
+            # carries a ScalarRef, which the reducer already excludes
+            self._cte_attach = self._plan_cte_scalar_attach(node)
             self._semi_plan = self._plan_semi_reduction(node)
             try:
                 for rel_ast in node.relations:
@@ -334,8 +366,12 @@ class Compiler:
                     # (reference: parsing/sql_parser.py:674-693)
                     df = rel_df if df is None else df.crossJoin(rel_df)
                     rels.extend(rel_infos)
+                assert not self._cte_attach, (
+                    "CTE scalar attachments not consumed: "
+                    f"{list(self._cte_attach)}")
             finally:
                 self._semi_plan = saved_semi
+                self._cte_attach = saved_attach
             scope = Scope(rels)
         else:
             df = self.spark.range(1)
@@ -877,6 +913,177 @@ class Compiler:
         return (ast.ScalarSubqueryField(subquery=fused, index=0),
                 ast.ScalarSubqueryField(subquery=fused, index=1),
                 ast.ScalarSubqueryField(subquery=fused, index=2))
+
+    def _plan_cte_scalar_attach(
+        self, node: ast.SelectNode
+    ) -> dict[str, list[tuple[str, Column]]]:
+        """TPC-H q15-shape rewrite: a WHERE-position uncorrelated scalar
+        subquery ``(SELECT agg(col) FROM cte)`` over a CTE the outer FROM
+        also references. Spark cannot reuse the shared subplan across the
+        two occurrences (measured — canonical-equality matching fails
+        across DeduplicateRelations, BASELINE.md round-7 investigation),
+        so the naive plan executes the CTE's whole scan+shuffle twice.
+        Instead, attach the scalar as an unpartitioned window aggregate
+        over the CTE's frame BEFORE it joins into the outer plan: the CTE
+        executes once and the scalar rides along as a constant column.
+
+        Soundness gates:
+        - the CTE body must be group-reduced (GROUP BY without rollup/cube
+          or a global aggregate) so the global window's single-partition
+          input is one row per group, not the raw fact table. A
+          high-cardinality group key still funnels through one window
+          task — but the alternative this replaces is a FULL second
+          execution of the CTE subtree, which at that cardinality pays
+          the same rows plus a second scan+shuffle;
+        - the outer FROM references the CTE exactly once, not on the
+          null-supplying side of an outer join (null-extended rows would
+          read NULL where the true scalar is a constant) and not under a
+          semi/anti join (its columns don't survive);
+        - the scalar body is a bare single-aggregate SELECT: no WHERE /
+          GROUP BY / HAVING / DISTINCT / LIMIT, aggregates in
+          count/sum/min/max/avg without DISTINCT or FILTER, column refs
+          only inside aggregates and resolving to the CTE's columns.
+          Unlike the total-over-groups rewrite the window sees the CTE's
+          actual output rows, so AVG needs no partial decomposition;
+        - WHERE position only: the attached column is a plain pre-
+          aggregation column, so it cannot be referenced after a grouped
+          outer aggregates it away.
+
+        The attached temp column is excluded from the relation's visible
+        columns (star expansion never sees it) and disappears at the
+        final projection. ``SPARK_GRAFT_NO_CTE_SCALAR_ATTACH=1``
+        disables the rewrite."""
+        if os.environ.get("SPARK_GRAFT_NO_CTE_SCALAR_ATTACH"):
+            return {}
+        if node.where is None or not node.relations or not self._cte_frames:
+            return {}
+
+        occ: dict[str, int] = {}
+        unsafe: set[str] = set()
+
+        def scan(rel, extended: bool) -> None:
+            if isinstance(rel, ast.TableRef):
+                n = rel.name.lower()
+                if n in self._cte_frames:
+                    occ[n] = occ.get(n, 0) + 1
+                    if extended:
+                        unsafe.add(n)
+                return
+            if isinstance(rel, ast.Join):
+                known = {"inner", "cross", "left", "right", "full",
+                         "full_outer", "asof", "asof_left"}
+                bad = rel.kind not in known
+                lext = extended or bad or rel.kind in (
+                    "right", "full", "full_outer")
+                rext = extended or bad or rel.kind in (
+                    "left", "full", "full_outer", "asof_left")
+                scan(rel.left, lext)
+                scan(rel.right, rext)
+            # other relation forms (derived tables, pivot, …) are opaque:
+            # CTE refs inside them are compiled by their own select body
+            # and never see this node's attach map — nothing to track
+
+        for r in node.relations:
+            scan(r, False)
+        eligible = {n for n, c in occ.items()
+                    if c == 1 and n not in unsafe
+                    and self._cte_reduced.get(n)}
+        if not eligible:
+            return {}
+
+        attach: dict[str, list[tuple[str, Column]]] = {}
+
+        def rewrite(e: ast.Expr) -> ast.Expr:
+            if not isinstance(e, ast.ScalarSubquery):
+                return e
+            b = e.subquery
+            if not isinstance(b, ast.SelectNode):
+                return e
+            if (len(b.relations) != 1
+                    or not isinstance(b.relations[0], ast.TableRef)):
+                return e
+            cname = b.relations[0].name.lower()
+            if cname not in eligible:
+                return e
+            if (b.where is not None or b.group_by or b.group_by_all
+                    or b.group_mode is not None or b.having is not None
+                    or b.distinct or b.distinct_on or b.qualify is not None
+                    or b.limit is not None or b.offset is not None
+                    or len(b.items) != 1
+                    or isinstance(b.items[0].expr, ast.Star)):
+                return e
+            col = self._cte_agg_window_col(b, cname)
+            if col is None:
+                return e
+            tmp = f"__cteagg_{next(self._tmp_counter)}"
+            attach.setdefault(cname, []).append((tmp, col))
+            return ast.ScalarRef(name=tmp)
+
+        node.where = _transform_expr(node.where, rewrite)
+        return attach
+
+    def _cte_agg_window_col(self, b: ast.SelectNode,
+                            cname: str) -> Column | None:
+        """Compile the scalar body's single item as an unpartitioned
+        window Column over the CTE frame, or None when the shape doesn't
+        qualify (see _plan_cte_scalar_attach)."""
+        frame = self._cte_frames[cname]
+        cols = {c.lower(): c for c in frame.columns}
+        alias = (b.relations[0].alias or b.relations[0].name).lower()
+        has_agg = [False]
+
+        class _Bail(Exception):
+            pass
+
+        _GENERIC_OK = (ast.NumberLit, ast.StringLit, ast.BoolLit,
+                       ast.NullLit, ast.IntervalLit, ast.BinaryOp,
+                       ast.UnaryOp, ast.IsNull, ast.Between, ast.InList,
+                       ast.Like, ast.Case, ast.Cast)
+        _AGG_FNS = {"count": F.count, "sum": F.sum, "min": F.min,
+                    "minimum": F.min, "max": F.max, "maximum": F.max,
+                    "avg": F.avg, "average": F.avg, "mean": F.avg}
+
+        def build(e: ast.Expr, inside_agg: bool) -> Column:
+            if isinstance(e, ast.ColumnRef):
+                if not inside_agg:
+                    raise _Bail
+                if e.table is not None and e.table.lower() != alias:
+                    raise _Bail
+                actual = cols.get(e.name.lower())
+                if actual is None:
+                    raise _Bail
+                return F.col(_bq(actual))
+            if isinstance(e, ast.FuncCall):
+                if self._is_agg_name(e.name) or e.is_star:
+                    if (inside_agg or e.distinct
+                            or getattr(e, "filter_where", None) is not None
+                            or e.name in self.user_aggregates):
+                        raise _Bail
+                    w = Window.partitionBy()
+                    has_agg[0] = True
+                    if e.is_star:
+                        return F.count(F.lit(1)).over(w)
+                    fn = _AGG_FNS.get(e.name)
+                    if fn is None or len(e.args) != 1:
+                        raise _Bail
+                    return fn(build(e.args[0], True)).over(w)
+                if (e.name in self._NONDETERMINISTIC_FNS
+                        or e.name in self.user_functions):
+                    raise _Bail
+                return self._compile_expr_generic(
+                    e, lambda c: build(c, inside_agg))
+            if isinstance(e, _GENERIC_OK):
+                return self._compile_expr_generic(
+                    e, lambda c: build(c, inside_agg))
+            raise _Bail
+
+        try:
+            col = build(b.items[0].expr, False)
+        except _Bail:
+            return None
+        except Exception:
+            return None
+        return col if has_agg[0] else None
 
     def _try_total_over_groups(
         self, sub, node: ast.SelectNode
@@ -1686,8 +1893,15 @@ class Compiler:
             cte = self._cte_frames.get(rel.name.lower())
             if cte is not None:
                 display = rel.alias or rel.name
+                # relation info is built from the ORIGINAL frame so the
+                # attached scalar columns stay invisible to * expansion
+                # and name resolution; they ride the frame into the join
+                # and drop at the final projection
                 info = self._make_rel_info(display, cte, existing)
-                reduced = self._apply_semi_reduction(rel, cte)
+                frame = cte
+                for tmp, wcol in self._cte_attach.pop(rel.name.lower(), ()):
+                    frame = frame.withColumn(tmp, wcol)
+                reduced = self._apply_semi_reduction(rel, frame)
                 return reduced.alias(info.qualifier), [info]
             entry = self.catalog.get(rel.name)
             display = rel.alias or entry.name

@@ -1,0 +1,167 @@
+"""CTE-scalar window attach (TPC-H q15 shape): a WHERE-position scalar
+subquery aggregating a CTE the outer FROM also joins compiles to an
+unpartitioned window over the CTE's grouped frame, attached before the
+join — ONE execution of the CTE subtree instead of two. (Measured in
+BASELINE.md round 7: Spark cannot reuse the shared subplan across the two
+occurrences, so without the rewrite the CTE's whole scan+shuffle runs
+twice.)
+
+Every rewrite test is a DuckDB oracle comparison plus, where the rewrite
+should fire, a plan assertion that the base-table scan count halves; the
+guard tests assert the rewrite does NOT fire and results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+from tests.conftest import compare_frames
+
+Q15_STYLE = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+        CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS decimal(18,4)))
+             AS double) AS total_revenue
+      FROM lineitem
+      GROUP BY l_suppkey)
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+def lineitem_scans(engine, sql: str) -> int:
+    plan = engine.query(sql)._jdf.queryExecution().executedPlan().toString()
+    return len(re.findall(r"Scan parquet[^\n]*lineitem", plan))
+
+
+def test_q15_shape_single_cte_execution(engine, oracle):
+    assert lineitem_scans(engine, Q15_STYLE) == 1
+    oracle(Q15_STYLE)
+
+
+def test_rewrite_off_matches(engine, monkeypatch):
+    before = engine.query(Q15_STYLE).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_NO_CTE_SCALAR_ATTACH", "1")
+    assert lineitem_scans(engine, Q15_STYLE) == 2
+    after = engine.query(Q15_STYLE).toPandas()
+    compare_frames(before, after, ordered=True)
+
+
+def test_avg_and_arithmetic_scalar(engine, oracle):
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT r.sk, r.q
+        FROM rev r
+        WHERE r.q > (SELECT avg(q) FROM rev) * 1.5
+        ORDER BY r.sk
+    """
+    assert lineitem_scans(engine, sql) == 1
+    oracle(sql)
+
+
+def test_count_star_and_two_scalars(engine, oracle):
+    # two qualifying scalars over the same CTE attach as two columns
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT r.sk
+        FROM rev r
+        WHERE r.q * (SELECT count(*) FROM rev) >
+              (SELECT max(q) - min(q) FROM rev)
+        ORDER BY r.sk
+    """
+    assert lineitem_scans(engine, sql) == 1
+    oracle(sql)
+
+
+def test_guard_null_extended_side_not_rewritten(engine, oracle):
+    # revenue on the null-supplying side of a LEFT JOIN: attached column
+    # would be NULL on unmatched rows where the true scalar is a constant
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT s.s_suppkey, r.q
+        FROM supplier s LEFT JOIN rev r ON s.s_suppkey = r.sk
+        WHERE r.q IS NULL OR r.q = (SELECT max(q) FROM rev)
+        ORDER BY s.s_suppkey
+    """
+    assert lineitem_scans(engine, sql) == 2
+    oracle(sql)
+
+
+def test_guard_cte_referenced_twice_not_rewritten(engine, oracle):
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT a.sk AS sk
+        FROM rev a JOIN rev b ON a.sk = b.sk
+        WHERE a.q = (SELECT max(q) FROM rev)
+        ORDER BY a.sk
+    """
+    # 2 outer occurrences + 1 scalar execution (no attach)
+    assert lineitem_scans(engine, sql) == 3
+    oracle(sql)
+
+
+def test_guard_scalar_with_where_not_rewritten(engine, oracle):
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT r.sk
+        FROM rev r
+        WHERE r.q = (SELECT max(q) FROM rev WHERE sk > 10)
+        ORDER BY r.sk
+    """
+    assert lineitem_scans(engine, sql) == 2
+    oracle(sql)
+
+
+def test_guard_unaggregated_cte_not_rewritten(engine, oracle):
+    # CTE output is NOT group-reduced: a global window over it would
+    # funnel the raw rows through one task — rewrite must stay off
+    sql = """
+        WITH li AS (
+          SELECT l_suppkey AS sk, l_quantity AS q FROM lineitem)
+        SELECT li.sk
+        FROM li
+        WHERE li.q > (SELECT avg(q) FROM li)
+        ORDER BY li.sk LIMIT 20
+    """
+    assert lineitem_scans(engine, sql) == 2
+    oracle(sql)
+
+
+def test_guard_distinct_agg_not_rewritten(engine, oracle):
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT r.sk
+        FROM rev r
+        WHERE r.q < (SELECT count(DISTINCT q) FROM rev)
+        ORDER BY r.sk
+    """
+    assert lineitem_scans(engine, sql) == 2
+    oracle(sql)
+
+
+def test_select_item_position_untouched(engine, oracle):
+    # select-list scalars keep the normal broadcast-join path (a grouped
+    # outer would aggregate the attached column away)
+    sql = """
+        WITH rev AS (
+          SELECT l_suppkey AS sk, CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_suppkey)
+        SELECT r.sk, round(r.q / (SELECT sum(q) FROM rev), 8) AS share
+        FROM rev r
+        ORDER BY r.sk
+    """
+    oracle(sql)
