@@ -68,9 +68,26 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     li_t, ord_t = f"li_bucket_{tag}_{buckets}", f"ord_bucket_{tag}_{buckets}"
+    warehouse = os.path.join(os.getcwd(), "spark-warehouse")
     for tbl, fname, key in ((li_t, "lineitem", "l_orderkey"),
                             (ord_t, "orders", "o_orderkey")):
-        if not spark.catalog.tableExists(tbl):
+        if spark.catalog.tableExists(tbl):
+            continue
+        loc = os.path.join(warehouse, tbl)
+        if os.path.isdir(loc):
+            # snapshot files survive from an earlier session but the
+            # in-memory catalog lost the table: re-declare an external
+            # bucketed table over the existing bucket-id-named files
+            print(f"re-declaring {tbl} over {loc}", flush=True)
+            schema = read_parquet(
+                spark, os.path.join(sf_dir, f"{fname}.parquet")).schema
+            cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                             for f in schema.fields)
+            spark.sql(
+                f"CREATE TABLE {tbl} ({cols}) USING parquet "
+                f"CLUSTERED BY ({key}) INTO {buckets} BUCKETS "
+                f"LOCATION '{loc}'")
+        else:
             print(f"writing {tbl} ({buckets} buckets on {key})", flush=True)
             sinks.write_bucketed_table(
                 read_parquet(spark, os.path.join(sf_dir, f"{fname}.parquet")),
