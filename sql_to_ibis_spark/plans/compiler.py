@@ -979,9 +979,16 @@ class Compiler:
                     "left", "full", "full_outer", "asof_left")
                 scan(rel.left, lext)
                 scan(rel.right, rext)
-            # other relation forms (derived tables, pivot, …) are opaque:
-            # CTE refs inside them are compiled by their own select body
-            # and never see this node's attach map — nothing to track
+                return
+            if isinstance(rel, (ast.PivotRef, ast.UnpivotRef)):
+                # pivot/unpivot sources compile through _compile_relation
+                # in THIS select body, so a CTE ref there would consume
+                # the attachment before the plain occurrence does — and
+                # the pivot aggregation would drop the column anyway.
+                # Count it as an always-unsafe occurrence.
+                scan(rel.source, True)
+            # derived tables (SubqueryRef) are opaque: their bodies
+            # compile with their own (empty) attach map — nothing to track
 
         for r in node.relations:
             scan(r, False)

@@ -153,6 +153,24 @@ def test_guard_distinct_agg_not_rewritten(engine, oracle):
     oracle(sql)
 
 
+def test_guard_pivot_source_not_rewritten(engine):
+    # the CTE also feeds a PIVOT source, which compiles through
+    # _compile_relation in the same body: the attach must stay off so the
+    # pivot path cannot consume it (and results must still be correct)
+    sql = """
+        WITH rev AS (
+          SELECT l_returnflag AS rf, l_linestatus AS ls,
+                 CAST(sum(l_quantity) AS double) AS q
+          FROM lineitem GROUP BY l_returnflag, l_linestatus)
+        SELECT p.rf AS rf
+        FROM rev PIVOT (sum(q) FOR ls IN ('F', 'O')) p
+        WHERE (SELECT max(q) FROM rev) > 0
+        ORDER BY rf
+    """
+    out = engine.query(sql).toPandas()
+    assert len(out) >= 1
+
+
 def test_select_item_position_untouched(engine, oracle):
     # select-list scalars keep the normal broadcast-join path (a grouped
     # outer would aggregate the attached column away)
