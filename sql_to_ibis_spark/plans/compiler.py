@@ -577,7 +577,8 @@ class Compiler:
                                                     r is not None,
                                                     outer_single, wincols)
             if allow_total[0]:
-                marker = self._try_total_over_groups(e.subquery, node)
+                marker = self._try_total_over_groups(e.subquery, node,
+                                                     scope)
                 if marker is not None:
                     return marker
             sub = self.compile(e.subquery)
@@ -1093,7 +1094,7 @@ class Compiler:
         return col if has_agg[0] else None
 
     def _try_total_over_groups(
-        self, sub, node: ast.SelectNode
+        self, sub, node: ast.SelectNode, scope: Scope
     ) -> "ast.GroupTotalSubquery | None":
         """TPC-H q11-shape rewrite: an uncorrelated scalar subquery in a
         post-aggregation position whose body aggregates the SAME
@@ -1115,8 +1116,32 @@ class Compiler:
         The window total is computed BEFORE the HAVING filter, matching
         the scalar's independence from HAVING.
 
+        Cardinality gate (measured, round 7): the merge window is
+        unpartitioned, so the grouped frame funnels through ONE task.
+        At few groups that is free and saves a whole second scan
+        (agg_share_of_total: 3 groups); at 2M groups it costs more than
+        the scan it saves (q11 grouped by l_partkey at sf10: 3.49 s with
+        the rewrite vs 2.40 s recomputing — +45%). Same proxy as the
+        decimal-limb gate: rewrite only when every outer group key is a
+        string/boolean column (enums/flags), never for numeric ID keys.
+        A wrong guess moves speed, never values. Global aggregates
+        (no GROUP BY) are always safe — the frame is one row.
+
         ``SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE=1`` disables the rewrite."""
         if os.environ.get("SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE"):
+            return None
+
+        def _low_card_key(g: ast.Expr) -> bool:
+            if not isinstance(g, ast.ColumnRef):
+                return False
+            try:
+                rel, true = scope.resolve(g.name, g.table)
+            except Exception:
+                return False
+            return isinstance(rel.types.get(true),
+                              (T.StringType, T.BooleanType))
+
+        if node.group_by and not all(_low_card_key(g) for g in node.group_by):
             return None
         if not isinstance(sub, ast.SelectNode):
             return None
