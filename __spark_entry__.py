@@ -968,6 +968,9 @@ _PRIORITY: list[str] = [
     "agg_expression_mix",
     # changed this round (new closed-form oracle) AND stale since r04
     "pipeline_multimodal_decode_stub",
+    # NEW this round — no driver record exists at all, the most-stale
+    # state an entry can have (displaces join_inner to position 51)
+    "agg_share_of_total",
     # oldest-verified TPC-H composites
     "tpch_q3_shipping_priority", "tpch_q10_returned_items",
     "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
@@ -987,10 +990,9 @@ _PRIORITY: list[str] = [
     "coalesce_nullif", "filter_between_in", "filter_compare",
     "filter_is_null", "filter_like", "join_anti_not_in_subquery",
     "join_comma_implicit_cross", "join_cross", "join_full_outer",
-    "join_inner",
     # --- positions 51+: plans changed in r7 (quantifier fusion / binder
     # refactor / similarity contract) but r06-verified — next in line ---
-    "agg_share_of_total",
+    "join_inner",
     "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
     "subquery_correlated_scalar_q17", "tpch_q2_minimum_cost_supplier",
     "subquery_exists_in_select", "pipeline_ann_cosine_topk",
