@@ -2297,7 +2297,13 @@ class Compiler:
     # ----------------------------------------------------------------- WHERE
 
     def _apply_where(self, df: DataFrame, where: ast.Expr, scope: Scope) -> DataFrame:
-        plain: list[Column] = []
+        # Plain conjuncts apply BEFORE subquery joins: semi/anti joins
+        # commute with left-side filters, and filtering first means the
+        # joins probe the reduced outer. Catalyst reorders this anyway
+        # for deterministic plans, but the EXISTS dedup-rewrite tags the
+        # outer with a nondeterministic row id that BLOCKS pushdown —
+        # the explicit order keeps the filter below it regardless.
+        subq: list[tuple] = []
         for conjunct in self._split_conjuncts(where):
             negated = False
             node = conjunct
@@ -2306,23 +2312,24 @@ class Compiler:
             ):
                 negated = not negated
                 node = node.operand
-            if isinstance(node, ast.InSubquery):
-                df = self._apply_in_subquery(
-                    df, node, scope, negated=node.negated ^ negated
-                )
-            elif isinstance(node, ast.ExistsSubquery):
-                df = self._apply_exists(
-                    df, node, scope, negated=node.negated ^ negated
-                )
+            if isinstance(node, (ast.InSubquery, ast.ExistsSubquery)):
+                subq.append((node, negated))
             else:
                 if self._contains_subquery(conjunct):
                     raise InvalidQueryException(
                         "IN/EXISTS subqueries are only supported as top-level "
                         "AND-conjuncts of WHERE"
                     )
-                plain.append(self.compile_expr(conjunct, scope))
-        for cond in plain:
-            df = df.filter(cond)
+                df = df.filter(self.compile_expr(conjunct, scope))
+        for node, negated in subq:
+            if isinstance(node, ast.InSubquery):
+                df = self._apply_in_subquery(
+                    df, node, scope, negated=node.negated ^ negated
+                )
+            else:
+                df = self._apply_exists(
+                    df, node, scope, negated=node.negated ^ negated
+                )
         return df
 
     def _split_conjuncts(self, expr: ast.Expr) -> list[ast.Expr]:
@@ -2435,6 +2442,41 @@ class Compiler:
             cond = eq if cond is None else (cond & eq)
         if cond is None:
             return None
+        if operand is None and os.environ.get(
+                "SPARK_GRAFT_EXISTS_DEDUP_REWRITE"):
+            # Opt-in lever (measured in BASELINE.md round 7): Spark can
+            # only broadcast the RIGHT side of a semi/anti join, so a
+            # SMALL filtered outer probing a HUGE inner (q4: 450k dated
+            # orders ⋉ 60M lineitem) always shuffles the full inner.
+            # Rewritten as inner join + row-id dedup, the outer becomes
+            # broadcastable and the inner pass is map-only; only matched
+            # outer rows shuffle for the dedup. NOT the default because
+            # with a LARGE outer the pair explosion + dedup shuffle loses
+            # to the semi join, and with CBO off Catalyst's size estimate
+            # cannot see WHERE selectivity to gate it (Filter nodes pass
+            # sizeInBytes through unchanged).
+            # explicit broadcast: opting in asserts the (filtered) outer
+            # is small; static stats can't see that through the filter
+            if negated:
+                # single-pass left join + null filter: unmatched outer
+                # rows surface exactly once, matched rows only with a
+                # non-null tag — no row id, no re-execution hazard
+                tag = f"__exists_tag_{next(self._tmp_counter)}"
+                marked = inner_df.withColumn(tag, F.lit(1))
+                return (F.broadcast(df).join(marked, cond, "left")
+                        .filter(F.col(tag).isNull())
+                        .select(df["*"]))
+            # positive EXISTS: inner join duplicates outer rows per
+            # match; a row id (assigned ONCE in this single-execution
+            # subtree — the nondeterministic id must never be computed
+            # twice, see the NOT EXISTS branch) dedups back to semi
+            # semantics
+            rid = f"__exists_rid_{next(self._tmp_counter)}"
+            tagged = df.withColumn(rid, F.monotonically_increasing_id())
+            return (F.broadcast(tagged).join(inner_df, cond, "inner")
+                    .select(tagged["*"])
+                    .dropDuplicates([rid])
+                    .drop(rid))
         return df.join(inner_df, cond, "left_anti" if negated else "left_semi")
 
     def _is_correlated(self, sub, scope: Scope) -> bool:

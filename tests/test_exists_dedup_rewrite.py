@@ -1,0 +1,76 @@
+"""Opt-in EXISTS dedup rewrite (SPARK_GRAFT_EXISTS_DEDUP_REWRITE=1):
+correlated EXISTS/NOT EXISTS lowers to broadcast inner join + row-id
+dedup instead of a semi/anti join, so a SMALL filtered outer never pays
+the full inner-side shuffle (Spark can only broadcast the right side of
+a semi join). Measured at sf10 on q4: 1.87 s vs 3.41 s stock (−45%).
+Default OFF: with a large outer the pair explosion loses, and CBO-off
+size estimates cannot see WHERE selectivity to gate it automatically.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import compare_frames
+
+Q4_STYLE = """
+    SELECT o_orderpriority, count(*) AS order_count FROM orders o
+    WHERE o_orderdate >= TIMESTAMP('1995-01-01')
+      AND o_orderdate < TIMESTAMP('1995-04-01')
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+NOT_EXISTS = """
+    SELECT count(*) AS n FROM orders o
+    WHERE o_orderdate >= TIMESTAMP('1995-01-01')
+      AND o_orderdate < TIMESTAMP('1995-04-01')
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+"""
+
+
+def test_exists_rewrite_matches_stock(engine, monkeypatch):
+    stock = engine.query(Q4_STYLE).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
+    rewritten = engine.query(Q4_STYLE).toPandas()
+    compare_frames(stock, rewritten, ordered=True)
+
+
+def test_not_exists_rewrite_matches_stock(engine, monkeypatch):
+    stock = engine.query(NOT_EXISTS).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
+    rewritten = engine.query(NOT_EXISTS).toPandas()
+    compare_frames(stock, rewritten, ordered=True)
+
+
+def test_rewrite_preserves_outer_duplicates(engine, monkeypatch):
+    # semi-join semantics: outer duplicate rows each survive once per
+    # occurrence — the row-id dedup must not collapse them
+    sql = """
+        SELECT d.k AS k FROM (
+          SELECT o_orderpriority AS k FROM orders
+          WHERE o_orderkey <= 64) d
+        WHERE EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_orderpriority = d.k
+                        AND o2.o_totalprice > 0)
+        ORDER BY k
+    """
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
+    rewritten = engine.query(sql).toPandas()
+    assert len(stock) == len(rewritten)
+    compare_frames(stock, rewritten, ordered=True)
+
+
+def test_plain_filter_stays_below_the_rewrite_tag(engine, monkeypatch):
+    # the nondeterministic row id blocks Catalyst pushdown, so the
+    # compiler must order plain WHERE conjuncts below the tag itself:
+    # the orders scan keeps its pushed date filter
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
+    plan = engine.explain(Q4_STYLE)
+    scan = [blk for blk in plan.split("\n\n")
+            if "Scan parquet" in blk and "orders" in blk
+            and "PushedFilters" in blk]
+    assert any("GreaterThanOrEqual(o_orderdate" in b for b in scan), plan
