@@ -9,6 +9,9 @@ snapshot tables (written by ab_q18_bucketed.py) for:
         probe shuffle the sf10 table flags as this entry's cost)
 - q21 — lineitem self-joins (l2 EXISTS / l3 NOT EXISTS on l_orderkey)
         plus the orders join: four order-key exchanges in stock layout
+- q3  — orders⋈lineitem on the order key feeding a group-by on the
+        same key: join AND aggregation reuse the bucket partitioning
+- q10 — orders⋈lineitem order-key shuffle ahead of the customer join
 
     python scripts/ab_bucketed.py <query> <sf_dir> [buckets] [trials]
 
@@ -53,6 +56,31 @@ QUERIES = {
         "                AND l3.l_suppkey <> l1.l_suppkey "
         "                AND l3.l_returnflag = 'R') "
         "GROUP BY s_name ORDER BY numwait DESC, s_name"
+    ),
+    "q3": (
+        "SELECT l.l_orderkey, CAST(sum(CAST(l.l_extendedprice * "
+        "(1 - l.l_discount) AS decimal(18,4))) AS double) AS revenue, "
+        "o.o_orderdate FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "WHERE c.c_mktsegment = 'BUILDING' "
+        "AND o.o_orderdate < TIMESTAMP('1995-03-15') "
+        "AND l.l_shipdate > TIMESTAMP('1995-03-15') "
+        "GROUP BY l.l_orderkey, o.o_orderdate "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    "q10": (
+        "SELECT c.c_custkey, c.c_name, CAST(sum(CAST(l.l_extendedprice * "
+        "(1 - l.l_discount) AS decimal(18,4))) AS double) AS revenue, "
+        "c.c_acctbal, n.n_name FROM customer c "
+        "JOIN orders o ON c.c_custkey = o.o_custkey "
+        "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+        "WHERE o.o_orderdate >= TIMESTAMP('1995-01-01') "
+        "AND o.o_orderdate < TIMESTAMP('1995-07-01') "
+        "AND l.l_returnflag = 'R' "
+        "GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name "
+        "ORDER BY revenue DESC, c.c_custkey LIMIT 20"
     ),
 }
 
