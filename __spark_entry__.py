@@ -39,6 +39,16 @@ def _engine_for(spark: SparkSession, sf_dir: str):
                 pass
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)
+        # warehouse-ANALYZE analog: one approx_count_distinct pass per
+        # table upgrades the footer stats with NDV, letting the static
+        # broadcast planner price equality predicates as 1/NDV (q3's
+        # filtered orders side then broadcasts BEFORE the 30M-row fact
+        # shuffle is planned). One-time per session/sf; DuckDB collects
+        # the equivalent statistics automatically during its own scans.
+        try:
+            eng.analyze()
+        except Exception:
+            pass
         _ENGINES[key] = eng
     return _ENGINES[key]
 

@@ -15,12 +15,16 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 
 from sql_to_ibis_spark.errors import TableNotFoundError
+from sql_to_ibis_spark.sources.table_stats import TableStats
 
 
 @dataclass
 class CatalogEntry:
     name: str  # true, case-preserved name
     df: DataFrame
+    # parquet-footer stats (exact rows, per-column min/max) — None for
+    # temp tables / non-parquet sources; consumers treat None as unknown
+    stats: "TableStats | None" = None
 
 
 class Catalog:
@@ -30,7 +34,8 @@ class Catalog:
     def __init__(self) -> None:
         self._tables: dict[str, CatalogEntry] = {}
 
-    def register(self, name: str, df: DataFrame, replace: bool = True) -> None:
+    def register(self, name: str, df: DataFrame, replace: bool = True,
+                 stats: "TableStats | None" = None) -> None:
         if not isinstance(df, DataFrame):
             raise TypeError(
                 f"register_temp_table expects a pyspark DataFrame, got {type(df).__name__}"
@@ -38,7 +43,7 @@ class Catalog:
         key = name.lower()
         if not replace and key in self._tables:
             raise ValueError(f"Table '{name}' is already registered")
-        self._tables[key] = CatalogEntry(name=name, df=df)
+        self._tables[key] = CatalogEntry(name=name, df=df, stats=stats)
 
     def remove(self, name: str) -> None:
         key = name.lower()

@@ -13,6 +13,8 @@ reference returning an unexecuted ibis ``TableExpr``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_to_ibis_spark.catalog import Catalog
@@ -100,9 +102,10 @@ class SqlEngine:
         """Convenience: register a parquet-backed table (columnar scan with
         predicate pushdown / column pruning for free)."""
         from sql_to_ibis_spark.sources.readers import read_parquet
+        from sql_to_ibis_spark.sources.table_stats import parquet_stats
 
         df = read_parquet(self.spark, path)
-        self.catalog.register(table_name, df)
+        self.catalog.register(table_name, df, stats=parquet_stats(path))
         return df
 
     def register_csv(self, table_name: str, path: str, **options) -> DataFrame:
@@ -128,13 +131,43 @@ class SqlEngine:
         self.catalog.register(table_name, df)
         return df
 
+    def analyze(self, table_name: str | None = None) -> None:
+        """Collect per-column NDV statistics (the warehouse ``ANALYZE``
+        analog): ONE ``approx_count_distinct`` aggregation job per table,
+        upgrading the registration-time footer stats so the broadcast
+        planner can price equality predicates as 1/NDV instead of a
+        conservative constant. Registration itself never runs jobs —
+        this is the explicit opt-in, exactly like ANALYZE TABLE in any
+        warehouse. Analyzing all tables at sf10 (60M-row lineitem) costs
+        a few seconds once per session."""
+        from pyspark.sql import functions as F
+
+        from sql_to_ibis_spark.sources.table_stats import TableStats
+
+        names = [table_name] if table_name else self.catalog.names()
+        for name in names:
+            entry = self.catalog.get(name)
+            cols = entry.df.columns
+            aggs = [F.approx_count_distinct(c).alias(f"n{i}")
+                    for i, c in enumerate(cols)]
+            aggs.append(F.count(F.lit(1)).alias("__rows"))
+            row = entry.df.agg(*aggs).collect()[0]
+            st = entry.stats or TableStats(rows=int(row["__rows"]))
+            st.rows = int(row["__rows"])
+            st.ndv = {c.lower(): float(row[f"n{i}"])
+                      for i, c in enumerate(cols)}
+            entry.stats = st
+
     def register_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
         """Register every ``<name>.parquet`` in a directory (the layout of
         /root/testdata/sf*)."""
         from sql_to_ibis_spark.sources.readers import read_table_dir
+        from sql_to_ibis_spark.sources.table_stats import parquet_stats
 
         for name, df in read_table_dir(self.spark, sf_dir, tables).items():
-            self.catalog.register(name, df)
+            self.catalog.register(
+                name, df,
+                stats=parquet_stats(os.path.join(sf_dir, f"{name}.parquet")))
 
     # -- query --------------------------------------------------------------
 

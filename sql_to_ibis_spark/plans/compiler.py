@@ -346,6 +346,8 @@ class Compiler:
             # carries a ScalarRef, which the reducer already excludes
             self._cte_attach = self._plan_cte_scalar_attach(node)
             self._semi_plan = self._plan_semi_reduction(node)
+            saved_bcast = getattr(self, "_bcast_hints", {})
+            self._bcast_hints = self._plan_stats_broadcasts(node)
             try:
                 for rel_ast in node.relations:
                     if isinstance(rel_ast, ast.UnnestRef):
@@ -372,6 +374,7 @@ class Compiler:
             finally:
                 self._semi_plan = saved_semi
                 self._cte_attach = saved_attach
+                self._bcast_hints = saved_bcast
             scope = Scope(rels)
         else:
             df = self.spark.range(1)
@@ -914,6 +917,27 @@ class Compiler:
         return (ast.ScalarSubqueryField(subquery=fused, index=0),
                 ast.ScalarSubqueryField(subquery=fused, index=1),
                 ast.ScalarSubqueryField(subquery=fused, index=2))
+
+    def _plan_stats_broadcasts(self, node: ast.SelectNode) -> dict[int, str]:
+        """Footer-stats broadcast planning (plans/estimator.py): exact
+        parquet row counts × min/max-interpolated range selectivities
+        decide, BEFORE any shuffle is planned, which join sides fit
+        under the broadcast cap. Closes the measured q3 gap where AQE
+        converts the join at runtime but the 30M-row fact shuffle write
+        has already happened. Hints only — a wrong estimate can cost
+        speed, never rows. ``SPARK_GRAFT_NO_STATS_BROADCAST=1``
+        disables."""
+        if os.environ.get("SPARK_GRAFT_NO_STATS_BROADCAST"):
+            return {}
+        if not node.relations or not any(
+                isinstance(r, ast.Join) for r in node.relations):
+            return {}
+        try:
+            from sql_to_ibis_spark.plans.estimator import CardinalityEstimator
+            return CardinalityEstimator(
+                self.catalog, set(self._cte_frames)).plan_hints(node)
+        except Exception:
+            return {}
 
     def _plan_cte_scalar_attach(
         self, node: ast.SelectNode
@@ -2008,6 +2032,11 @@ class Compiler:
                     rel, left_df, left_rels, right_df, right_rels)
             scope = Scope(existing + combined)
             cond = self.compile_expr(rel.condition, scope)
+            hint = getattr(self, "_bcast_hints", {}).get(id(rel))
+            if hint == "left":
+                left_df = F.broadcast(left_df)
+            elif hint == "right":
+                right_df = F.broadcast(right_df)
             return left_df.join(right_df, cond, rel.kind), combined
         raise InvalidQueryException(f"Unsupported relation {type(rel).__name__}")
 

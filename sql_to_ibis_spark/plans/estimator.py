@@ -1,0 +1,500 @@
+"""Footer-stats cardinality estimator → static broadcast hints.
+
+Catalyst with CBO off cannot see WHERE selectivity (Filter nodes pass
+``sizeInBytes`` through unchanged), so the static planner never
+broadcasts a *filtered* join side: AQE fixes the join at runtime, but
+by then the big side's shuffle WRITE is already materialized (stages
+submit concurrently — measured on TPC-H q3 in BASELINE.md round 7).
+This module closes that gap with numbers that are mostly exact:
+
+- base row counts: EXACT, from parquet footers (TableStats);
+- range selectivity on numeric/date columns: interpolated against the
+  footer's exact min/max (uniformity is the only assumption);
+- everything else: deliberately conservative textbook constants,
+  clamped so no predicate chain ever claims more than 100× reduction.
+
+The output is only ever a *broadcast hint* on a join side estimated
+under the size cap — a wrong hint can slow a query, never change its
+rows. Anything the estimator cannot price exactly-enough (CTEs, derived
+tables, table functions, unresolvable conjuncts) poisons its subtree to
+"unknown", and unknown sides are never hinted. Kill-switch:
+``SPARK_GRAFT_NO_STATS_BROADCAST=1``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from sql_to_ibis_spark.plans import ast
+
+# side-size cap for a static broadcast hint: matches the AQE *runtime*
+# threshold this engine already trusts (session.py) — the hint just
+# makes the same call before the shuffle write instead of after it
+BROADCAST_CAP_BYTES = 64 << 20
+# the other side must be at least this much bigger, or unknown
+DOMINANCE = 2.0
+# no conjunct chain may claim more than 100x reduction
+MIN_REL_SEL = 0.01
+# per-conjunct floors/constants (conservative on purpose).
+# SEL_EQ assumes the worst plausible enum: equality on a 2-3-value
+# column keeps ~40% of rows (o_orderstatus='F' is 49% of TPC-H orders;
+# 0.2 let that side sneak under the broadcast cap at 3x its real size).
+# Overestimating only suppresses hints — never a wrong broadcast.
+SEL_EQ = 0.4
+SEL_RANGE_FLOOR = 0.02
+SEL_LIKE = 0.5
+SEL_NULL = 0.1
+SEL_OTHER = 0.7
+BYTES_PER_COL = 8
+ROW_OVERHEAD = 8
+
+
+@dataclass
+class _Rel:
+    alias: str
+    columns: list[str]
+    rows: int | None
+    col_min: dict
+    col_max: dict
+    ndv: dict
+
+
+@dataclass
+class _Est:
+    rows: float | None   # estimated output rows (None = unknown)
+    raw: float | None    # pre-predicate rows at this grain
+    width: int           # bytes/row of referenced columns
+
+
+class CardinalityEstimator:
+    def __init__(self, catalog, cte_names: set[str]):
+        self.catalog = catalog
+        self.cte_names = {n.lower() for n in cte_names}
+
+    # ------------------------------------------------------------ public
+
+    def plan_hints(self, node: ast.SelectNode) -> dict[int, str]:
+        """{id(ast.Join) → "left" | "right"} for joins where one side's
+        estimated bytes fit under the cap and the other dominates."""
+        rels: dict[str, _Rel] = {}
+        poisoned = [False]
+
+        def collect(rel) -> None:
+            if isinstance(rel, ast.TableRef):
+                name = rel.name.lower()
+                alias = (rel.alias or rel.name).lower()
+                if name in self.cte_names:
+                    poisoned_aliases.add(alias)
+                    return
+                try:
+                    entry = self.catalog.get(rel.name)
+                except Exception:
+                    poisoned_aliases.add(alias)
+                    return
+                st = entry.stats
+                rels[alias] = _Rel(
+                    alias=alias, columns=[c.lower() for c in entry.df.columns],
+                    rows=st.rows if st else None,
+                    col_min=st.col_min if st else {},
+                    col_max=st.col_max if st else {},
+                    ndv=getattr(st, "ndv", None) or {} if st else {})
+                return
+            if isinstance(rel, ast.Join):
+                collect(rel.left)
+                collect(rel.right)
+
+        poisoned_aliases: set[str] = set()
+        for r in node.relations:
+            collect(r)
+        if not rels:
+            return {}
+
+        external = self._external_columns(node, rels)
+        sels = self._relation_selectivities(node, rels)
+
+        # pass 1 (bottom-up): row estimates per subtree, width left 0
+        rows_of: dict[int, _Est] = {}
+
+        def est(rel) -> _Est:
+            if isinstance(rel, ast.TableRef):
+                alias = (rel.alias or rel.name).lower()
+                r = rels.get(alias)
+                out = (_Est(None, None, 0) if r is None or r.rows is None
+                       else _Est(r.rows * sels.get(alias, 1.0),
+                                 float(r.rows), 0))
+            elif isinstance(rel, ast.Join):
+                le, re_ = est(rel.left), est(rel.right)
+                if le.rows is None or re_.rows is None \
+                        or not le.raw or not re_.raw:
+                    out = _Est(None, None, 0)
+                elif rel.kind == "cross":
+                    out = _Est(le.rows * re_.rows, le.raw * re_.raw, 0)
+                elif rel.kind in ("inner", "left", "right"):
+                    # PK-FK shape: the join keeps the fact grain; each
+                    # side is thinned by the other's retained fraction
+                    frac_l = min(le.rows / le.raw, 1.0)
+                    frac_r = min(re_.rows / re_.raw, 1.0)
+                    rows = max(le.rows * frac_r, re_.rows * frac_l)
+                    if rel.kind == "left":
+                        rows = max(rows, le.rows)   # preserved side
+                    elif rel.kind == "right":
+                        rows = max(rows, re_.rows)
+                    out = _Est(rows, max(le.raw, re_.raw), 0)
+                else:
+                    out = _Est(None, None, 0)
+            else:
+                out = _Est(None, None, 0)
+            rows_of[id(rel)] = out
+            return out
+
+        for r in node.relations:
+            est(r)
+
+        # pass 2 (top-down): width of a join side counts only the
+        # columns needed ABOVE that join — select/group/order refs plus
+        # the ON keys of this and enclosing joins. Columns consumed
+        # purely below (scan filters, already-performed join keys) are
+        # pruned by Catalyst before any exchange, so they must not count
+        # against the broadcast cap.
+        hints: dict[int, str] = {}
+
+        def aliases_of(rel) -> set[str]:
+            if isinstance(rel, ast.TableRef):
+                return {(rel.alias or rel.name).lower()}
+            if isinstance(rel, ast.Join):
+                return aliases_of(rel.left) | aliases_of(rel.right)
+            return set()
+
+        def width_of(rel, above: dict[str, set[str]]) -> int:
+            total = ROW_OVERHEAD
+            for a in aliases_of(rel):
+                cols = above.get(a)
+                if cols:
+                    total += BYTES_PER_COL * len(cols)
+            return total
+
+        def descend(rel, above: dict[str, set[str]]) -> None:
+            if not isinstance(rel, ast.Join):
+                return
+            here = dict(above)
+            if rel.condition is not None:
+                for cr in self._colrefs(rel.condition):
+                    a, c = self._resolve(cr, rels)
+                    if a is not None:
+                        here.setdefault(a, set())
+                        here[a] = here[a] | {c}
+            le = rows_of.get(id(rel.left), _Est(None, None, 0))
+            re_ = rows_of.get(id(rel.right), _Est(None, None, 0))
+            le = _Est(le.rows, le.raw, width_of(rel.left, here))
+            re_ = _Est(re_.rows, re_.raw, width_of(rel.right, here))
+            self._maybe_hint(rel, le, re_, hints)
+            descend(rel.left, here)
+            descend(rel.right, here)
+
+        for r in node.relations:
+            descend(r, external)
+        return hints
+
+    def _colrefs(self, e) -> list:
+        out: list[ast.ColumnRef] = []
+
+        def walk(x) -> None:
+            if isinstance(x, ast.ColumnRef):
+                out.append(x)
+                return
+            for c in _children_generic(x):
+                walk(c)
+
+        walk(e)
+        return out
+
+    @staticmethod
+    def _resolve(cr: ast.ColumnRef, rels: dict[str, _Rel]):
+        name = cr.name.lower()
+        if cr.table is not None:
+            a = cr.table.lower()
+            return (a, name) if a in rels else (None, None)
+        own = [a for a, r in rels.items() if name in r.columns]
+        return (own[0], name) if len(own) == 1 else (None, None)
+
+    # ----------------------------------------------------------- helpers
+
+    def _maybe_hint(self, rel: ast.Join, le: _Est, re_: _Est,
+                    hints: dict[int, str]) -> None:
+        allowed = {"inner": ("left", "right"), "left": ("right",),
+                   "right": ("left",)}.get(rel.kind)
+        if not allowed:
+            return
+
+        def bytes_of(e: _Est) -> float | None:
+            return None if e.rows is None else e.rows * e.width
+
+        bl, br = bytes_of(le), bytes_of(re_)
+        cands = []
+        if "left" in allowed and bl is not None and bl <= BROADCAST_CAP_BYTES:
+            cands.append(("left", bl, br))
+        if "right" in allowed and br is not None and br <= BROADCAST_CAP_BYTES:
+            cands.append(("right", br, bl))
+        if not cands:
+            return
+        cands.sort(key=lambda c: c[1])
+        side, mine, other = cands[0]
+        if other is None or other >= DOMINANCE * max(mine, 1.0):
+            hints[id(rel)] = side
+
+    def _external_columns(
+        self, node: ast.SelectNode, rels: dict[str, _Rel]
+    ) -> dict[str, set[str]]:
+        """alias → lowercase columns needed ABOVE the whole FROM tree
+        (select list, GROUP/ORDER BY, HAVING, QUALIFY) — the baseline
+        exported width before per-join ON keys are layered on in the
+        top-down pass. A ``*`` marks every column of every relation.
+        WHERE refs are deliberately excluded: single-owner filters are
+        consumed at the scan; multi-owner conjuncts are join-shaped and
+        conservatively added here instead."""
+        out: dict[str, set[str]] = {a: set() for a in rels}
+        owners: dict[str, list[str]] = {}
+        for a, r in rels.items():
+            for c in r.columns:
+                owners.setdefault(c, []).append(a)
+
+        def add(cr: ast.ColumnRef) -> None:
+            name = cr.name.lower()
+            if cr.table is not None:
+                a = cr.table.lower()
+                if a in out:
+                    out[a].add(name)
+                return
+            own = owners.get(name)
+            if own and len(own) == 1:
+                out[own[0]].add(name)
+
+        def walk(e) -> None:
+            if isinstance(e, ast.ColumnRef):
+                add(e)
+                return
+            if isinstance(e, ast.Star):
+                for a, r in rels.items():
+                    out[a].update(r.columns)
+                return
+            for c in _children_generic(e):
+                walk(c)
+
+        for item in node.items:
+            walk(item.expr)
+        for e in node.group_by:
+            walk(e)
+        for o in node.order_by:
+            walk(o.expr)
+        for e in (node.having, node.qualify):
+            if e is not None:
+                walk(e)
+        if node.where is not None:
+            for conj in _split_and(node.where):
+                if self._single_owner(conj, rels) is None:
+                    walk(conj)
+        return out
+
+    def _relation_selectivities(
+        self, node: ast.SelectNode, rels: dict[str, _Rel]
+    ) -> dict[str, float]:
+        sels: dict[str, float] = {}
+        if node.where is None:
+            return sels
+        for conj in _split_and(node.where):
+            owner = self._single_owner(conj, rels)
+            if owner is None:
+                continue
+            s = self._conjunct_sel(conj, rels[owner])
+            sels[owner] = max(sels.get(owner, 1.0) * s, MIN_REL_SEL)
+        return sels
+
+    def _single_owner(self, conj, rels: dict[str, _Rel]) -> str | None:
+        refs: list[ast.ColumnRef] = []
+        ok = [True]
+
+        def walk(e) -> None:
+            if isinstance(e, (ast.ScalarSubquery, ast.InSubquery,
+                              ast.ExistsSubquery, ast.QuantifiedCompare,
+                              ast.ScalarSubqueryField, ast.WindowFunc,
+                              ast.ScalarRef, ast.Star)):
+                ok[0] = False
+                return
+            if isinstance(e, ast.ColumnRef):
+                refs.append(e)
+                return
+            for c in _children_generic(e):
+                walk(c)
+
+        walk(conj)
+        if not ok[0] or not refs:
+            return None
+        owners_of: dict[str, list[str]] = {}
+        for a, r in rels.items():
+            for c in r.columns:
+                owners_of.setdefault(c, []).append(a)
+        found: set[str] = set()
+        for cr in refs:
+            if cr.table is not None:
+                a = cr.table.lower()
+                if a not in rels:
+                    return None
+                found.add(a)
+            else:
+                own = owners_of.get(cr.name.lower())
+                if not own or len(own) != 1:
+                    return None
+                found.add(own[0])
+        return found.pop() if len(found) == 1 else None
+
+    def _conjunct_sel(self, conj, r: _Rel) -> float:
+        if isinstance(conj, ast.BinaryOp) and conj.op in (
+                "=", "<", "<=", ">", ">=", "!=", "<>"):
+            col, lit, flipped = _col_vs_literal(conj)
+            if col is None:
+                return SEL_OTHER
+            if conj.op == "=":
+                return self._eq_sel(r, col)
+            if conj.op in ("!=", "<>"):
+                return 1.0 - self._eq_sel(r, col)
+            op = conj.op
+            if flipped:  # lit <op> col  ≡  col <flipped-op> lit
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+            return self._range_sel(r, col, op, lit)
+        if isinstance(conj, ast.Between):
+            if isinstance(conj.operand, ast.ColumnRef):
+                col = conj.operand.name.lower()
+                lo, hi = _literal_value(conj.low), _literal_value(conj.high)
+                if lo is not None and hi is not None:
+                    s = max(self._frac_below(r, col, hi)
+                            - self._frac_below(r, col, lo), SEL_RANGE_FLOOR)
+                    return 1.0 - s if conj.negated else s
+            return SEL_OTHER
+        if isinstance(conj, ast.InList):
+            if isinstance(conj.operand, ast.ColumnRef):
+                per = self._eq_sel(r, conj.operand.name.lower())
+            else:
+                per = SEL_EQ
+            s = min(per * max(len(conj.items), 1), SEL_OTHER)
+            return 1.0 - s if conj.negated else s
+        if isinstance(conj, ast.Like):
+            return SEL_LIKE
+        if isinstance(conj, ast.IsNull):
+            return 1.0 - SEL_NULL if conj.negated else SEL_NULL
+        return SEL_OTHER
+
+    def _eq_sel(self, r: _Rel, col: str) -> float:
+        """1/NDV when analyze() has run (exact-ish, the CBO answer);
+        otherwise the conservative enum constant. Clamped to the
+        constant from above — an equality never gets MORE optimistic
+        than the data says."""
+        n = r.ndv.get(col)
+        if n and n > 0 and r.rows:
+            return min(max(1.0 / n, 1.0 / max(r.rows, 1)), 1.0)
+        return SEL_EQ
+
+    def _range_sel(self, r: _Rel, col: str, op: str, lit) -> float:
+        if lit is None:
+            return SEL_OTHER
+        below = self._frac_below(r, col, lit)
+        if below is None:
+            return SEL_OTHER
+        s = below if op in ("<", "<=") else 1.0 - below
+        return min(max(s, SEL_RANGE_FLOOR), 1.0)
+
+    def _frac_below(self, r: _Rel, col: str, lit) -> float | None:
+        lo, hi = r.col_min.get(col), r.col_max.get(col)
+        if lo is None or hi is None:
+            return None
+        lv = _as_number(lit)
+        lon, hin = _as_number(lo), _as_number(hi)
+        if lv is None or lon is None or hin is None or hin <= lon:
+            return None
+        return min(max((lv - lon) / (hin - lon), 0.0), 1.0)
+
+
+def _col_vs_literal(b: ast.BinaryOp):
+    """(col_name, literal_value, flipped) for col-vs-literal compares."""
+    if isinstance(b.left, ast.ColumnRef):
+        v = _literal_value(b.right)
+        if v is not None or _is_literal(b.right):
+            return b.left.name.lower(), v, False
+    if isinstance(b.right, ast.ColumnRef):
+        v = _literal_value(b.left)
+        if v is not None or _is_literal(b.left):
+            return b.right.name.lower(), v, True
+    return None, None, False
+
+
+def _is_literal(e) -> bool:
+    return isinstance(e, (ast.NumberLit, ast.StringLit, ast.BoolLit,
+                          ast.NullLit))
+
+
+def _literal_value(e):
+    """Python value of a literal-ish expr (numbers, TIMESTAMP()/DATE()
+    constructors, casts of those); None when not statically known."""
+    if isinstance(e, ast.NumberLit):
+        try:
+            return float(e.value)
+        except (TypeError, ValueError):
+            return None
+    if isinstance(e, ast.StringLit):
+        return _parse_dt(e.value)
+    if isinstance(e, ast.Cast):
+        return _literal_value(e.operand)
+    if isinstance(e, ast.UnaryOp) and e.op == "-":
+        v = _literal_value(e.operand)
+        return -v if isinstance(v, float) else None
+    if isinstance(e, ast.FuncCall) and e.name in ("timestamp", "date") \
+            and len(e.args) == 1 and isinstance(e.args[0], ast.StringLit):
+        return _parse_dt(e.args[0].value)
+    return None
+
+
+def _parse_dt(s):
+    if not isinstance(s, str):
+        return None
+    for fmt in ("%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            return _dt.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
+def _as_number(v) -> float | None:
+    if isinstance(v, bool):
+        return float(v)
+    if isinstance(v, (int, float)):
+        return float(v)
+    if isinstance(v, _dt.datetime):
+        return v.timestamp()
+    if isinstance(v, _dt.date):
+        return _dt.datetime(v.year, v.month, v.day).timestamp()
+    return None
+
+
+def _split_and(e) -> list:
+    if isinstance(e, ast.BinaryOp) and e.op == "and":
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
+
+
+def _children_generic(e):
+    import dataclasses
+    if not dataclasses.is_dataclass(e):
+        return
+    for f in dataclasses.fields(e):
+        v = getattr(e, f.name)
+        if isinstance(v, ast.Expr):
+            yield v
+        elif isinstance(v, list):
+            for item in v:
+                if isinstance(item, ast.Expr):
+                    yield item
+                elif isinstance(item, tuple):
+                    for t in item:
+                        if isinstance(t, ast.Expr):
+                            yield t

@@ -1,0 +1,78 @@
+"""Parquet-footer table statistics — the engine's answer to the CBO gap.
+
+With ``spark.sql.cbo.enabled`` off (the default, and no ANALYZE stats
+exist for parquet temp views anyway), Catalyst's Filter nodes pass
+``sizeInBytes`` through unchanged, so the static planner cannot see that
+a date-range filter keeps 3% of a table. Every stats-shaped decision
+this engine makes (static broadcast of a filtered join side, the EXISTS
+dedup gate) needs real numbers, and the parquet footer has them for
+free: EXACT row counts and per-column min/max, readable without touching
+a single data page. Collection happens once at registration — the same
+footer read that already probes for TIMESTAMP(NANOS) columns.
+
+Nothing here guesses: ``rows`` is exact; min/max are exact bounds. The
+only estimation is downstream (uniformity assumption for range
+selectivity), and every consumer is kill-switched.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class TableStats:
+    rows: int
+    # lowercase column name → exact bound over all row groups (only for
+    # orderable physical types; strings/binary excluded — their truncated
+    # parquet bounds are unsafe for arithmetic)
+    col_min: dict[str, object] = field(default_factory=dict)
+    col_max: dict[str, object] = field(default_factory=dict)
+    # lowercase column name → approximate distinct count, filled by
+    # SqlEngine.analyze() (the warehouse-ANALYZE analog: one
+    # approx_count_distinct pass per table). Empty until analyzed —
+    # consumers fall back to conservative constants.
+    ndv: dict[str, float] = field(default_factory=dict)
+
+
+def parquet_stats(path: str) -> TableStats | None:
+    """Exact row count + per-column min/max from parquet footers.
+    Returns None when pyarrow is unavailable or the footer is unreadable
+    (consumers must treat None as 'no stats')."""
+    try:
+        import pyarrow.parquet as pq
+    except Exception:
+        return None
+    files = [path]
+    if os.path.isdir(path):
+        files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return None
+    rows = 0
+    mins: dict[str, object] = {}
+    maxs: dict[str, object] = {}
+    try:
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            rows += md.num_rows
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    name = col.path_in_schema.lower()
+                    lo, hi = st.min, st.max
+                    if isinstance(lo, (str, bytes)) or isinstance(
+                            hi, (str, bytes)):
+                        continue  # truncated bounds — not arithmetic-safe
+                    if name not in mins or lo < mins[name]:
+                        mins[name] = lo
+                    if name not in maxs or hi > maxs[name]:
+                        maxs[name] = hi
+    except Exception:
+        return None
+    return TableStats(rows=rows, col_min=mins, col_max=maxs)

@@ -134,9 +134,12 @@ def test_bucketed_tables_join_without_shuffle(engine, spark):
         spark.sql("DROP TABLE IF EXISTS b_items")
 
 
-def test_explicit_broadcast_hint(engine, spark):
+def test_explicit_broadcast_hint(engine, spark, monkeypatch):
     """FROM ... JOIN broadcast(t) forces a broadcast join even when the
-    planner wouldn't pick one (threshold disabled)."""
+    planner wouldn't pick one (Spark threshold disabled AND the footer-
+    stats planner off — the r7 stats planner would otherwise hint the
+    nation side on its own, which is exactly its job)."""
+    monkeypatch.setenv("SPARK_GRAFT_NO_STATS_BROADCAST", "1")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         unhinted = engine.query(

@@ -1,0 +1,169 @@
+"""Footer-stats broadcast planner (plans/estimator.py): exact parquet
+row counts + min/max range interpolation + analyze()-collected NDV
+decide static broadcast hints before any shuffle is planned. Unit tests
+drive the estimator directly with crafted stats (no Spark); integration
+tests assert result equality and the kill-switch.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sql_to_ibis_spark.plans.estimator import CardinalityEstimator
+from sql_to_ibis_spark.plans.parser import parse
+from sql_to_ibis_spark.sources.table_stats import TableStats, parquet_stats
+from tests.conftest import SF_DIR, compare_frames
+
+
+class _FakeDF:
+    def __init__(self, columns):
+        self.columns = columns
+
+
+class _FakeEntry:
+    def __init__(self, columns, stats):
+        self.df = _FakeDF(columns)
+        self.stats = stats
+
+
+class _FakeCatalog:
+    def __init__(self, tables):
+        self._t = {k.lower(): v for k, v in tables.items()}
+
+    def get(self, name):
+        return self._t[name.lower()]
+
+
+def _tpch_like_catalog(order_ndv=None):
+    d0 = dt.datetime(1992, 1, 1)
+    d1 = dt.datetime(1998, 8, 1)
+    return _FakeCatalog({
+        "orders": _FakeEntry(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus"],
+            TableStats(rows=15_000_000,
+                       col_min={"o_orderdate": d0},
+                       col_max={"o_orderdate": d1},
+                       ndv=order_ndv or {})),
+        "lineitem": _FakeEntry(
+            ["l_orderkey", "l_extendedprice", "l_shipdate"],
+            TableStats(rows=60_000_000,
+                       col_min={"l_shipdate": d0}, col_max={"l_shipdate": d1})),
+        "customer": _FakeEntry(
+            ["c_custkey", "c_mktsegment"],
+            TableStats(rows=1_500_000, ndv={"c_mktsegment": 5.0})),
+        "nostats": _FakeEntry(["x"], None),
+    })
+
+
+def _hints(sql, catalog):
+    node = parse(sql)
+    return CardinalityEstimator(catalog, set()).plan_hints(node)
+
+
+def test_date_filtered_side_broadcasts():
+    # q3 shape: dated orders joined to huge lineitem — the range
+    # selectivity interpolates against footer min/max and the orders
+    # side fits under the cap → hinted
+    h = _hints("""
+        SELECT l.l_orderkey, o.o_orderdate FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP('1992-09-01')
+    """, _tpch_like_catalog())
+    assert list(h.values()) == ["left"]
+
+
+def test_low_ndv_equality_blocks_oversized_side():
+    # q21 shape: o_orderstatus has NDV 3 → equality keeps ~1/3 of 15M
+    # rows, too big to broadcast — no hint
+    h = _hints("""
+        SELECT l.l_orderkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    """, _tpch_like_catalog(order_ndv={"o_orderstatus": 3.0}))
+    assert h == {}
+
+
+def test_high_ndv_equality_allows_hint():
+    h = _hints("""
+        SELECT l.l_orderkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    """, _tpch_like_catalog(order_ndv={"o_orderstatus": 1000.0}))
+    assert list(h.values()) == ["left"]
+
+
+def test_unknown_stats_never_hinted():
+    h = _hints("""
+        SELECT n.x FROM nostats n
+        JOIN lineitem l ON l.l_orderkey = n.x
+    """, _tpch_like_catalog())
+    assert h == {}
+
+
+def test_left_join_only_hints_right_side():
+    # the preserved side of an outer join cannot be the broadcast build
+    h = _hints("""
+        SELECT l.l_orderkey FROM lineitem l
+        LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP('1992-09-01')
+    """, _tpch_like_catalog())
+    assert list(h.values()) in ([], ["right"])
+
+
+def test_where_only_columns_do_not_count_against_width():
+    cat = _tpch_like_catalog()
+    node = parse("""
+        SELECT l.l_orderkey FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate < TIMESTAMP('1992-09-01')
+    """)
+    est = CardinalityEstimator(cat, set())
+    rels = {}
+    # external columns: only l_orderkey (select) — o_orderdate is a
+    # scan-consumed filter, o_orderkey joins in via the ON pass
+    node2 = parse("SELECT l.l_orderkey FROM orders o "
+                  "JOIN lineitem l ON l.l_orderkey = o.o_orderkey "
+                  "WHERE o.o_orderdate < TIMESTAMP('1992-09-01')")
+    # drive through plan_hints; the hint firing at all (previous test)
+    # proves the filter column was excluded — with it included the side
+    # would still fit, so pin the width logic directly instead:
+    ext = est._external_columns(
+        node2, {"o": __import__(
+            "sql_to_ibis_spark.plans.estimator", fromlist=["_Rel"]
+        )._Rel("o", ["o_orderkey", "o_custkey", "o_orderdate"],
+               100, {}, {}, {}),
+            "l": __import__(
+            "sql_to_ibis_spark.plans.estimator", fromlist=["_Rel"]
+        )._Rel("l", ["l_orderkey"], 100, {}, {}, {})})
+    assert ext["o"] == set()           # filter col excluded
+    assert ext["l"] == {"l_orderkey"}  # select col included
+
+
+def test_parquet_stats_exact_rows(spark):
+    import glob
+    import os
+
+    path = sorted(glob.glob(os.path.join(SF_DIR, "lineitem.parquet")))[0]
+    st = parquet_stats(path)
+    from sql_to_ibis_spark.sources.readers import read_parquet
+    assert st.rows == read_parquet(spark, path).count()
+    assert "l_shipdate" in st.col_min and "l_quantity" in st.col_max
+
+
+def test_analyze_fills_ndv_and_results_unchanged(engine, monkeypatch):
+    sql = """
+        SELECT l.l_orderkey AS ok, o.o_orderdate AS od
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP('1995-03-15')
+        ORDER BY ok, od LIMIT 50
+    """
+    engine.analyze()
+    st = engine.catalog.get("orders").stats
+    assert st is not None and st.ndv.get("o_orderstatus", 0) >= 1
+    with_hints = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_NO_STATS_BROADCAST", "1")
+    without = engine.query(sql).toPandas()
+    compare_frames(with_hints, without, ordered=True)
