@@ -144,18 +144,33 @@ class SqlEngine:
 
         from sql_to_ibis_spark.sources.table_stats import TableStats
 
+        from pyspark.sql import types as T
+
+        orderable = (T.NumericType, T.DateType, T.TimestampType,
+                     T.TimestampNTZType, T.BooleanType)
         names = [table_name] if table_name else self.catalog.names()
         for name in names:
             entry = self.catalog.get(name)
             cols = entry.df.columns
+            bounded = [f.name for f in entry.df.schema.fields
+                       if isinstance(f.dataType, orderable)]
             aggs = [F.approx_count_distinct(c).alias(f"n{i}")
                     for i, c in enumerate(cols)]
+            # exact min/max in the SAME pass: footer stats are absent
+            # for INT96 timestamps (no statistics by parquet spec) and
+            # for non-parquet sources — analyze fills them everywhere
+            aggs += [F.min(c).alias(f"lo{i}") for i, c in enumerate(bounded)]
+            aggs += [F.max(c).alias(f"hi{i}") for i, c in enumerate(bounded)]
             aggs.append(F.count(F.lit(1)).alias("__rows"))
             row = entry.df.agg(*aggs).collect()[0]
             st = entry.stats or TableStats(rows=int(row["__rows"]))
             st.rows = int(row["__rows"])
             st.ndv = {c.lower(): float(row[f"n{i}"])
                       for i, c in enumerate(cols)}
+            for i, c in enumerate(bounded):
+                if row[f"lo{i}"] is not None:
+                    st.col_min[c.lower()] = row[f"lo{i}"]
+                    st.col_max[c.lower()] = row[f"hi{i}"]
             entry.stats = st
 
     def register_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:

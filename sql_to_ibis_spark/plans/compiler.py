@@ -394,7 +394,7 @@ class Compiler:
                     node.group_by.append(item.expr)
 
         if node.where is not None:
-            df = self._apply_where(df, node.where, scope)
+            df = self._apply_where(df, node.where, scope, select_node=node)
 
         if node.distinct_on:
             df = self._apply_distinct_on(df, node, scope)
@@ -2325,7 +2325,8 @@ class Compiler:
 
     # ----------------------------------------------------------------- WHERE
 
-    def _apply_where(self, df: DataFrame, where: ast.Expr, scope: Scope) -> DataFrame:
+    def _apply_where(self, df: DataFrame, where: ast.Expr, scope: Scope,
+                     select_node: "ast.SelectNode | None" = None) -> DataFrame:
         # Plain conjuncts apply BEFORE subquery joins: semi/anti joins
         # commute with left-side filters, and filtering first means the
         # joins probe the reduced outer. Catalyst reorders this anyway
@@ -2357,7 +2358,8 @@ class Compiler:
                 )
             else:
                 df = self._apply_exists(
-                    df, node, scope, negated=node.negated ^ negated
+                    df, node, scope, negated=node.negated ^ negated,
+                    outer_node=select_node,
                 )
         return df
 
@@ -2439,6 +2441,7 @@ class Compiler:
         scope: Scope,
         negated: bool,
         operand: ast.Expr | None = None,
+        outer_node: "ast.SelectNode | None" = None,
     ) -> DataFrame | None:
         """Decorrelate EXISTS/IN into a distributed semi/anti hash join on
         the extracted correlation predicates — the scalable plan (a per-row
@@ -2471,19 +2474,18 @@ class Compiler:
             cond = eq if cond is None else (cond & eq)
         if cond is None:
             return None
-        if operand is None and os.environ.get(
-                "SPARK_GRAFT_EXISTS_DEDUP_REWRITE"):
-            # Opt-in lever (measured in BASELINE.md round 7): Spark can
-            # only broadcast the RIGHT side of a semi/anti join, so a
-            # SMALL filtered outer probing a HUGE inner (q4: 450k dated
-            # orders ⋉ 60M lineitem) always shuffles the full inner.
-            # Rewritten as inner join + row-id dedup, the outer becomes
-            # broadcastable and the inner pass is map-only; only matched
-            # outer rows shuffle for the dedup. NOT the default because
-            # with a LARGE outer the pair explosion + dedup shuffle loses
-            # to the semi join, and with CBO off Catalyst's size estimate
-            # cannot see WHERE selectivity to gate it (Filter nodes pass
-            # sizeInBytes through unchanged).
+        if operand is None and self._exists_dedup_wanted(sub, outer_node):
+            # EXISTS dedup rewrite (measured in BASELINE.md round 7,
+            # q4 −45% at sf10): Spark can only broadcast the RIGHT side
+            # of a semi/anti join, so a SMALL filtered outer probing a
+            # HUGE inner (q4: 450k dated orders ⋉ 60M lineitem) always
+            # shuffles the full inner. Rewritten as inner join + row-id
+            # dedup, the outer becomes broadcastable and the inner pass
+            # is map-only; only matched outer rows shuffle for the
+            # dedup. Automatic only when the footer-stats estimator
+            # CERTIFIES the outer small and the inner dominant
+            # (_exists_dedup_wanted) — with a large outer the pair
+            # explosion + broadcast loses to the semi join.
             # explicit broadcast: opting in asserts the (filtered) outer
             # is small; static stats can't see that through the filter
             if negated:
@@ -2507,6 +2509,55 @@ class Compiler:
                     .dropDuplicates([rid])
                     .drop(rid))
         return df.join(inner_df, cond, "left_anti" if negated else "left_semi")
+
+    # outer-side byte cap for the automatic EXISTS dedup rewrite: the
+    # rewrite broadcasts the tagged outer explicitly, so the certified
+    # estimate must be comfortably below the session's 64MB AQE ceiling
+    _EXISTS_DEDUP_CAP = 32 << 20
+    _EXISTS_DEDUP_INNER_FACTOR = 8.0
+
+    def _exists_dedup_wanted(self, sub: ast.SelectNode,
+                             outer_node: "ast.SelectNode | None") -> bool:
+        """Gate for the EXISTS dedup rewrite (see the branch below).
+        ``SPARK_GRAFT_EXISTS_DEDUP_REWRITE=1`` forces on, ``=0`` forces
+        off; unset → automatic, using the footer-stats estimator: the
+        outer's FROM+WHERE estimate must certify ≤32MB (it will be
+        broadcast explicitly) and the inner's RAW base must dominate it
+        ≥8× (else the plain semi join is already the right plan). With
+        no stats or an unestimatable shape the answer is no — exactly
+        the conservatism that kept this opt-in before the estimator
+        existed."""
+        flag = os.environ.get("SPARK_GRAFT_EXISTS_DEDUP_REWRITE")
+        if flag is not None:
+            return flag not in ("", "0")
+        if outer_node is None or os.environ.get(
+                "SPARK_GRAFT_NO_STATS_BROADCAST"):
+            return False
+        try:
+            from sql_to_ibis_spark.plans.estimator import (
+                CardinalityEstimator)
+            est = CardinalityEstimator(self.catalog, set(self._cte_frames))
+            outer = est.estimate_output(outer_node)
+            if outer is None:
+                return False
+            rows, width = outer
+            # the correlation keys ride along but are not counted by
+            # the exported-width pass — double the width to cover them
+            if rows * width * 2 > self._EXISTS_DEDUP_CAP:
+                return False
+            inner_raw = 0.0
+            for rel in sub.relations:
+                if not isinstance(rel, ast.TableRef) \
+                        or rel.name.lower() in self._cte_frames:
+                    return False
+                entry = self.catalog.get(rel.name)
+                if entry.stats is None:
+                    return False
+                inner_raw = max(inner_raw, float(entry.stats.rows))
+            return inner_raw >= self._EXISTS_DEDUP_INNER_FACTOR * max(
+                rows, 1.0)
+        except Exception:
+            return False
 
     def _is_correlated(self, sub, scope: Scope) -> bool:
         if not isinstance(sub, ast.SelectNode) or not sub.relations \
@@ -2563,11 +2614,11 @@ class Compiler:
 
     def _apply_exists(
         self, df: DataFrame, node: ast.ExistsSubquery, scope: Scope,
-        negated: bool
+        negated: bool, outer_node: "ast.SelectNode | None" = None
     ) -> DataFrame:
         if self._is_correlated(node.subquery, scope):
             out = self._correlated_semi_join(
-                df, node.subquery, scope, negated)
+                df, node.subquery, scope, negated, outer_node=outer_node)
             if out is not None:
                 return out
         # Uncorrelated EXISTS: broadcast a 0/1-row marker, left-join, filter.

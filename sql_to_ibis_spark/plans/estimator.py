@@ -218,6 +218,80 @@ class CardinalityEstimator:
         own = [a for a, r in rels.items() if name in r.columns]
         return (own[0], name) if len(own) == 1 else (None, None)
 
+    def estimate_output(
+        self, node: ast.SelectNode
+    ) -> tuple[float, int] | None:
+        """(estimated rows, exported width bytes/row) of the node's
+        FROM tree after its single-owner WHERE predicates — the number
+        the EXISTS dedup auto-gate needs to certify the outer side is
+        broadcastable. None when any relation is unestimatable."""
+        rels: dict[str, _Rel] = {}
+        bad = [False]
+
+        def collect(rel) -> None:
+            if isinstance(rel, ast.TableRef):
+                alias = (rel.alias or rel.name).lower()
+                if rel.name.lower() in self.cte_names:
+                    bad[0] = True
+                    return
+                try:
+                    entry = self.catalog.get(rel.name)
+                except Exception:
+                    bad[0] = True
+                    return
+                st = entry.stats
+                if st is None:
+                    bad[0] = True
+                    return
+                rels[alias] = _Rel(
+                    alias=alias,
+                    columns=[c.lower() for c in entry.df.columns],
+                    rows=st.rows, col_min=st.col_min, col_max=st.col_max,
+                    ndv=getattr(st, "ndv", None) or {})
+            elif isinstance(rel, ast.Join):
+                collect(rel.left)
+                collect(rel.right)
+            else:
+                bad[0] = True
+
+        for r in node.relations:
+            collect(r)
+        if bad[0] or not rels:
+            return None
+        sels = self._relation_selectivities(node, rels)
+        external = self._external_columns(node, rels)
+
+        def est(rel) -> _Est:
+            if isinstance(rel, ast.TableRef):
+                alias = (rel.alias or rel.name).lower()
+                r = rels[alias]
+                return _Est(r.rows * sels.get(alias, 1.0), float(r.rows), 0)
+            le, re_ = est(rel.left), est(rel.right)
+            if rel.kind == "cross":
+                return _Est(le.rows * re_.rows, le.raw * re_.raw, 0)
+            if rel.kind in ("inner", "left", "right")                     and le.raw and re_.raw:
+                frac_l = min(le.rows / le.raw, 1.0)
+                frac_r = min(re_.rows / re_.raw, 1.0)
+                rows = max(le.rows * frac_r, re_.rows * frac_l)
+                if rel.kind == "left":
+                    rows = max(rows, le.rows)
+                elif rel.kind == "right":
+                    rows = max(rows, re_.rows)
+                return _Est(rows, max(le.raw, re_.raw), 0)
+            raise ValueError("unestimatable join kind")
+
+        try:
+            total = None
+            for r in node.relations:
+                e = est(r)
+                total = e if total is None else _Est(
+                    total.rows * e.rows, (total.raw or 1) * (e.raw or 1), 0)
+        except ValueError:
+            return None
+        ncols = sum(len(v) for v in external.values())
+        width = ROW_OVERHEAD + BYTES_PER_COL * max(ncols, 1)
+        return total.rows, width
+
     # ----------------------------------------------------------- helpers
 
     def _maybe_hint(self, rel: ast.Join, le: _Est, re_: _Est,
@@ -299,16 +373,60 @@ class CardinalityEstimator:
     def _relation_selectivities(
         self, node: ast.SelectNode, rels: dict[str, _Rel]
     ) -> dict[str, float]:
+        """Per-relation selectivity product. Range conjuncts on the
+        SAME column combine as an interval intersection, not a product
+        — ``d >= '1995-01-01' AND d < '1995-04-01'`` over a 6.6-year
+        span is 3.7% of rows, where independent multiplication would
+        claim 27% (measured on q4: the overestimate blocked the EXISTS
+        auto-gate for exactly the query it exists for)."""
         sels: dict[str, float] = {}
         if node.where is None:
             return sels
+        # (owner, col) → [lo_frac, hi_frac] running interval
+        intervals: dict[tuple[str, str], list[float]] = {}
         for conj in _split_and(node.where):
             owner = self._single_owner(conj, rels)
             if owner is None:
                 continue
-            s = self._conjunct_sel(conj, rels[owner])
+            r = rels[owner]
+            iv = self._range_interval(conj, r)
+            if iv is not None:
+                col, lo, hi = iv
+                cur = intervals.setdefault((owner, col), [0.0, 1.0])
+                cur[0] = max(cur[0], lo)
+                cur[1] = min(cur[1], hi)
+                continue
+            s = self._conjunct_sel(conj, r)
+            sels[owner] = max(sels.get(owner, 1.0) * s, MIN_REL_SEL)
+        for (owner, _col), (lo, hi) in intervals.items():
+            s = min(max(hi - lo, SEL_RANGE_FLOOR), 1.0)
             sels[owner] = max(sels.get(owner, 1.0) * s, MIN_REL_SEL)
         return sels
+
+    def _range_interval(self, conj, r: _Rel):
+        """(col, lo_frac, hi_frac) for a single-column range conjunct
+        whose bounds interpolate against footer min/max, else None."""
+        if isinstance(conj, ast.BinaryOp) and conj.op in (
+                "<", "<=", ">", ">="):
+            col, lit, flipped = _col_vs_literal(conj)
+            if col is None or lit is None:
+                return None
+            op = conj.op
+            if flipped:
+                op = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}[op]
+            f = self._frac_below(r, col, lit)
+            if f is None:
+                return None
+            return (col, 0.0, f) if op in ("<", "<=") else (col, f, 1.0)
+        if isinstance(conj, ast.Between) and not conj.negated \
+                and isinstance(conj.operand, ast.ColumnRef):
+            col = conj.operand.name.lower()
+            lo = self._frac_below(r, col, _literal_value(conj.low))
+            hi = self._frac_below(r, col, _literal_value(conj.high))
+            if lo is None or hi is None:
+                return None
+            return (col, lo, hi)
+        return None
 
     def _single_owner(self, conj, rels: dict[str, _Rel]) -> str | None:
         refs: list[ast.ColumnRef] = []

@@ -1,10 +1,11 @@
-"""Opt-in EXISTS dedup rewrite (SPARK_GRAFT_EXISTS_DEDUP_REWRITE=1):
-correlated EXISTS/NOT EXISTS lowers to broadcast inner join + row-id
-dedup instead of a semi/anti join, so a SMALL filtered outer never pays
-the full inner-side shuffle (Spark can only broadcast the right side of
-a semi join). Measured at sf10 on q4: 1.87 s vs 3.41 s stock (−45%).
-Default OFF: with a large outer the pair explosion loses, and CBO-off
-size estimates cannot see WHERE selectivity to gate it automatically.
+"""EXISTS dedup rewrite: correlated EXISTS/NOT EXISTS lowers to
+broadcast inner join + row-id dedup instead of a semi/anti join, so a
+SMALL filtered outer never pays the full inner-side shuffle (Spark can
+only broadcast the right side of a semi join). Measured at sf10 on q4:
+1.87 s vs 3.41 s stock (−45%). SPARK_GRAFT_EXISTS_DEDUP_REWRITE=1
+forces on, =0 forces off; unset → AUTOMATIC when the footer-stats
+estimator (after analyze()) certifies the outer ≤32MB and the inner
+raw ≥8× bigger — tests pin both the equality and the auto decisions.
 """
 
 from __future__ import annotations
@@ -32,6 +33,7 @@ NOT_EXISTS = """
 
 
 def test_exists_rewrite_matches_stock(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "0")
     stock = engine.query(Q4_STYLE).toPandas()
     monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
     rewritten = engine.query(Q4_STYLE).toPandas()
@@ -39,6 +41,7 @@ def test_exists_rewrite_matches_stock(engine, monkeypatch):
 
 
 def test_not_exists_rewrite_matches_stock(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "0")
     stock = engine.query(NOT_EXISTS).toPandas()
     monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
     rewritten = engine.query(NOT_EXISTS).toPandas()
@@ -48,6 +51,7 @@ def test_not_exists_rewrite_matches_stock(engine, monkeypatch):
 def test_rewrite_preserves_outer_duplicates(engine, monkeypatch):
     # semi-join semantics: outer duplicate rows each survive once per
     # occurrence — the row-id dedup must not collapse them
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "0")
     sql = """
         SELECT d.k AS k FROM (
           SELECT o_orderpriority AS k FROM orders
@@ -74,3 +78,25 @@ def test_plain_filter_stays_below_the_rewrite_tag(engine, monkeypatch):
             if "Scan parquet" in blk and "orders" in blk
             and "PushedFilters" in blk]
     assert any("GreaterThanOrEqual(o_orderdate" in b for b in scan), plan
+
+
+def test_auto_gate_requires_small_certified_outer(engine, monkeypatch):
+    # automatic mode: after analyze() the q4-shape outer (date-filtered
+    # orders) is certified small → the rewrite fires without any env
+    # flag; a huge un-filtered outer keeps the semi join
+    monkeypatch.delenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", raising=False)
+    engine.analyze()
+    assert "LeftSemi" not in engine.explain(Q4_STYLE)
+    huge_outer = """
+        SELECT count(*) AS n FROM lineitem l
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_orderkey = l.l_orderkey
+                        AND o.o_totalprice > 0)
+    """
+    assert "LeftSemi" in engine.explain(huge_outer)
+
+
+def test_force_off_keeps_semi_join(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "0")
+    engine.analyze()
+    assert "LeftSemi" in engine.explain(Q4_STYLE)
