@@ -2354,7 +2354,8 @@ class Compiler:
         for node, negated in subq:
             if isinstance(node, ast.InSubquery):
                 df = self._apply_in_subquery(
-                    df, node, scope, negated=node.negated ^ negated
+                    df, node, scope, negated=node.negated ^ negated,
+                    outer_node=select_node,
                 )
             else:
                 df = self._apply_exists(
@@ -2474,7 +2475,14 @@ class Compiler:
             cond = eq if cond is None else (cond & eq)
         if cond is None:
             return None
-        if operand is None and self._exists_dedup_wanted(sub, outer_node):
+        # positive IN rides the same dedup rewrite as EXISTS: the
+        # membership condition joins like any other conjunct (NULL
+        # operand rows never match the inner join — exactly SQL IN) and
+        # the row-id dedup restores semi multiplicity. Correlated NOT IN
+        # never reaches here (raised above); NOT EXISTS takes the
+        # single-pass left-join branch.
+        if (operand is None or not negated) \
+                and self._exists_dedup_wanted(sub, outer_node):
             # EXISTS dedup rewrite (measured in BASELINE.md round 7,
             # q4 −45% at sf10): Spark can only broadcast the RIGHT side
             # of a semi/anti join, so a SMALL filtered outer probing a
@@ -2570,7 +2578,8 @@ class Compiler:
         return bool(correlated)
 
     def _apply_in_subquery(
-        self, df: DataFrame, node: ast.InSubquery, scope: Scope, negated: bool
+        self, df: DataFrame, node: ast.InSubquery, scope: Scope,
+        negated: bool, outer_node: "ast.SelectNode | None" = None
     ) -> DataFrame:
         if self._is_correlated(node.subquery, scope):
             if negated:
@@ -2580,7 +2589,8 @@ class Compiler:
                     "correlated NOT IN is not supported — rewrite as "
                     "NOT EXISTS")
             out = self._correlated_semi_join(
-                df, node.subquery, scope, negated, operand=node.operand)
+                df, node.subquery, scope, negated, operand=node.operand,
+                outer_node=outer_node)
             if out is not None:
                 return out
         sub = self.compile(node.subquery)
