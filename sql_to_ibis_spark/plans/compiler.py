@@ -2541,6 +2541,15 @@ class Compiler:
         if outer_node is None or os.environ.get(
                 "SPARK_GRAFT_NO_STATS_BROADCAST"):
             return False
+        # automatic mode only trusts SINGLE-base-relation outers: their
+        # row counts are exact and their widths honest. A joined outer's
+        # PK-FK estimate misprices the broadcast (q21's 3-way outer at
+        # sf0.1: certified under the cap, measured +26% — two stacked
+        # EXISTS each re-broadcast the widening join), while q4's
+        # single-table outer wins at every scale (−26% sf0.1, −59% sf10)
+        if len(outer_node.relations) != 1 or not isinstance(
+                outer_node.relations[0], ast.TableRef):
+            return False
         try:
             from sql_to_ibis_spark.plans.estimator import (
                 CardinalityEstimator)
