@@ -337,6 +337,9 @@ class Compiler:
             self._window_defs = saved_windows
 
     def _compile_select_body(self, node: ast.SelectNode) -> DataFrame:
+        rewritten = self._try_parse_per_distinct(node)
+        if rewritten is not None:
+            node = rewritten
         if node.relations:
             df: DataFrame | None = None
             rels: list[RelationInfo] = []
@@ -917,6 +920,212 @@ class Compiler:
         return (ast.ScalarSubqueryField(subquery=fused, index=0),
                 ast.ScalarSubqueryField(subquery=fused, index=1),
                 ast.ScalarSubqueryField(subquery=fused, index=2))
+
+    _EXPENSIVE_PER_ROW_FNS = {"get_json_object", "from_json", "json_tuple",
+                              "regexp_extract", "regexp_extract_all",
+                              "schema_of_json", "xpath_string"}
+
+    def _try_parse_per_distinct(
+        self, node: ast.SelectNode
+    ) -> "ast.SelectNode | None":
+        """Parse-per-distinct aggregation rewrite (the r6 events_json
+        finding, now NDV-gated): an aggregation whose aggregate inputs
+        are expensive per-row parses of ONE low-cardinality column
+        (``sum(get_json_object(props, …)) GROUP BY event_type`` over 10M
+        rows with 100 distinct props) re-plans as a two-level
+        aggregation — count by (keys…, col) first, parse once per
+        DISTINCT value, then merge weighted by the counts. DuckDB gets
+        the same effect from dictionary-encoded execution; Spark
+        evaluates the parse per row. r6 measured the rewrite winning
+        here but rejected it stats-blind (it regresses on
+        high-cardinality JSON); analyze()'s NDV makes it gateable:
+        requires Π ndv(keys…, col) ≤ rows/8 and ≤ 2M.
+
+        Soundness: the parse is a deterministic function of the column,
+        so per-distinct evaluation is exact; SUM merges as Σ v·c, COUNT
+        as Σ c over non-null v, COUNT(*) as Σ c, MIN/MAX directly.
+        DISTINCT/FILTER aggregates, decimal sums (precision widening
+        under v·c would drift the result type), window functions,
+        subqueries, and nondeterminism all bail.
+        ``SPARK_GRAFT_NO_PARSE_PER_DISTINCT=1`` disables."""
+        if os.environ.get("SPARK_GRAFT_NO_PARSE_PER_DISTINCT"):
+            return None
+        if (len(node.relations) != 1
+                or not isinstance(node.relations[0], ast.TableRef)
+                or node.distinct or node.distinct_on or node.qualify
+                or node.windows or node.group_mode is not None
+                or node.group_by_all):
+            return None
+        rel = node.relations[0]
+        if rel.name.lower() in self._cte_frames:
+            return None
+        try:
+            entry = self.catalog.get(rel.name)
+        except Exception:
+            return None
+        st = entry.stats
+        if st is None or not getattr(st, "ndv", None):
+            return None
+        cols = {c.lower(): c for c in entry.df.columns}
+        alias = (rel.alias or rel.name).lower()
+
+        exprs = [i.expr for i in node.items
+                 if not isinstance(i.expr, ast.Star)]
+        if node.having is not None:
+            exprs.append(node.having)
+        exprs += [o.expr for o in node.order_by]
+        for e in exprs + list(node.group_by):
+            if self._contains_any_subquery(e) \
+                    or self._contains_nondeterministic(e):
+                return None
+            if any(isinstance(x, ast.WindowFunc)
+                   for x in _walk_all(e)):
+                return None
+        if node.where is not None and (
+                self._contains_any_subquery(node.where)
+                or self._contains_nondeterministic(node.where)):
+            return None
+
+        # group keys must be plain columns of the table
+        keys: list[str] = []
+        for g in node.group_by:
+            if not isinstance(g, ast.ColumnRef) \
+                    or (g.table is not None and g.table.lower() != alias) \
+                    or g.name.lower() not in cols:
+                return None
+            keys.append(g.name.lower())
+
+        # find the single expensive column and validate every aggregate
+        target = [None]
+        ok = [True]
+        aggs: list[ast.FuncCall] = []
+
+        def scan(e, inside_agg=False) -> None:
+            if not ok[0]:
+                return
+            if isinstance(e, ast.FuncCall):
+                if self._is_agg_name(e.name) or e.is_star:
+                    if inside_agg or e.distinct \
+                            or e.filter_where is not None \
+                            or e.name in self.user_aggregates:
+                        ok[0] = False
+                        return
+                    if not e.is_star and e.name not in (
+                            "count", "sum", "min", "minimum",
+                            "max", "maximum"):
+                        ok[0] = False
+                        return
+                    aggs.append(e)
+                    for a in e.args:
+                        scan(a, True)
+                    return
+                if e.name in self._EXPENSIVE_PER_ROW_FNS and e.args \
+                        and isinstance(e.args[0], ast.ColumnRef):
+                    c = e.args[0].name.lower()
+                    if target[0] is None:
+                        target[0] = c
+                    elif target[0] != c:
+                        ok[0] = False
+                        return
+            if isinstance(e, ast.ColumnRef) and inside_agg:
+                if (e.table is not None and e.table.lower() != alias) \
+                        or e.name.lower() not in cols:
+                    ok[0] = False
+                    return
+            for c in _children(e):
+                scan(c, inside_agg)
+
+        for e in exprs:
+            scan(e)
+        col = target[0]
+        if not ok[0] or col is None or col in keys:
+            return None
+        for agg in aggs:
+            # every aggregate input may reference ONLY the parsed column
+            refs = [x for x in _walk_all(agg)
+                    if isinstance(x, ast.ColumnRef)]
+            if any(r.name.lower() != col for r in refs):
+                return None
+            if agg.name == "sum":
+                # decimal sums widen differently under v·c — bail
+                if any(isinstance(x, ast.Cast)
+                       and "dec" in x.type_name.lower()
+                       for x in _walk_all(agg)):
+                    return None
+        if not any(fn for a in aggs for fn in _walk_all(a)
+                   if isinstance(fn, ast.FuncCall)
+                   and fn.name in self._EXPENSIVE_PER_ROW_FNS):
+            return None
+
+        # NDV gate
+        rows = st.rows or 0
+        prod = st.ndv.get(col)
+        if not prod:
+            return None
+        for k in keys:
+            n = st.ndv.get(k)
+            if not n:
+                return None
+            prod *= n
+        if rows < 8 or prod > rows / 8 or prod > 2_000_000:
+            return None
+
+        # ---- build the two-level form ----
+        n_ = next(self._tmp_counter)
+        pcol, ccol = f"__ppd_p_{n_}", f"__ppd_c_{n_}"
+        inner = ast.SelectNode(
+            items=[ast.SelectItem(expr=ast.ColumnRef(name=cols[k]))
+                   for k in keys]
+            + [ast.SelectItem(expr=ast.ColumnRef(name=cols[col]),
+                              alias=pcol),
+               ast.SelectItem(expr=ast.FuncCall(name="count", is_star=True),
+                              alias=ccol)],
+            relations=[rel],
+            where=node.where,
+            group_by=[ast.ColumnRef(name=cols[k]) for k in keys]
+            + [ast.ColumnRef(name=cols[col])],
+        )
+
+        def retarget(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ColumnRef) and e.name.lower() == col:
+                return ast.ColumnRef(name=pcol)
+            return e
+
+        def merge_agg(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.FuncCall) and (
+                    self._is_agg_name(e.name) or e.is_star):
+                cref = ast.ColumnRef(name=ccol)
+                if e.is_star:
+                    return ast.FuncCall(name="sum", args=[cref])
+                arg = _transform_expr(_copy_expr(e.args[0]), retarget)
+                if e.name == "count":
+                    return ast.FuncCall(name="sum", args=[ast.Case(
+                        whens=[(ast.IsNull(operand=arg, negated=True),
+                                cref)],
+                        else_=ast.NumberLit(value=0))])
+                if e.name == "sum":
+                    return ast.FuncCall(name="sum", args=[ast.BinaryOp(
+                        op="*", left=arg, right=cref)])
+                return ast.FuncCall(name=e.name, args=[arg])
+            return e
+
+        outer = ast.SelectNode(
+            items=[ast.SelectItem(
+                expr=(i.expr if isinstance(i.expr, ast.Star)
+                      else _transform_expr(_copy_expr(i.expr), merge_agg)),
+                alias=i.alias) for i in node.items],
+            relations=[ast.SubqueryRef(query=inner, alias=f"__ppd_{n_}")],
+            group_by=[_copy_expr(g) for g in node.group_by],
+            having=(None if node.having is None
+                    else _transform_expr(_copy_expr(node.having),
+                                         merge_agg)),
+            order_by=[ast.OrderItem(
+                expr=_transform_expr(_copy_expr(o.expr), merge_agg),
+                ascending=o.ascending, nulls_first=o.nulls_first)
+                for o in node.order_by],
+            limit=node.limit, offset=node.offset,
+        )
+        return outer
 
     def _plan_stats_broadcasts(self, node: ast.SelectNode) -> dict[int, str]:
         """Footer-stats broadcast planning (plans/estimator.py): exact
@@ -3784,6 +3993,13 @@ def _transform_expr(expr: ast.Expr, fn) -> ast.Expr:
                     new.append(item)
             setattr(expr, f.name, new)
     return expr
+
+
+def _walk_all(node: object):
+    """Yield node and every descendant (via _children)."""
+    yield node
+    for c in _children(node):
+        yield from _walk_all(c)
 
 
 def _children(node: object) -> list:
