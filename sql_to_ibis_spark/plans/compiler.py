@@ -1150,31 +1150,52 @@ class Compiler:
                     self._is_agg_name(e.name) or e.is_star):
                 cref = ast.ColumnRef(name=ccol)
                 if e.is_star:
-                    return ast.FuncCall(name="sum", args=[cref])
+                    # COUNT merges as SUM of the per-distinct counts,
+                    # but SUM over an empty input is NULL while COUNT
+                    # is 0 — the global-aggregate (no GROUP BY) form
+                    # hits that when WHERE matches nothing, so every
+                    # COUNT merge is wrapped in coalesce(..., 0).
+                    return ast.FuncCall(name="coalesce", args=[
+                        ast.FuncCall(name="sum", args=[cref]),
+                        ast.NumberLit(value=0)])
                 arg = _transform_expr(_copy_expr(e.args[0]), retarget)
                 if e.name == "count":
-                    return ast.FuncCall(name="sum", args=[ast.Case(
-                        whens=[(ast.IsNull(operand=arg, negated=True),
-                                cref)],
-                        else_=ast.NumberLit(value=0))])
+                    return ast.FuncCall(name="coalesce", args=[
+                        ast.FuncCall(name="sum", args=[ast.Case(
+                            whens=[(ast.IsNull(operand=arg, negated=True),
+                                    cref)],
+                            else_=ast.NumberLit(value=0))]),
+                        ast.NumberLit(value=0)])
                 if e.name == "sum":
                     return ast.FuncCall(name="sum", args=[ast.BinaryOp(
                         op="*", left=arg, right=cref)])
                 return ast.FuncCall(name=e.name, args=[arg])
             return e
 
+        def strip_qual(e: ast.Expr) -> ast.Expr:
+            # refs copied from the original node may carry the source
+            # table's qualifier (``t.event_type``); the outer node reads
+            # from the __ppd_ subquery, so that qualifier no longer
+            # resolves — drop it.
+            if (isinstance(e, ast.ColumnRef) and e.table is not None
+                    and e.table.lower() == alias):
+                return ast.ColumnRef(name=e.name)
+            return e
+
+        def xf(e: ast.Expr) -> ast.Expr:
+            return _transform_expr(
+                _transform_expr(_copy_expr(e), merge_agg), strip_qual)
+
         outer = ast.SelectNode(
             items=[ast.SelectItem(
                 expr=(i.expr if isinstance(i.expr, ast.Star)
-                      else _transform_expr(_copy_expr(i.expr), merge_agg)),
+                      else xf(i.expr)),
                 alias=i.alias) for i in node.items],
             relations=[ast.SubqueryRef(query=inner, alias=f"__ppd_{n_}")],
-            group_by=[_copy_expr(g) for g in node.group_by],
-            having=(None if node.having is None
-                    else _transform_expr(_copy_expr(node.having),
-                                         merge_agg)),
+            group_by=[xf(g) for g in node.group_by],
+            having=(None if node.having is None else xf(node.having)),
             order_by=[ast.OrderItem(
-                expr=_transform_expr(_copy_expr(o.expr), merge_agg),
+                expr=xf(o.expr),
                 ascending=o.ascending, nulls_first=o.nulls_first)
                 for o in node.order_by],
             limit=node.limit, offset=node.offset,

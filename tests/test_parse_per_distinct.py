@@ -91,6 +91,54 @@ def test_global_aggregate_no_group_by(engine, ddb, monkeypatch):
     compare_frames(got, exp)
 
 
+def test_empty_input_counts_are_zero_not_null(engine, ddb, monkeypatch):
+    # COUNT merges as SUM of per-distinct counts; over an empty input
+    # (WHERE matches nothing, no GROUP BY) SUM is NULL while COUNT is
+    # 0 — the merge must coalesce. Regression: r7/r8 ADVICE silent
+    # wrong-result bug.
+    open_gate(engine, monkeypatch)
+    sql = """
+        SELECT count(get_json_object(props, '$.k')) AS nk,
+               count(*) AS n,
+               CAST(sum(CAST(get_json_object(props, '$.k') AS int))
+                    AS bigint) AS s
+        FROM events WHERE event_type = 'no_such_type'
+    """
+    assert fired(engine, sql)
+    got = engine.query(sql).toPandas()
+    assert got["nk"].iloc[0] == 0 and got["n"].iloc[0] == 0
+    exp = ddb.execute(sql.replace("get_json_object",
+                                  "json_extract_string")).fetchdf()
+    compare_frames(got, exp)
+
+
+def test_qualified_columns_rewrite_and_match(engine, ddb, monkeypatch):
+    # table-qualified refs (t.props / t.event_type) copied into the
+    # rewritten outer node must drop the stale qualifier — the outer
+    # reads from the __ppd_ subquery, not the original table.
+    # Regression: r7/r8 ADVICE ColumnNotFoundError crash.
+    open_gate(engine, monkeypatch)
+    sql = """
+        SELECT t.event_type,
+               CAST(sum(CAST(get_json_object(t.props, '$.k') AS int))
+                    AS bigint) AS sum_k,
+               count(t.props) AS np
+        FROM events t
+        WHERE t.event_type <> 'zzz'
+        GROUP BY t.event_type
+        HAVING count(*) > 1
+        ORDER BY t.event_type
+    """
+    assert fired(engine, sql)
+    got = engine.query(sql).toPandas()
+    exp = ddb.execute(sql.replace("get_json_object",
+                                  "json_extract_string")).fetchdf()
+    compare_frames(got, exp, ordered=True)
+    monkeypatch.setenv("SPARK_GRAFT_NO_PARSE_PER_DISTINCT", "1")
+    off = engine.query(sql).toPandas()
+    compare_frames(got, off, ordered=True)
+
+
 def test_guard_no_stats_no_rewrite(engine, monkeypatch):
     # fresh engine without analyze(): NDV unknown → gate closed
     from sql_to_ibis_spark import SqlEngine
