@@ -134,13 +134,20 @@ def main() -> None:
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full-fidelity record (long names, 4-decimal) on disk — BASELINE.md
-    # references this file; the stdout line below is the driver's record.
+    # references the unstamped "latest" path; every run ALSO writes an
+    # immutable timestamp-stamped copy so prior runs are never lost
+    # (r7/r8 ADVICE: bench provenance — keep run files immutable).
     os.makedirs("bench_results", exist_ok=True)
-    full_path = os.path.join("bench_results", f"bench_full_sf{sf}.json")
-    with open(full_path, "w") as f:
-        json.dump({"metric": "headline_queries_total_wall", "value": total,
-                   "unit": "sec", "queries": timings,
-                   "floor_sec": round(floor, 4), "sf": sf_val}, f, indent=1)
+    record = {"metric": "headline_queries_total_wall", "value": total,
+              "unit": "sec", "queries": timings,
+              "floor_sec": round(floor, 4), "sf": sf_val}
+    stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
+    for full_path in (
+            os.path.join("bench_results", f"bench_full_sf{sf}.json"),
+            os.path.join("bench_results",
+                         f"bench_full_sf{sf}_{stamp}.json")):
+        with open(full_path, "w") as f:
+            json.dump(record, f, indent=1)
 
     # The driver captures only the TAIL of stdout (~2000 chars) and parses
     # the result line from it — r06's line outgrew that window and the
