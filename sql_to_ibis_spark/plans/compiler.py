@@ -2781,14 +2781,54 @@ class Compiler:
             # explicit broadcast: opting in asserts the (filtered) outer
             # is small; static stats can't see that through the filter
             if negated:
-                # single-pass left join + null filter: unmatched outer
-                # rows surface exactly once, matched rows only with a
-                # non-null tag — no row id, no re-execution hazard
-                tag = f"__exists_tag_{next(self._tmp_counter)}"
-                marked = inner_df.withColumn(tag, F.lit(1))
-                return (F.broadcast(df).join(marked, cond, "left")
-                        .filter(F.col(tag).isNull())
-                        .select(df["*"]))
+                # NOT EXISTS two-phase: an outer row's verdict depends
+                # only on its correlation-key values, so (1) the
+                # DISTINCT outer key tuples — a subset of the certified-
+                # small outer — broadcast through the huge inner as a
+                # map-only inner join marking the matched key set, then
+                # (2) the outer anti-joins that set null-safely. Both
+                # joins broadcast the small side and the inner never
+                # shuffles. Replaces the r7/r8 ADVICE no-op (a broadcast
+                # hint on the PRESERVED side of a left join, which Spark
+                # ignores). No row id is computed — nothing
+                # nondeterministic exists to be recomputed.
+                key_cols: list[Column] | None = []
+                seen_keys: set[tuple[str, str]] = set()
+                try:
+                    for conj in correlated:
+                        for ref in _walk_all(conj):
+                            if not isinstance(ref, ast.ColumnRef):
+                                continue
+                            try:
+                                inner_scope.resolve(ref.name, ref.table)
+                                continue        # inner-side ref
+                            except (ColumnNotFoundError,
+                                    AmbiguousColumnException):
+                                pass
+                            ident = ((ref.table or "").lower(),
+                                     ref.name.lower())
+                            if ident in seen_keys:
+                                continue
+                            seen_keys.add(ident)
+                            key_cols.append(self.compile_expr(ref, scope))
+                except (ColumnNotFoundError, AmbiguousColumnException):
+                    key_cols = None
+                if key_cols:
+                    keys = df.select(key_cols).distinct()
+                    matched = (F.broadcast(keys)
+                               .join(inner_df, cond, "inner")
+                               .select(keys["*"]).distinct())
+                    n_ = next(self._tmp_counter)
+                    knames = [f"__ek_{n_}_{i}"
+                              for i in range(len(key_cols))]
+                    mt = matched.toDF(*knames)
+                    acond = None
+                    for c, k in zip(key_cols, knames):
+                        e = c.eqNullSafe(mt[k])
+                        acond = e if acond is None else (acond & e)
+                    return df.join(F.broadcast(mt), acond, "left_anti")
+                # defensive fall-back: un-collectable keys → plain anti
+                return df.join(inner_df, cond, "left_anti")
             # positive EXISTS: inner join duplicates outer rows per
             # match; a row id (assigned ONCE in this single-execution
             # subtree — the nondeterministic id must never be computed
