@@ -148,10 +148,24 @@ class SqlEngine:
 
         orderable = (T.NumericType, T.DateType, T.TimestampType,
                      T.TimestampNTZType, T.BooleanType)
+
+        def hashable(dt: T.DataType) -> bool:
+            # approx_count_distinct raises AnalysisException on MAP
+            # (unhashable per Spark) anywhere in the type — skip those
+            # columns rather than losing the whole table's stats
+            if isinstance(dt, T.MapType):
+                return False
+            if isinstance(dt, T.ArrayType):
+                return hashable(dt.elementType)
+            if isinstance(dt, T.StructType):
+                return all(hashable(f.dataType) for f in dt.fields)
+            return True
+
         names = [table_name] if table_name else self.catalog.names()
         for name in names:
             entry = self.catalog.get(name)
-            cols = entry.df.columns
+            cols = [f.name for f in entry.df.schema.fields
+                    if hashable(f.dataType)]
             bounded = [f.name for f in entry.df.schema.fields
                        if isinstance(f.dataType, orderable)]
             aggs = [F.approx_count_distinct(c).alias(f"n{i}")
