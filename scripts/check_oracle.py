@@ -38,9 +38,29 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+    args = [a for a in sys.argv[1:] if a != "--force-gates"]
+    force_gates = "--force-gates" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    name_filter = args[1] if len(args) > 1 else ""
     spark = get_spark(app_name="oracle_check")
+    if force_gates:
+        # run the ENTIRE suite with every stats-dependent rewrite gate
+        # forced open (synthetic rows=10M, NDV clamped to 100, EXISTS
+        # rewrite env-forced): stats must only ever pick the plan, so
+        # every entry must still match the oracle. This is the sweep
+        # that would have caught the r7 gate-open-only defects.
+        os.environ["SPARK_GRAFT_EXISTS_DEDUP_REWRITE"] = "1"
+        from sql_to_ibis_spark import SqlEngine
+        eng = SqlEngine(spark)
+        eng.register_dir(sf_dir)
+        eng.analyze()
+        for name in eng.catalog.names():
+            st = eng.catalog.get(name).stats
+            if st is None:
+                continue
+            st.rows = max(st.rows, 10_000_000)
+            st.ndv = {c: min(v, 100.0) for c, v in st.ndv.items()}
+        entrymod._ENGINES[(id(spark), sf_dir)] = eng
     con = duckdb.connect()
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(path))[0]
