@@ -142,10 +142,17 @@ def main() -> None:
               "unit": "sec", "queries": timings,
               "floor_sec": round(floor, 4), "sf": sf_val}
     stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
-    for full_path in (
-            os.path.join("bench_results", f"bench_full_sf{sf}.json"),
-            os.path.join("bench_results",
-                         f"bench_full_sf{sf}_{stamp}.json")):
+    # Subset runs (SPARK_GRAFT_QUERIES) never touch the unstamped "latest"
+    # full-suite pointer — only a complete headline run may update it
+    # (bench-provenance: the latest pointer must always be a full record).
+    paths = [os.path.join(
+        "bench_results",
+        f"bench_full_sf{sf}_{stamp}.json" if not subset
+        else f"bench_subset_sf{sf}_{stamp}.json")]
+    if not subset:
+        paths.append(os.path.join("bench_results",
+                                  f"bench_full_sf{sf}.json"))
+    for full_path in paths:
         with open(full_path, "w") as f:
             json.dump(record, f, indent=1)
 

@@ -488,33 +488,105 @@ def ngram_jaccard_verify(
 
 # ------------------------------------------------- duplicate-cluster collapse
 
+def _connected_components_local(pairs_sel: DataFrame,
+                                stats: dict | None) -> DataFrame:
+    """Driver-side union-find for a pair set already certified small.
+
+    Produces exactly the distributed result: one (id, component) row per
+    node appearing in any pair, ``component`` = min member id (min under
+    Python ordering == Spark ordering for the long/string id types the
+    dedup operators emit). Path compression + union-by-root keeps this
+    near-linear; 2M pairs solve in well under a second.
+    """
+    rows = pairs_sel.collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = r[0], r[1]
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    roots = {v: find(v) for v in parent}
+    for v, root in roots.items():
+        cur = comp_min.get(root)
+        if cur is None or v < cur:
+            comp_min[root] = v
+    id_type = pairs_sel.schema["src"].dataType
+    schema = T.StructType([
+        T.StructField("id", id_type, nullable=False),
+        T.StructField("component", id_type, nullable=False),
+    ])
+    out = pairs_sel.sparkSession.createDataFrame(
+        [(v, comp_min[root]) for v, root in roots.items()], schema)
+    if stats is not None:
+        stats["iterations"] = 0
+        stats["converged"] = True
+        stats["mode"] = "local"
+    return out
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
     stats: dict | None = None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, component)
     with ``component`` = min member id.
 
     MinHash/SimHash emit *pairs*; deduplication needs *clusters* (A~B and
     B~C must collapse to one canonical doc even if A~C was never emitted).
-    Each round combines min-label propagation (every node adopts the
-    smallest label among itself and its neighbors) with POINTER JUMPING
-    (``component := component's component``) so long chains converge in
-    O(log diameter) rounds, not O(diameter). Labels are
-    ``localCheckpoint``-ed per round — truncating the lineage is what keeps
-    the plan from growing superlinearly (a persisted-but-unchecked chain of
-    20 self-joins overflows Catalyst's plan-string stack).
+
+    Adaptive execution: the pair set is counted first (one job over the
+    persisted pairs, reused by whichever path runs). At or below
+    ``local_threshold`` pairs the graph is solved DRIVER-SIDE with
+    path-compressed union-find — the distributed loop below costs 2 Spark
+    jobs per pointer-jumping round, which on a small graph is pure
+    scheduling floor (a 10-round solve is ~20 scheduling round-trips for
+    milliseconds of actual work). 2M pairs is ~32 MB of longs on the
+    driver, the same budget the estimator allows a broadcast side; a
+    100 TB corpus's near-dup graph blows past it and takes the distributed
+    path. ``local_threshold=0`` forces distributed.
+
+    Distributed path: each round combines min-label propagation (every
+    node adopts the smallest label among itself and its neighbors) with
+    POINTER JUMPING (``component := component's component``) so long
+    chains converge in O(log diameter) rounds, not O(diameter). Labels
+    are ``localCheckpoint``-ed per round — truncating the lineage is what
+    keeps the plan from growing superlinearly (a persisted-but-unchecked
+    chain of 20 self-joins overflows Catalyst's plan-string stack).
     """
+    pairs_sel = pairs.select(F.col(id_a).alias("src"),
+                             F.col(id_b).alias("dst")).persist()
+    n_pairs = pairs_sel.count()
+    if n_pairs <= local_threshold:
+        try:
+            return _connected_components_local(pairs_sel, stats)
+        finally:
+            pairs_sel.unpersist()
     edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"),
-                            F.col(id_a).alias("dst")))
+        pairs_sel
+        .union(pairs_sel.select(F.col("dst").alias("src"),
+                                F.col("src").alias("dst")))
         .distinct()
         .persist()
     )
+    pairs_sel.unpersist()
     labels = (
         edges.select(F.col("src").alias("id"))
         .distinct()
@@ -571,6 +643,7 @@ def connected_components(
     if stats is not None:
         stats["iterations"] = iterations
         stats["converged"] = converged
+        stats["mode"] = "distributed"
     if not converged:
         # labels may be non-minimal → silent under-deduplication downstream;
         # surface it loudly instead of returning quietly

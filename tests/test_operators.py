@@ -272,6 +272,38 @@ def test_connected_components_transitive_star(spark):
     assert set(got.values()) == {100}
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The size-gated driver-side union-find must produce exactly the
+    distributed result (same nodes, same min-member component labels)."""
+    from sql_to_ibis_spark.operators import dedup
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    s_local: dict = {}
+    s_dist: dict = {}
+    local = {(r["id"], r["component"])
+             for r in dedup.connected_components(
+                 pairs, stats=s_local).collect()}
+    dist = {(r["id"], r["component"])
+            for r in dedup.connected_components(
+                pairs, stats=s_dist, local_threshold=0).collect()}
+    assert s_local["mode"] == "local" and s_local["converged"]
+    assert s_dist["mode"] == "distributed"
+    assert local == dist
+
+
+def test_connected_components_local_string_ids(spark):
+    from sql_to_ibis_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "id_a: string, id_b: string")
+    got = {r["id"]: r["component"]
+           for r in dedup.connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
 def test_dedup_clusters_end_to_end(spark):
     from sql_to_ibis_spark.operators import dedup
 

@@ -118,7 +118,8 @@ def test_connected_components_warns_when_not_converged(spark):
         [(i, i + 1) for i in range(11)], ["id_a", "id_b"])
     with warnings.catch_warnings(record=True) as caught:
         warnings.simplefilter("always")
-        dedup.connected_components(pairs, max_iterations=2).count()
+        dedup.connected_components(pairs, max_iterations=2,
+                                   local_threshold=0).count()
     assert any("did not converge" in str(w.message) for w in caught)
 
 
@@ -142,9 +143,11 @@ def test_connected_components_log_rounds_on_long_chain(spark):
         [(i, i + 1) for i in range(n - 1)], ["id_a", "id_b"])
     stats: dict = {}
     labels = dedup.connected_components(pairs, max_iterations=20,
-                                        stats=stats).collect()
+                                        stats=stats,
+                                        local_threshold=0).collect()
     assert all(r["component"] == 0 for r in labels)
     assert stats["converged"]
+    assert stats["mode"] == "distributed"
     import math
 
     bound = math.ceil(math.log2(n - 1)) + 2
