@@ -195,6 +195,50 @@ class SqlEngine:
             stats = None
         self.catalog.register(table_name, df, stats=stats or entry.stats)
 
+    def snapshot_zordered(
+        self,
+        table_name: str,
+        cols: list[str],
+        target_files: int = 64,
+        bits_per_col: int = 8,
+        snapshot_name: str | None = None,
+        refresh: bool = False,
+    ) -> None:
+        """Materialize a registered table Z-ORDER-clustered on ``cols`` and
+        swap the registration — the scan-side layout lever, complementing
+        ``snapshot_bucketed`` (the shuffle-side one).
+
+        After the snapshot, every file's parquet footer is min/max-tight on
+        ALL of ``cols`` simultaneously, so selective predicates on any of
+        them skip most files (Spark's scan prunes row groups from the same
+        stats, and the engine's estimator reads the same footers). Pay one
+        shuffle + sort at snapshot time; win every selective scan after.
+        Row set and logical schema are identical — layout only.
+
+        The snapshot is a plain parquet directory under the warehouse dir
+        (no managed-table metadata needed, unlike bucketing); a stable
+        ``snapshot_name`` is reused across sessions unless ``refresh``.
+        """
+        from sql_to_ibis_spark.sources import layout
+        from sql_to_ibis_spark.sources.readers import read_parquet
+        from sql_to_ibis_spark.sources.table_stats import parquet_stats
+
+        entry = self.catalog.get(table_name)
+        snapshot_name = snapshot_name or (
+            f"zorder_{table_name.lower()}_"
+            + "_".join(c.lower() for c in cols) + f"_{target_files}")
+        wh = self.spark.conf.get("spark.sql.warehouse.dir", "")
+        if wh.startswith("file:"):
+            wh = wh[len("file:"):]
+        path = os.path.join(wh or "spark-warehouse", snapshot_name)
+        if refresh or not os.path.isdir(path):
+            layout.write_zordered(entry.df, path, cols,
+                                  target_files=target_files,
+                                  bits_per_col=bits_per_col)
+        df = read_parquet(self.spark, path)
+        self.catalog.register(table_name, df,
+                              stats=parquet_stats(path) or entry.stats)
+
     def analyze(self, table_name: str | None = None) -> None:
         """Collect per-column NDV statistics (the warehouse ``ANALYZE``
         analog): ONE ``approx_count_distinct`` aggregation job per table,
