@@ -307,3 +307,113 @@ class TestAdviceRegressionsR7:
         """
         compare_frames(ceng.query(sql).toPandas(),
                        ceng.query(base).toPandas())
+
+
+class TestSingleRelationMagicSet:
+    """The TPC-H q2 shape: the outer is a wide join (so the full-outer
+    restriction is gated off), but every correlation key comes from ONE
+    dimension with its own selective filter — the key set is that single
+    filtered relation, never the re-executed outer join. Gated on the
+    inner's footer-stats scale (≥4M rows), so tests open it with
+    synthetic stats the way the forced-gate sweep does."""
+
+    Q2ISH = (
+        "SELECT DISTINCT s.s_name, p.p_partkey FROM part p "
+        "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+        "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+        "WHERE p.p_size = 15 AND l.l_extendedprice = ("
+        "  SELECT min(l2.l_extendedprice) FROM lineitem l2 "
+        "  WHERE l2.l_partkey = p.p_partkey)"
+    )
+
+    @pytest.fixture()
+    def big_engine(self, spark):
+        from tests.conftest import SF_DIR
+
+        eng = SqlEngine(spark)
+        eng.register_dir(SF_DIR)
+        st = eng.catalog.get("lineitem").stats
+        assert st is not None
+        st.rows = 10_000_000
+        return eng
+
+    def _semi_count(self, eng, sql):
+        return plan_of(eng.query(sql), "simple").count("LeftSemi")
+
+    def test_fires_and_matches_oracle(self, big_engine, ddb, monkeypatch):
+        on = self._semi_count(big_engine, self.Q2ISH)
+        monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
+        off = self._semi_count(big_engine, self.Q2ISH)
+        assert on == off + 1, (on, off)
+        monkeypatch.delenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC")
+        compare_frames(big_engine.query(self.Q2ISH).toPandas(),
+                       ddb.execute(self.Q2ISH).fetchdf())
+
+    def test_small_inner_bails(self, engine, monkeypatch):
+        # session engine keeps the REAL (tiny) footer stats → scale gate
+        on = self._semi_count(engine, self.Q2ISH)
+        monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
+        off = self._semi_count(engine, self.Q2ISH)
+        assert on == off
+
+    def test_weak_conjunct_bails(self, big_engine, monkeypatch):
+        # <> keeps ~everything: not shape-selective, restriction skipped
+        q = self.Q2ISH.replace("p.p_size = 15", "p.p_size <> 15")
+        on = self._semi_count(big_engine, q)
+        monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
+        off = self._semi_count(big_engine, q)
+        assert on == off
+
+    def test_keys_from_two_relations_bail(self, big_engine, monkeypatch):
+        # correlation keys spanning part AND supplier: no single source
+        q = (
+            "SELECT count(*) AS n FROM part p "
+            "JOIN lineitem l ON l.l_partkey = p.p_partkey "
+            "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+            "WHERE p.p_size = 15 AND l.l_extendedprice < ("
+            "  SELECT avg(l2.l_extendedprice) FROM lineitem l2 "
+            "  WHERE l2.l_partkey = p.p_partkey "
+            "  AND l2.l_suppkey = s.s_suppkey)"
+        )
+        on = self._semi_count(big_engine, q)
+        monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
+        off = self._semi_count(big_engine, q)
+        assert on == off
+
+    def test_null_key_dimension_rows(self, spark, monkeypatch):
+        # NULL dim keys: never equal any inner key; restricted and
+        # unrestricted plans must agree (NULL scalar → row dropped)
+        eng = SqlEngine(spark)
+        import pandas as _pd
+
+        dim = spark.createDataFrame(_pd.DataFrame(
+            {"dk": _pd.array([1, 2, None, 4], dtype="Int64"),
+             "dsize": [15, 15, 15, 99]}))
+        fact = spark.createDataFrame(_pd.DataFrame(
+            {"fk": [1, 1, 2, 4, 4], "fv": [5.0, 7.0, 3.0, 9.0, 1.0]}))
+        other = spark.createDataFrame(_pd.DataFrame(
+            {"ok": [1, 2, 4], "oname": ["a", "b", "c"]}))
+        eng.register_temp_table(dim, "dim")
+        eng.register_temp_table(fact, "fact")
+        eng.register_temp_table(other, "oth")
+
+        class _St:
+            rows = 10_000_000
+        for t in ("fact",):
+            eng.catalog.get(t).stats = _St()
+        for t in ("dim",):
+            st = _St()
+            st.rows = 4
+            eng.catalog.get(t).stats = st
+        sql = (
+            "SELECT count(*) AS n FROM dim d "
+            "JOIN fact f ON f.fk = d.dk "
+            "JOIN oth o ON o.ok = f.fk "
+            "WHERE d.dsize = 15 AND f.fv = ("
+            "  SELECT min(f2.fv) FROM fact f2 WHERE f2.fk = d.dk)")
+        got_on = eng.query(sql).collect()
+        monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
+        got_off = eng.query(sql).collect()
+        assert got_on == got_off
+        for t in ("dim", "fact", "oth"):
+            eng.remove_temp_table(t)
