@@ -385,49 +385,60 @@ def bm25_scores(
     Returns ``(id_col, bm25, n_terms_matched)`` for every doc matching at
     least one query term.
 
-    Scale shape: the only full-corpus passes are one aggregate for
-    ``(N, avgdl)`` and one explode filtered to the query terms BEFORE the
-    shuffle (the groupBy carries query-term hits only, not the corpus
-    vocabulary). Document frequencies and idf live in a |query|-row frame
-    that broadcasts onto the term-frequency side — no corpus-size join.
-    All JVM expressions; score truncated to 6 decimals for engine-portable
-    comparison.
+    Scale shape: ONE pass over the corpus. Tokens explode straight into a
+    ``groupBy(doc_id)`` whose aggregates are per-term conditional sums —
+    explode output is contiguous per document, so hash-aggregate's
+    map-side combine collapses the token stream before the exchange and
+    the shuffle carries ~|docs| tiny rows (never |docs|·|doc| tokens, and
+    never a per-term key — no 3-key skew). The per-doc frame then feeds
+    BOTH the single-row corpus stats (N, avgdl, per-term document
+    frequencies) and the scoring side through a ReusedExchange, so the
+    expensive normalize/split/explode subtree executes exactly once
+    (plan-pinned in tests). Scoring is a broadcast of the 1-row stats +
+    map-side arithmetic. Score truncated to 6 decimals for
+    engine-portable comparison.
+
+    Measured dead ends at sf1 (kept for the record): per-term map-side
+    counting via higher-order ``size(filter(split(...)))`` is
+    CodegenFallback (7x slower); per-term lookaround ``regexp_count``
+    3.7x; literal-substring length arithmetic 2.6x (string realloc per
+    term); the r6 explode→filter→per-(doc,term) shuffle plan recomputed
+    its tf subtree per consumer (2.7s vs 1.3s for this shape).
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    terms = list(dict.fromkeys(query_terms))  # dedupe, keep order
     t = normalized_text(F.col(text_col))
-    toks = F.split(t, " ")
-    docs = df.select(F.col(id_col),
-                     toks.alias("__toks"),
-                     F.size(toks).cast("double").alias("__dl"))
-    stats = docs.agg(F.count(F.lit(1)).cast("double").alias("__n"),
-                     F.avg("__dl").alias("__avgdl"))
-    tf = (
-        docs.select(F.col(id_col), F.col("__dl"),
-                    F.explode("__toks").alias("__term"))
-        .filter(F.col("__term").isin(list(query_terms)))
-        .groupBy(id_col, "__dl", "__term")
-        .agg(F.count(F.lit(1)).cast("double").alias("__tf"))
+    tok = F.explode(F.split(t, " ")).alias("__term")
+    perdoc = (
+        df.select(F.col(id_col), tok)
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("double").alias("__dl"),
+             *[F.sum(F.when(F.col("__term") == term, 1.0).otherwise(0.0))
+               .alias(f"__tf_{i}") for i, term in enumerate(terms)])
     )
-    dfreq = tf.groupBy("__term").agg(
-        F.count(F.lit(1)).cast("double").alias("__df"))
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "__term",
-        F.log((F.col("__n") - F.col("__df") + 0.5)
-              / (F.col("__df") + 0.5) + 1.0).alias("__idf"),
-        F.col("__avgdl"),
+    stats = perdoc.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+        *[F.sum((F.col(f"__tf_{i}") > 0).cast("double"))
+          .alias(f"__df_{i}") for i in range(len(terms))],
     )
-    scored = tf.join(F.broadcast(idf), "__term").select(
-        F.col(id_col),
-        (F.col("__idf") * (F.col("__tf") * (k1 + 1.0))
-         / (F.col("__tf")
-            + k1 * (1.0 - b + b * F.col("__dl") / F.col("__avgdl"))))
-        .alias("__s"),
-    )
-    return scored.groupBy(id_col).agg(
-        _trunc(F.sum("__s"), 6).alias("bm25"),
-        F.count(F.lit(1)).alias("n_terms_matched"),
-    )
+    scored = perdoc.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    matched = F.lit(0)
+    for i in range(len(terms)):
+        tf = F.col(f"__tf_{i}")
+        idf = F.log((F.col("__n") - F.col(f"__df_{i}") + 0.5)
+                    / (F.col(f"__df_{i}") + 0.5) + 1.0)
+        term_s = (idf * (tf * (k1 + 1.0))
+                  / (tf + k1 * (1.0 - b + b * F.col("__dl")
+                                / F.col("__avgdl"))))
+        score = score + F.when(tf > 0, term_s).otherwise(F.lit(0.0))
+        matched = matched + (tf > 0).cast("int")
+    return (scored.filter(matched > 0)
+            .select(F.col(id_col),
+                    _trunc(score, 6).alias("bm25"),
+                    matched.cast("long").alias("n_terms_matched")))
 
 
 def pack_sequences(

@@ -709,11 +709,19 @@ def test_bm25_rejects_empty_query(spark):
         text.bm25_scores(docs, [])
 
 
-def test_bm25_idf_side_broadcasts(docs):
-    from tests.test_plan_quality import plan_of
-    plan = plan_of(text.bm25_scores(docs, ["spark", "query"]), "simple")
-    assert "BroadcastHashJoin" in plan
+def test_bm25_single_corpus_pass(docs):
+    # the r9 shape: one explode→groupBy(doc_id) subtree feeds BOTH the
+    # 1-row stats aggregate and the scoring side; AQE must dedupe the
+    # identical exchanges so the corpus is tokenized exactly once, the
+    # stats side broadcasts, and no Python ever runs. The shuffle keys on
+    # doc_id (high-cardinality), never on the |terms|-key term column.
+    r = text.bm25_scores(docs, ["spark", "query"])
+    r.collect()
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+    assert "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan
+    assert "hashpartitioning(__term" not in plan
 
 
 def test_pack_sequences_small_known_case(spark):
