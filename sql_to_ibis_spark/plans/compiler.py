@@ -340,6 +340,9 @@ class Compiler:
         rewritten = self._try_parse_per_distinct(node)
         if rewritten is not None:
             node = rewritten
+        rewritten = self._try_eager_aggregation(node)
+        if rewritten is not None:
+            node = rewritten
         self._rewrite_low_ndv_count_distinct(node)
         if node.relations:
             df: DataFrame | None = None
@@ -1202,6 +1205,506 @@ class Compiler:
                 for o in node.order_by],
             limit=node.limit, offset=node.offset,
         )
+        return outer
+
+    _EAGER_AGG_FNS = {"sum", "count", "min", "minimum", "max", "maximum"}
+
+    def _try_eager_aggregation(
+        self, node: ast.SelectNode
+    ) -> "ast.SelectNode | None":
+        """Eager aggregation (group-by pushdown below joins, Yan & Larson
+        1995): when a grouped aggregate reads a join of a large fact
+        subtree with dimension tables that contribute ONLY group-by
+        columns (no aggregate inputs, no filters), partially aggregate
+        the fact subtree FIRST — grouped by the join keys that attach
+        the dimensions plus any fact-side group keys — then join the
+        (now tiny) partial result to the dimensions and re-aggregate by
+        the original keys.
+
+        Why it matters at scale: the aggregation exchange otherwise
+        carries every dimension payload column (c_name, c_acctbal,
+        n_name on TPC-H Q10) once per FACT row; pushing the aggregate
+        below the join shrinks that exchange to (attach key, partial
+        state) and the dimension join runs over |groups| rows instead
+        of |fact| rows. Catalyst (Spark 4.x) has no such rewrite.
+
+        Soundness needs NO key-uniqueness assumption because the outer
+        query re-aggregates: SUM/COUNT/MIN/MAX merge homomorphically
+        under the row duplication an N:M dimension join would introduce
+        (k dim matches multiply each fact row's contribution k× in the
+        original plan, and multiply the joined partial row k× here —
+        identical totals). Dropped fact rows (unmatched / NULL join
+        keys) vanish identically pre- and post-aggregation. Bails on:
+        non-inner join trees, non-decomposable aggregates (DISTINCT,
+        FILTER, user-defined, anything outside SUM/COUNT/MIN/MAX),
+        windows, subqueries, nondeterminism, grouping extensions, and
+        any dimension carrying a WHERE predicate that references a
+        retained table too.
+
+        Gate: catalog-stats rows of the largest retained table ≥
+        SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN (default 200k) and, when
+        every inner group column has an NDV estimate, Π ndv ≤ rows/2
+        (the rewrite buys nothing without reduction — stats only pick
+        the plan, never the answer). SPARK_GRAFT_EAGER_AGG=1 forces,
+        =0 disables."""
+        env = os.environ.get("SPARK_GRAFT_EAGER_AGG")
+        if env == "0":
+            return None
+        forced = env == "1"
+        if (not node.group_by or node.group_mode is not None
+                or node.group_by_all or node.distinct or node.distinct_on
+                or node.qualify or node.windows
+                or len(node.relations) != 1
+                or not isinstance(node.relations[0], ast.Join)):
+            return None
+
+        # ---- flatten the inner-join tree of base tables ----
+        tables: list[ast.TableRef] = []
+        join_conj: list[ast.Expr] = []
+
+        def flatten(rel: ast.Relation) -> bool:
+            if isinstance(rel, ast.TableRef):
+                tables.append(rel)
+                return True
+            if isinstance(rel, ast.Join) and rel.kind == "inner":
+                if not (flatten(rel.left) and flatten(rel.right)):
+                    return False
+                join_conj.extend(self._split_conjuncts(rel.condition))
+                return True
+            return False
+
+        if not flatten(node.relations[0]) or len(tables) < 2:
+            return None
+
+        infos: list[RelationInfo] = []
+        stats: list[object] = []
+        for t in tables:
+            df = self._cte_frames.get(t.name.lower())
+            st = None
+            if df is None:
+                try:
+                    entry = self.catalog.get(t.name)
+                except Exception:
+                    return None
+                df, st = entry.df, entry.stats
+            infos.append(RelationInfo(qualifier="",
+                                      display=t.alias or t.name,
+                                      columns=list(df.columns)))
+            stats.append(st)
+        full_scope = Scope(infos)
+        idx_of = {id(i): k for k, i in enumerate(infos)}
+
+        def owners(e: ast.Expr) -> "set[int] | None":
+            out: set[int] = set()
+            for x in _walk_all(e):
+                if isinstance(x, ast.ColumnRef):
+                    try:
+                        info, _ = full_scope.resolve(x.name, x.table)
+                    except Exception:
+                        return None
+                    out.add(idx_of[id(info)])
+            return out
+
+        def efp(e: object) -> str:
+            # structural fingerprint with column refs canonicalized to
+            # their resolved (table index, true name) — so `o.o_custkey`
+            # and bare `o_custkey` match
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    info, true = full_scope.resolve(e.name, e.table)
+                    return f"col:{idx_of[id(info)]}:{true.lower()}"
+                except Exception:
+                    return f"raw:{(e.table or '').lower()}:{e.name.lower()}"
+            import dataclasses
+            if dataclasses.is_dataclass(e):
+                parts = [type(e).__name__]
+                for f_ in dataclasses.fields(e):
+                    v = getattr(e, f_.name)
+                    if isinstance(v, (list, tuple)):
+                        parts.append("[" + ",".join(efp(x) for x in v) + "]")
+                    else:
+                        parts.append(efp(v))
+                return "(" + "|".join(parts) + ")"
+            return repr(e)
+
+        # ---- blanket bails + aggregate collection ----
+        top_exprs: list[ast.Expr] = [i.expr for i in node.items]
+        if node.having is not None:
+            top_exprs.append(node.having)
+        top_exprs += [o.expr for o in node.order_by]
+        check_exprs = top_exprs + list(node.group_by) + (
+            self._split_conjuncts(node.where) if node.where is not None
+            else [])
+        for e in check_exprs:
+            if self._contains_any_subquery(e) \
+                    or self._contains_nondeterministic(e):
+                return None
+            for x in _walk_all(e):
+                if isinstance(x, (ast.WindowFunc, ast.Star,
+                                  ast.GroupTotalSubquery)):
+                    return None
+
+        needed: set[int] = set()
+        agg_map: dict[str, ast.FuncCall] = {}
+        ok = [True]
+
+        def scan_aggs(e: object, inside: bool = False) -> None:
+            if not ok[0]:
+                return
+            if isinstance(e, ast.FuncCall) and (
+                    self._is_agg_name(e.name) or e.is_star):
+                if inside or e.distinct or e.filter_where is not None \
+                        or e.name in self.user_aggregates \
+                        or (not e.is_star
+                            and e.name not in self._EAGER_AGG_FNS):
+                    ok[0] = False
+                    return
+                if not e.is_star:
+                    ow = owners(e.args[0]) if e.args else set()
+                    if ow is None:
+                        ok[0] = False
+                        return
+                    needed.update(ow)
+                agg_map[efp(e)] = e
+                for a in e.args:
+                    scan_aggs(a, True)
+                return
+            for c in _children(e):
+                scan_aggs(c, inside)
+
+        for e in top_exprs:
+            scan_aggs(e)
+        if not ok[0] or not agg_map or not needed:
+            return None
+
+        # ---- classify WHERE conjuncts and join edges ----
+        where_conj = (self._split_conjuncts(node.where)
+                      if node.where is not None else [])
+        where_owned: list[tuple[ast.Expr, set[int]]] = []
+        for c in where_conj:
+            ow = owners(c)
+            if ow is None:
+                return None
+            where_owned.append((c, ow))
+            if len(ow) >= 1:
+                # any filtered table is retained: deferring a filtered
+                # dimension would aggregate fact rows the original plan
+                # filtered out first — correct (the re-agg fixes it) but
+                # a measured pessimization, so the gate is structural
+                needed.update(ow)
+
+        edges: list[tuple[int, str, int, str, ast.Expr]] = []
+        single_join_conds: list[ast.Expr] = []
+        for c in join_conj:
+            ow = owners(c)
+            if ow is None:
+                return None
+            if (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)
+                    and len(ow) == 2):
+                li, ln = (lambda p: (idx_of[id(p[0])], p[1]))(
+                    full_scope.resolve(c.left.name, c.left.table))
+                ri, rn = (lambda p: (idx_of[id(p[0])], p[1]))(
+                    full_scope.resolve(c.right.name, c.right.table))
+                edges.append((li, ln, ri, rn, c))
+                continue
+            if len(ow) <= 1:
+                single_join_conds.append(c)
+                needed.update(ow)
+            else:
+                needed.update(ow)  # theta joins force retention
+
+        # group keys spanning several tables force them all retained
+        group_owned: list[tuple[ast.Expr, set[int]]] = []
+        for g in node.group_by:
+            if isinstance(g, ast.NumberLit):
+                return None  # ordinal — resolved later, leave alone
+            ow = owners(g)
+            if ow is None or not ow:
+                return None
+            group_owned.append((g, ow))
+            if len(ow) >= 2:
+                needed.update(ow)
+
+        # ---- connect the retained core ----
+        def adjacent(a: int, comp: set[int]) -> bool:
+            return any((li == a and ri in comp) or (ri == a and li in comp)
+                       for li, _, ri, _, _ in edges)
+
+        def components(sub: set[int]) -> list[set[int]]:
+            comps: list[set[int]] = []
+            left = set(sub)
+            while left:
+                seed = left.pop()
+                comp = {seed}
+                grew = True
+                while grew:
+                    grew = False
+                    for t in list(left):
+                        if adjacent(t, comp):
+                            comp.add(t)
+                            left.discard(t)
+                            grew = True
+                comps.append(comp)
+            return comps
+
+        retained = set(needed)
+        while True:
+            comps = components(retained)
+            if len(comps) <= 1:
+                break
+            best, best_hits = None, 1
+            for t in range(len(tables)):
+                if t in retained:
+                    continue
+                hits = sum(1 for comp in comps if adjacent(t, comp))
+                if hits > best_hits:
+                    best, best_hits = t, hits
+            if best is None:
+                return None
+            retained.add(best)
+        deferred = set(range(len(tables))) - retained
+        if not deferred:
+            return None
+
+        # every deferred component must reach the retained core
+        for comp in components(deferred):
+            if not any(adjacent(t, retained) for t in comp):
+                return None  # was a cross join — leave alone
+
+        # ---- profitability gate (stats pick the plan, never the answer)
+        fact_rows = max((st.rows for i, st in enumerate(stats)
+                         if i in retained and st is not None), default=0)
+        if not forced:
+            min_rows = int(os.environ.get(
+                "SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN", "200000"))
+            if fact_rows < min_rows:
+                return None
+
+        # ---- inner node: partial aggregate over the retained subtree
+        n_ = next(self._tmp_counter)
+        ea_alias = f"__ea_{n_}"
+
+        def qref(i: int, col: str) -> ast.ColumnRef:
+            return ast.ColumnRef(name=col,
+                                 table=tables[i].alias or tables[i].name)
+
+        inner_items: list[ast.SelectItem] = []
+        inner_group: list[ast.Expr] = []
+        key_alias: dict[str, str] = {}  # efp -> inner output alias
+
+        def add_inner_key(expr: ast.Expr, fp: str) -> str:
+            if fp in key_alias:
+                return key_alias[fp]
+            alias = f"__ea_g{len(key_alias)}_{n_}"
+            key_alias[fp] = alias
+            inner_items.append(ast.SelectItem(expr=_copy_expr(expr),
+                                              alias=alias))
+            inner_group.append(_copy_expr(expr))
+            return alias
+
+        # attachment edges: retained-side columns become inner group keys
+        attach_rewritten: list[tuple[int, ast.Expr]] = []  # (dim idx, cond)
+        dim_internal: list[tuple[set[int], ast.Expr]] = []
+        ndv_cols: list[tuple[int, str]] = []
+        for li, ln, ri, rn, cond in edges:
+            if li in retained and ri in retained:
+                continue  # stays in the inner join tree
+            if li in deferred and ri in deferred:
+                dim_internal.append(({li, ri}, cond))
+                continue
+            (rt, rc), (dt, _dc) = ((li, ln), (ri, rn)) \
+                if li in retained else ((ri, rn), (li, ln))
+            kref = qref(rt, rc)
+            kfp = efp(kref)
+            alias = add_inner_key(kref, kfp)
+            ndv_cols.append((rt, rc))
+            new_cond = _transform_expr(
+                _copy_expr(cond),
+                lambda e, _a=alias, _fp=kfp: (
+                    ast.ColumnRef(name=_a, table=ea_alias)
+                    if isinstance(e, ast.ColumnRef) and efp(e) == _fp
+                    else e))
+            attach_rewritten.append((dt, new_cond))
+
+        # retained group keys: project + group in the inner node
+        outer_group: list[ast.Expr] = []
+        for g, ow in group_owned:
+            if ow <= retained:
+                alias = add_inner_key(g, efp(g))
+                if isinstance(g, ast.ColumnRef):
+                    try:
+                        info, true = full_scope.resolve(g.name, g.table)
+                        ndv_cols.append((idx_of[id(info)], true))
+                    except Exception:
+                        pass
+                outer_group.append(ast.ColumnRef(name=alias, table=ea_alias))
+            else:
+                outer_group.append(_copy_expr(g))
+
+        if not forced:
+            prod, known = 1.0, True
+            for ti, col in ndv_cols:
+                st = stats[ti]
+                v = st.ndv.get(col.lower()) if st is not None \
+                    and getattr(st, "ndv", None) else None
+                if v:
+                    prod *= v
+                else:
+                    known = False
+            if known and fact_rows and prod > fact_rows / 2:
+                return None
+
+        partial_alias: dict[str, str] = {}
+        for i, (fp, agg) in enumerate(agg_map.items()):
+            alias = f"__ea_a{i}_{n_}"
+            partial_alias[fp] = alias
+            inner_items.append(ast.SelectItem(expr=_copy_expr(agg),
+                                              alias=alias))
+
+        # rebuild the retained join tree greedily along its edges
+        r_order = [i for i in range(len(tables)) if i in retained]
+        placed = {r_order[0]}
+        tree: ast.Relation = tables[r_order[0]]
+        pool = [(frozenset({li, ri}), cond) for li, _, ri, _, cond in edges
+                if li in retained and ri in retained]
+        pending = [i for i in r_order[1:]]
+        while pending:
+            pick = None
+            for t in pending:
+                conds = [c for tset, c in pool
+                         if t in tset and tset <= placed | {t}]
+                if conds:
+                    pick = (t, conds)
+                    break
+            if pick is None:
+                return None  # retained core not edge-connected in order
+            t, conds = pick
+            cond_expr: ast.Expr = conds[0]
+            for extra in conds[1:]:
+                cond_expr = ast.BinaryOp(op="and", left=cond_expr,
+                                         right=extra)
+            tree = ast.Join(left=tree, right=tables[t], kind="inner",
+                            condition=cond_expr)
+            placed.add(t)
+            pending.remove(t)
+            pool = [(tset, c) for tset, c in pool
+                    if not (t in tset and tset <= placed)]
+
+        inner_where_list = [c for c, ow in where_owned if ow <= retained] \
+            + single_join_conds + [c for _, c in pool]
+        inner_where: ast.Expr | None = None
+        for c in inner_where_list:
+            inner_where = c if inner_where is None else ast.BinaryOp(
+                op="and", left=inner_where, right=c)
+
+        inner = ast.SelectNode(items=inner_items, relations=[tree],
+                               where=inner_where, group_by=inner_group)
+
+        # ---- outer node: join dimensions to the partial, re-aggregate
+        out_tree: ast.Relation = ast.SubqueryRef(query=inner, alias=ea_alias)
+        out_placed: set[int] = set()
+        # attachment conds need only their dimension placed (the retained
+        # side already reads from the __ea_ subquery); dim-internal conds
+        # need both endpoints
+        out_pool: list[tuple[frozenset, ast.Expr]] = \
+            [(frozenset({dt}), c) for dt, c in attach_rewritten] \
+            + [(frozenset(tset), c) for tset, c in dim_internal]
+        d_pending = [i for i in range(len(tables)) if i in deferred]
+        while d_pending:
+            pick = None
+            for t in d_pending:
+                conds = [c for tset, c in out_pool
+                         if t in tset and tset <= out_placed | {t}]
+                if conds:
+                    pick = (t, conds)
+                    break
+            if pick is None:
+                return None
+            t, conds = pick
+            cond_expr = conds[0]
+            for extra in conds[1:]:
+                cond_expr = ast.BinaryOp(op="and", left=cond_expr,
+                                         right=extra)
+            out_tree = ast.Join(left=out_tree, right=tables[t],
+                                kind="inner", condition=cond_expr)
+            out_placed.add(t)
+            d_pending.remove(t)
+            out_pool = [(tset, c) for tset, c in out_pool
+                        if not (t in tset and tset <= out_placed)]
+
+        def merge(agg: ast.FuncCall, ref: ast.ColumnRef) -> ast.Expr:
+            if agg.is_star or agg.name == "count":
+                return ast.FuncCall(name="coalesce", args=[
+                    ast.FuncCall(name="sum", args=[ref]),
+                    ast.NumberLit(value=0)])
+            if agg.name == "sum":
+                return ast.FuncCall(name="sum", args=[ref])
+            return ast.FuncCall(name=agg.name, args=[ref])
+
+        def xf(e: ast.Expr) -> ast.Expr:
+            def rep(x: ast.Expr) -> ast.Expr:
+                fp = efp(x)
+                if fp in partial_alias and isinstance(x, ast.FuncCall):
+                    return merge(x, ast.ColumnRef(
+                        name=partial_alias[fp], table=ea_alias))
+                if fp in key_alias:
+                    return ast.ColumnRef(name=key_alias[fp], table=ea_alias)
+                return x
+            return _transform_expr(_copy_expr(e), rep)
+
+        outer = ast.SelectNode(
+            items=[ast.SelectItem(expr=xf(i.expr), alias=i.alias)
+                   for i in node.items],
+            relations=[out_tree],
+            group_by=outer_group,
+            having=(None if node.having is None else xf(node.having)),
+            order_by=[ast.OrderItem(expr=xf(o.expr), ascending=o.ascending,
+                                    nulls_first=o.nulls_first)
+                      for o in node.order_by],
+            limit=node.limit, offset=node.offset,
+        )
+        if node.where is not None:
+            for c, ow in where_owned:
+                if ow <= retained:
+                    continue
+                outer.where = c if outer.where is None else ast.BinaryOp(
+                    op="and", left=outer.where, right=c)
+
+        # guard: any surviving reference into a retained table means a
+        # group key we failed to map — fall back to the original plan
+        retained_names = {(tables[i].alias or tables[i].name).lower()
+                          for i in retained}
+        survivors = [i.expr for i in outer.items] + outer_group \
+            + ([outer.having] if outer.having is not None else []) \
+            + [o.expr for o in outer.order_by]
+        deferred_scope = Scope([infos[i] for i in deferred])
+        for e in survivors:
+            for x in _walk_all(e):
+                if not isinstance(x, ast.ColumnRef):
+                    continue
+                if x.table is not None and x.table.lower() == ea_alias:
+                    continue
+                if x.table is not None:
+                    if x.table.lower() in retained_names:
+                        return None
+                    continue
+                # unqualified: must not resolve into a retained table
+                if x.name.lower().startswith("__ea_"):
+                    continue
+                try:
+                    deferred_scope.resolve(x.name, None)
+                except AmbiguousColumnException:
+                    continue  # ambiguous among deferred — same error later
+                except Exception:
+                    try:
+                        full_scope.resolve(x.name, None)
+                        return None  # resolves only via a retained table
+                    except AmbiguousColumnException:
+                        return None  # retained/deferred ambiguity — bail
+                    except Exception:
+                        continue  # an output-alias ref — resolves later
         return outer
 
     def _plan_stats_broadcasts(self, node: ast.SelectNode) -> dict[int, str]:

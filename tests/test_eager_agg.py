@@ -1,0 +1,173 @@
+"""Eager aggregation (group-by pushdown below joins): a grouped
+aggregate over fact ⋈ unfiltered dimensions partially aggregates the
+fact subtree first (grouped by the dimension attach keys), joins the
+dimensions to the partial result, and re-aggregates by the original
+keys. The re-aggregation makes the rewrite correct WITHOUT any
+dimension-key uniqueness assumption — the duplicate-key test below is
+the case that breaks join-then-skip-reagg formulations.
+
+SPARK_GRAFT_EAGER_AGG=1 forces on, =0 forces off; unset → automatic
+when catalog stats show the largest retained table ≥
+SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN rows (default 200k) and the inner
+group columns' NDV product promises ≥2× reduction.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import compare_frames
+
+Q10_STYLE = """
+    SELECT c.c_custkey, c.c_name,
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS decimal(18,4))) AS double) AS revenue,
+      c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP('1995-01-01')
+      AND o.o_orderdate < TIMESTAMP('1995-07-01')
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey LIMIT 20
+"""
+
+
+def _n_aggregates(df) -> int:
+    return df._jdf.queryExecution().optimizedPlan().toString().count(
+        "Aggregate ")
+
+
+def test_q10_shape_matches_stock_and_oracle(engine, ddb, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(Q10_STYLE)
+    assert _n_aggregates(stock) == 1
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(Q10_STYLE)
+    # partial aggregate below the dimension join + final re-aggregate
+    assert _n_aggregates(eager) == 2
+    compare_frames(eager.toPandas(), stock.toPandas(), ordered=True)
+    oracle = ddb.execute(Q10_STYLE.replace(
+        "TIMESTAMP('1995-01-01')", "TIMESTAMP '1995-01-01'").replace(
+        "TIMESTAMP('1995-07-01')", "TIMESTAMP '1995-07-01'")).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+
+
+def test_group_key_without_attach_key(engine, monkeypatch):
+    # the group keys do NOT contain the join key — only the final
+    # re-aggregation makes this correct
+    sql = """
+        SELECT n.n_name, count(*) AS orders_cnt,
+               CAST(sum(o.o_totalprice) AS double) AS total
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_duplicate_key_dimension(engine, spark, monkeypatch):
+    # dimension with DUPLICATE join keys: each fact row matches twice,
+    # so every SUM/COUNT doubles — the re-aggregation reproduces that;
+    # a rewrite assuming key uniqueness would halve the counts
+    dim = spark.createDataFrame(
+        [(k, f"tag_{k}_{i}") for k in range(5) for i in range(2)],
+        "k int, tag string")
+    engine.register_temp_table(dim, "dup_dim")
+    fact = spark.createDataFrame(
+        [(i, i % 5, float(i)) for i in range(100)],
+        "id int, k int, v double")
+    engine.register_temp_table(fact, "ea_fact")
+    bridge = spark.createDataFrame(
+        [(i % 5, i % 5) for i in range(5)], "k int, k2 int")
+    engine.register_temp_table(bridge, "ea_bridge")
+    sql = """
+        SELECT d.tag, count(*) AS n, sum(f.v) AS sv,
+               min(f.v) AS mn, max(f.v) AS mx
+        FROM ea_fact f
+        JOIN ea_bridge b ON b.k = f.k
+        JOIN dup_dim d ON d.k = b.k2
+        GROUP BY d.tag ORDER BY d.tag
+    """
+    try:
+        monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+        stock = engine.query(sql).toPandas()
+        monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+        eager = engine.query(sql)
+        compare_frames(eager.toPandas(), stock, ordered=True)
+        # each fact row matches BOTH duplicate dim rows → 2 × 100 total;
+        # a uniqueness-assuming rewrite would report 100
+        assert stock["n"].sum() == 200
+    finally:
+        engine.remove_temp_table("dup_dim")
+        engine.remove_temp_table("ea_fact")
+        engine.remove_temp_table("ea_bridge")
+
+
+def test_having_and_expression_group_key(engine, monkeypatch):
+    sql = """
+        SELECT year(o.o_orderdate) AS yr, n.n_name,
+               count(o.o_orderkey) AS cnt
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY year(o.o_orderdate), n.n_name
+        HAVING count(o.o_orderkey) > 3
+        ORDER BY yr, n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_gate_closed_by_default_at_test_scale(engine):
+    # sf0.001 catalog stats are far below the 200k-row fact gate:
+    # without the env force the plan must be the stock single aggregate
+    assert _n_aggregates(engine.query(Q10_STYLE)) == 1
+
+
+def test_bails_on_outer_join_and_filtered_dim(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    left = engine.query("""
+        SELECT n.n_name, count(*) AS cnt
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    """)
+    assert _n_aggregates(left) == 1
+    # a WHERE predicate on the would-be dimension retains it: deferring
+    # a filtered dim aggregates rows the stock plan filters out first
+    filtered = engine.query("""
+        SELECT c.c_name, count(*) AS cnt
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        WHERE n.n_name = 'NATION_3' AND c.c_acctbal > 0
+        GROUP BY c.c_name
+    """)
+    assert _n_aggregates(filtered) == 1
+
+
+def test_bails_on_distinct_and_avg(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    for agg in ("count(DISTINCT o.o_orderkey)", "avg(o.o_totalprice)"):
+        df = engine.query(f"""
+            SELECT n.n_name, {agg} AS x
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            GROUP BY n.n_name
+        """)
+        assert _n_aggregates(df) == 1
