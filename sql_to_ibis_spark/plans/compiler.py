@@ -1737,18 +1737,19 @@ class Compiler:
         two occurrences (measured — canonical-equality matching fails
         across DeduplicateRelations, BASELINE.md round-7 investigation),
         so the naive plan executes the CTE's whole scan+shuffle twice.
-        Instead, attach the scalar as an unpartitioned window aggregate
-        over the CTE's frame BEFORE it joins into the outer plan: the CTE
-        executes once and the scalar rides along as a constant column.
+        Instead, attach the scalar as an aggregate over the CTE's frame,
+        broadcast-cross-joined back BEFORE the frame joins into the outer
+        plan: the CTE executes once (AQE exchange reuse dedupes the
+        shared subtree — both consumers are the same DataFrame object)
+        and the scalar rides along as a constant column. Until round 9
+        this was an unpartitioned window, which funneled the whole frame
+        through one task; the aggregate form merges partials in parallel.
 
         Soundness gates:
         - the CTE body must be group-reduced (GROUP BY without rollup/cube
-          or a global aggregate) so the global window's single-partition
-          input is one row per group, not the raw fact table. A
-          high-cardinality group key still funnels through one window
-          task — but the alternative this replaces is a FULL second
-          execution of the CTE subtree, which at that cardinality pays
-          the same rows plus a second scan+shuffle;
+          or a global aggregate): the grouped frame ends in an exchange,
+          which is the boundary AQE reuse dedupes — a raw scan-shaped CTE
+          has no exchange to share, so the total branch would re-scan;
         - the outer FROM references the CTE exactly once, not on the
           null-supplying side of an outer join (null-extended rows would
           read NULL where the true scalar is a constant) and not under a
@@ -1845,9 +1846,10 @@ class Compiler:
 
     def _cte_agg_window_col(self, b: ast.SelectNode,
                             cname: str) -> Column | None:
-        """Compile the scalar body's single item as an unpartitioned
-        window Column over the CTE frame, or None when the shape doesn't
-        qualify (see _plan_cte_scalar_attach)."""
+        """Compile the scalar body's single item as an aggregate Column
+        over the CTE frame (merged via agg + broadcast cross join at the
+        attach site), or None when the shape doesn't qualify (see
+        _plan_cte_scalar_attach)."""
         frame = self._cte_frames[cname]
         cols = {c.lower(): c for c in frame.columns}
         alias = (b.relations[0].alias or b.relations[0].name).lower()
@@ -1880,14 +1882,13 @@ class Compiler:
                             or getattr(e, "filter_where", None) is not None
                             or e.name in self.user_aggregates):
                         raise _Bail
-                    w = Window.partitionBy()
                     has_agg[0] = True
                     if e.is_star:
-                        return F.count(F.lit(1)).over(w)
+                        return F.count(F.lit(1))
                     fn = _AGG_FNS.get(e.name)
                     if fn is None or len(e.args) != 1:
                         raise _Bail
-                    return fn(build(e.args[0], True)).over(w)
+                    return fn(build(e.args[0], True))
                 if (e.name in self._NONDETERMINISTIC_FNS
                         or e.name in self.user_functions):
                     raise _Bail
@@ -1926,35 +1927,24 @@ class Compiler:
         sample independently); multidimensional grouping disqualifies
         (rollup/cube groups overlap — partials would double count);
         aggregates must be decomposable (count/sum/min/max, no DISTINCT).
-        The window total is computed BEFORE the HAVING filter, matching
-        the scalar's independence from HAVING.
+        The total is computed BEFORE the HAVING filter, matching the
+        scalar's independence from HAVING.
 
-        Cardinality gate (measured, round 7): the merge window is
-        unpartitioned, so the grouped frame funnels through ONE task.
-        At few groups that is free and saves a whole second scan
-        (agg_share_of_total: 3 groups); at 2M groups it costs more than
-        the scan it saves (q11 grouped by l_partkey at sf10: 3.49 s with
-        the rewrite vs 2.40 s recomputing — +45%). Same proxy as the
-        decimal-limb gate: rewrite only when every outer group key is a
-        string/boolean column (enums/flags), never for numeric ID keys.
-        A wrong guess moves speed, never values. Global aggregates
-        (no GROUP BY) are always safe — the frame is one row.
+        The merge was an unpartitioned window over the grouped frame
+        until round 9 — an Exchange SinglePartition funneling every
+        group through one task, which forced a cardinality gate (numeric
+        ID keys with ~2M groups cost more than the scan they saved:
+        q11 at sf10 3.49 s vs 2.40 s). It is now an aggregate over the
+        grouped frame broadcast-cross-joined back: partials merge in
+        parallel and AQE's runtime exchange reuse dedupes the shared
+        groupBy shuffle (both consumers are the same DataFrame subtree,
+        unlike two independently compiled queries). That made the merge
+        strictly cheaper than the second scan at ANY group count
+        (measured q11-by-l_partkey at sf10: 2.1 s vs 5.0 s recomputing),
+        so the cardinality gate is gone.
 
         ``SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE=1`` disables the rewrite."""
         if os.environ.get("SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE"):
-            return None
-
-        def _low_card_key(g: ast.Expr) -> bool:
-            if not isinstance(g, ast.ColumnRef):
-                return False
-            try:
-                rel, true = scope.resolve(g.name, g.table)
-            except Exception:
-                return False
-            return isinstance(rel.types.get(true),
-                              (T.StringType, T.BooleanType))
-
-        if node.group_by and not all(_low_card_key(g) for g in node.group_by):
             return None
         if not isinstance(sub, ast.SelectNode):
             return None
@@ -2886,8 +2876,24 @@ class Compiler:
                 # and drop at the final projection
                 info = self._make_rel_info(display, cte, existing)
                 frame = cte
-                for tmp, wcol in self._cte_attach.pop(rel.name.lower(), ()):
-                    frame = frame.withColumn(tmp, wcol)
+                attached = self._cte_attach.pop(rel.name.lower(), ())
+                if attached:
+                    # scalar totals merge as ONE aggregate over the CTE
+                    # frame, broadcast-cross-joined back — partials merge
+                    # in parallel (the pre-r9 unpartitioned-window form
+                    # funneled every CTE row through one task). The frame
+                    # is lazily localCheckpoint-ed first: the outer join
+                    # pushes its own predicates (isnotnull on the join
+                    # key) into only ITS branch, which breaks AQE
+                    # exchange-reuse canonical matching, so without the
+                    # checkpoint the CTE subtree executes twice. The
+                    # checkpoint pins one shared materialization of the
+                    # group-reduced (bounded) frame; lineage truncation
+                    # costs nothing because the frame is already an
+                    # aggregate output no filter could push into.
+                    base = cte.localCheckpoint(eager=False)
+                    totals = base.agg(*[c.alias(t) for t, c in attached])
+                    frame = base.crossJoin(F.broadcast(totals))
                 reduced = self._apply_semi_reduction(rel, frame)
                 return reduced.alias(info.qualifier), [info]
             entry = self.catalog.get(rel.name)
@@ -3826,34 +3832,40 @@ class Compiler:
                              else None))
             return F.col(name)
 
-        # (name, window Column) staged AFTER the aggregation, BEFORE the
-        # HAVING filter — window functions can't live inside filter()
-        post_win_cols: list[tuple[str, Column]] = []
+        # (name, merge-aggregate Column) staged AFTER the aggregation,
+        # BEFORE the HAVING filter: each total is an aggregate OVER the
+        # grouped frame, attached back via a broadcast cross join of the
+        # 1-row total. The earlier form was an unpartitioned window over
+        # the grouped frame — an Exchange SinglePartition that funnels
+        # EVERY group through one task (2M groups on the q11 shape at
+        # sf10; unbounded at 100 TB). The aggregate form merges partials
+        # in parallel, and Spark's ReuseExchange dedupes the groupBy
+        # shuffle feeding both consumers, so the base data is still
+        # scanned and shuffled exactly once.
+        post_total_aggs: list[tuple[str, Column]] = []
 
         def lower_group_total(marker: ast.GroupTotalSubquery) -> Column:
             """Total-over-groups scalar (see _try_total_over_groups):
             each aggregate becomes a hidden per-group partial; the scalar
-            is the merge re-aggregation of those partials as an
-            unpartitioned window over the grouped frame."""
+            is the merge re-aggregation of those partials over the
+            grouped frame, broadcast back onto it."""
 
             def walk(e: ast.Expr) -> Column:
                 if isinstance(e, ast.FuncCall) and (
                         self._is_agg_name(e.name) or e.is_star):
                     partial = placeholder(e)
                     if e.is_star or e.name == "count":
-                        m = F.sum(partial)
-                    elif e.name == "sum":
-                        m = F.sum(partial)
-                    elif e.name in ("min", "minimum"):
-                        m = F.min(partial)
-                    else:
-                        m = F.max(partial)
-                    return m.over(Window.partitionBy())
+                        return F.sum(partial)
+                    if e.name == "sum":
+                        return F.sum(partial)
+                    if e.name in ("min", "minimum"):
+                        return F.min(partial)
+                    return F.max(partial)
                 return self._compile_expr_generic(e, walk)
 
             col = walk(marker.item)
             tmp = f"__gtotal_{next(self._tmp_counter)}"
-            post_win_cols.append((tmp, col))
+            post_total_aggs.append((tmp, col))
             return F.col(tmp)
 
         def lower_post_agg(expr: ast.Expr) -> Column:
@@ -3971,8 +3983,9 @@ class Compiler:
                     *[f"__rk_{i}" for i in range(len(keys))])
             else:
                 agged = df.agg(*jvm_exprs).crossJoin(df.agg(*pd_exprs))
-            for tmp, col in post_win_cols:
-                agged = agged.withColumn(tmp, col)
+            if post_total_aggs:
+                totals = agged.agg(*[c.alias(t) for t, c in post_total_aggs])
+                agged = agged.crossJoin(F.broadcast(totals))
             if having_col is not None:
                 agged = agged.filter(having_col)
             final_mixed: list[Column] = []
@@ -4026,11 +4039,11 @@ class Compiler:
             agged = df.groupBy(*key_exprs).agg(*agg_exprs)
         else:
             agged = df.agg(*agg_exprs)
-        for tmp, col in post_win_cols:
+        if post_total_aggs:
             # staged pre-HAVING: the scalar total is over ALL groups,
-            # independent of the HAVING filter (and windows can't appear
-            # inside filter())
-            agged = agged.withColumn(tmp, col)
+            # independent of the HAVING filter
+            totals = agged.agg(*[c.alias(t) for t, c in post_total_aggs])
+            agged = agged.crossJoin(F.broadcast(totals))
         if having_col is not None:
             agged = agged.filter(having_col)
 
