@@ -50,6 +50,11 @@ def main() -> int:
         # every entry must still match the oracle. This is the sweep
         # that would have caught the r7 gate-open-only defects.
         os.environ["SPARK_GRAFT_EXISTS_DEDUP_REWRITE"] = "1"
+        # row-count-gated r9 rewrites: uniform inflation CLOSES the
+        # single-rel magic dim gate (<= 8M), so env-force it and the
+        # eager-agg profitability gate too
+        os.environ["SPARK_GRAFT_SINGLE_REL_MAGIC"] = "1"
+        os.environ["SPARK_GRAFT_EAGER_AGG"] = "1"
         from sql_to_ibis_spark import SqlEngine
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)

@@ -2160,10 +2160,15 @@ class Compiler:
         (below that the saved aggregation is smaller than the extra
         broadcast stage's scheduling floor — measured q2: −29 % at sf10,
         −15 % at sf1, +11 % at sf0.1 where the gate now bails).
-        ``SPARK_GRAFT_NO_SINGLE_REL_MAGIC=1`` disables."""
+        ``SPARK_GRAFT_NO_SINGLE_REL_MAGIC=1`` disables;
+        ``SPARK_GRAFT_SINGLE_REL_MAGIC=1`` forces past the two row-count
+        gates (shape gates still apply) so the forced-gate oracle sweep
+        can exercise the rewrite — uniform row inflation would otherwise
+        CLOSE the dim-side ≤8M gate and leave this path untested."""
         if node.where is None \
                 or os.environ.get("SPARK_GRAFT_NO_SINGLE_REL_MAGIC"):
             return None
+        forced = os.environ.get("SPARK_GRAFT_SINGLE_REL_MAGIC") == "1"
         inner_rows = 0.0
         if sub is not None:
             stack: list[ast.Relation] = list(sub.relations)
@@ -2179,7 +2184,7 @@ class Compiler:
                         continue
                     if ist is not None and getattr(ist, "rows", None):
                         inner_rows = max(inner_rows, float(ist.rows))
-        if inner_rows < 4_000_000:
+        if inner_rows < 4_000_000 and not forced:
             return None
         infos: dict[int, RelationInfo] = {}
         for e in outer_refs:
@@ -2214,8 +2219,8 @@ class Compiler:
         except Exception:
             return None
         st = entry.stats
-        if st is None or not getattr(st, "rows", None) \
-                or st.rows > 8_000_000:
+        if (st is None or not getattr(st, "rows", None)
+                or st.rows > 8_000_000) and not forced:
             return None
 
         def refs_only_rel(conj: ast.Expr) -> bool:

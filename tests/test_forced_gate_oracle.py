@@ -51,6 +51,12 @@ def force_gate_stats(eng: SqlEngine) -> None:
 @pytest.fixture(scope="module")
 def forced(spark):
     os.environ["SPARK_GRAFT_EXISTS_DEDUP_REWRITE"] = "1"
+    # r9 rewrites with row-count gates that uniform 10M inflation would
+    # CLOSE (single-rel magic needs the dim side <= 8M) or that carry
+    # their own profitability gate (eager agg NDV product): env-force
+    # both so the differential actually exercises their plans
+    os.environ["SPARK_GRAFT_SINGLE_REL_MAGIC"] = "1"
+    os.environ["SPARK_GRAFT_EAGER_AGG"] = "1"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     eng.analyze()
@@ -69,6 +75,8 @@ def forced(spark):
     else:
         entrymod._ENGINES[key] = old
     os.environ.pop("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", None)
+    os.environ.pop("SPARK_GRAFT_SINGLE_REL_MAGIC", None)
+    os.environ.pop("SPARK_GRAFT_EAGER_AGG", None)
 
 
 def test_gate_families_selected():
