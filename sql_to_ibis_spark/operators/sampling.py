@@ -185,3 +185,94 @@ def take_token_budget(
         )
         .filter(F.col("tokens_before") < budget_tokens)
     )
+
+
+def mix_sources(
+    df: DataFrame,
+    budgets: dict[str, int],
+    order_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    partitions: int = 32,
+    descending: bool = True,
+) -> DataFrame:
+    """Source-weighted training mix: fill a PER-SOURCE token budget
+    quality-first — the "60 % web / 30 % books / 10 % code" data-mixing
+    step. For each source named in ``budgets``, order its documents by
+    ``order_col`` (descending by default) and keep them while the
+    within-source EXCLUSIVE running token total stays under that
+    source's budget; the boundary document that crosses it is included
+    (``tokens_before`` tells the loader where to truncate). Sources not
+    in ``budgets`` are dropped before the shuffle (predicate pushdown).
+
+    Returns ``(id, source, n_tokens, tokens_before)`` where
+    ``tokens_before`` is the within-source exclusive prefix sum.
+
+    Scale shape — a GROUPED version of ``take_token_budget``'s two-pass
+    distributed prefix sum. The naive plan is a window
+    ``PARTITION BY source ORDER BY quality``, which funnels every row
+    of a source through ONE task — unbounded at 100 TB where a single
+    source is tens of TB. Instead: range-repartition on
+    ``(source, quality, id)`` so each source occupies a contiguous run
+    of partitions and every partition is internally ordered; cumulative
+    sums run per (partition, source) in parallel; the collected
+    per-(partition, source) totals are O(partitions + sources) rows —
+    each source adds at most one extra (pid, source) pair per partition
+    it touches, and contiguity bounds the total — whose per-source
+    prefix sums become broadcast base offsets. Driver state never
+    scales with rows.
+    """
+    from sql_to_ibis_spark.operators.dedup import normalized_text
+
+    t = normalized_text(F.col(text_col))
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    toks = (
+        df.filter(F.col(source_col).isin(*budgets.keys()))
+        .select(
+            F.col(id_col), F.col(source_col), F.col(order_col),
+            F.coalesce(F.size(F.split(t, " ")), F.lit(0))
+            .cast("bigint").alias("n_tokens"),
+        )
+        .repartitionByRange(partitions, F.col(source_col).asc(), key,
+                            F.col(id_col))
+    )
+
+    part = toks.withColumn("__pid", F.spark_partition_id())
+    w = (Window.partitionBy("__pid", source_col)
+         .orderBy(key, F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    # persisted for the same reason as take_token_budget: the totals
+    # collect below runs this subtree once and the returned plan reuses
+    # the cached partitions instead of re-tokenizing the corpus
+    local = part.withColumn("__local_cum",
+                            F.sum("n_tokens").over(w)).persist()
+
+    totals = sorted(
+        local.groupBy("__pid", source_col)
+        .agg(F.max("__local_cum").alias("t")).collect(),
+        key=lambda r: (r[source_col], r["__pid"]))
+    offsets: list[tuple[int, str, int]] = []
+    run_source, base = None, 0
+    for r in totals:
+        if r[source_col] != run_source:
+            run_source, base = r[source_col], 0
+        offsets.append((r["__pid"], r[source_col], base))
+        base += r["t"]
+    spark = df.sparkSession
+    base_df = spark.createDataFrame(
+        offsets, f"__pid int, {source_col} string, __base long")
+    budget_df = spark.createDataFrame(
+        list(budgets.items()), f"{source_col} string, __budget long")
+
+    return (
+        local.join(F.broadcast(base_df), ["__pid", source_col])
+        .join(F.broadcast(budget_df), source_col)
+        .select(
+            F.col(id_col), F.col(source_col), F.col("n_tokens"),
+            (F.col("__base") + F.col("__local_cum") - F.col("n_tokens"))
+            .alias("tokens_before"), F.col("__budget"),
+        )
+        .filter(F.col("tokens_before") < F.col("__budget"))
+        .drop("__budget")
+    )
