@@ -959,75 +959,53 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 
 
 # The driver's correctness gate only records the FIRST 50 queries() entries
-# (dict order). ROTATION POLICY (r7, replacing r6's changed-first triage):
-# each round the window re-records the LONGEST-STALE 50 entries — those
-# whose last driver record is oldest (computed from CORRECTNESS_r0*.json;
-# r6 left 103 entries last verified in r05 or earlier: 41×r01, 6×r03,
-# 25×r04, 31×r05). Within the stale set, families whose implementation
-# changed since their last record lead (this round: the aggregation
-# entries the r6 decimal-limb path touched, plus the TPC-H composites
-# re-planned by the r6 broadcast/semi-join work). Entries whose plan
-# changed THIS round but already carry an r06 record come immediately
-# after the window (positions 51+); the full 153-entry local oracle run
-# (scripts/check_oracle.py, recorded per-round) is the safety net that
-# covers them until their window slot comes up.
+# (dict order). ROTATION POLICY (r7+): each round the window leads with
+# entries whose PLANS changed since their last driver record, then the
+# longest-stale remainder (last-record round computed from
+# CORRECTNESS_r0*.json; after r9: 13×r01, 4×r03, 18×r04, 19×r05, 50×r06,
+# 50×r09). The full 154-entry local oracle run (scripts/check_oracle.py,
+# recorded per-round) is the safety net for everything past position 50.
 _PRIORITY: list[str] = [
-    # --- driver window (50): all last driver-verified in r05 or earlier ---
-    # aggregation family touched by the r6 decimal-limb fast path
-    "tpch_q1_pricing_summary", "agg_group_by", "agg_global", "group_by_all",
-    "agg_expression_mix",
-    # changed this round (new closed-form oracle) AND stale since r04
-    "pipeline_multimodal_decode_stub",
-    # NEW this round — no driver record exists at all, the most-stale
-    # state an entry can have (displaces join_inner to position 51)
-    "agg_share_of_total",
-    # oldest-verified TPC-H composites
-    "tpch_q3_shipping_priority", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority", "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect", "tpch_q15_top_supplier",
-    "tpch_q16_parts_supplier_relationship", "tpch_q18_large_volume_customer",
-    "tpch_q19_discounted_revenue", "tpch_q20_potential_part_promotion",
-    "tpch_q21_suppliers_kept_waiting", "tpch_q22_global_sales_opportunity",
-    # stale window + set-op families
-    "window_cumulative_default_frame", "window_partition_only",
-    "window_in_expression", "window_lag_lead", "window_percent_cume",
-    "window_first_last_value", "union_all", "union_distinct", "except_all",
-    "except_distinct", "intersect", "intersect_all",
-    # r01-verified core surfaces (the oldest records on file)
-    "agg_count_star_distinct", "agg_extended_stats", "agg_group_key_dropped",
-    "agg_groupby_no_agg_distinct", "agg_having", "agg_having_global",
-    "agg_having_hidden_agg", "arithmetic", "case_when", "cast_types",
-    "coalesce_nullif", "filter_between_in", "filter_compare",
-    "filter_is_null", "filter_like", "join_anti_not_in_subquery",
-    "join_comma_implicit_cross", "join_cross", "join_full_outer",
-    # --- positions 51+: plans changed in r7 (quantifier fusion / binder
-    # refactor / similarity contract) but r06-verified — next in line ---
-    "join_inner",
-    "subquery_quantified_all_correlated", "subquery_quantified_any_grouped",
-    "subquery_correlated_scalar_q17", "tpch_q2_minimum_cost_supplier",
-    "subquery_exists_in_select", "pipeline_ann_cosine_topk",
-    # --- remaining stale entries, oldest record first (r8 window feed) ---
-    "join_left", "join_multiway", "join_right", "join_semi_in_subquery",
-    "join_theta", "limit_offset", "order_by_multi_key", "select_alias_expr",
-    "select_distinct", "select_project", "select_star", "top_k",
-    "events_funnel_share", "events_user_daily", "pipeline_sample_stratified",
-    "pipeline_skew_salted_join", "agg_percentile", "cte_chained",
-    "pipeline_doc_fingerprint", "pipeline_multimodal_audio_rms",
-    "pipeline_multimodal_blob_dedup", "pipeline_multimodal_blob_metadata",
-    "pipeline_multimodal_decode_bmp", "pipeline_sample_top_n_per_key",
-    "pipeline_skew_salted_count", "pipeline_split_train_eval",
-    "pipeline_text_chunk_documents", "pipeline_text_language_id",
-    "pipeline_text_redact_pii", "pipeline_text_term_frequencies",
-    "subquery_correlated_not_exists", "subquery_from_nested",
-    "subquery_join", "subquery_scalar", "agg_approx_count_distinct",
-    "agg_group_by_ordinal", "events_json_extract", "events_tumbling_window",
+    # --- driver window (50) ---
+    # r9-plan-changed entries whose latest driver record predates r9:
+    # single-rel magic (q2/q17), single-pass BM25, two-phase NOT-EXISTS,
+    # parse-per-distinct fixes, local CC solve, scalar-total merge (q11)
+    "tpch_q2_minimum_cost_supplier", "subquery_correlated_scalar_q17",
+    "pipeline_text_bm25", "subquery_correlated_not_exists",
+    "events_json_extract", "pipeline_dedup_clusters",
+    "tpch_q11_important_stock",
+    # r10-plan-changed (this round): q18 HAVING-keyset semi-reduction,
+    # repetition-signals shared-exchange fusion
+    "tpch_q18_large_volume_customer", "pipeline_text_repetition_signals",
+    # oldest-stale: the 13 r01 records
+    "join_inner", "join_left", "join_multiway", "join_right",
+    "join_semi_in_subquery", "join_theta", "limit_offset",
+    "order_by_multi_key", "select_alias_expr", "select_distinct",
+    "select_project", "select_star", "top_k",
+    # the 4 r03 records
+    "events_funnel_share", "events_user_daily",
+    "pipeline_sample_stratified", "pipeline_skew_salted_join",
+    # the 17 remaining r04 records
+    "agg_percentile", "cte_chained", "pipeline_doc_fingerprint",
+    "pipeline_multimodal_audio_rms", "pipeline_multimodal_blob_dedup",
+    "pipeline_multimodal_blob_metadata", "pipeline_multimodal_decode_bmp",
+    "pipeline_sample_top_n_per_key", "pipeline_skew_salted_count",
+    "pipeline_split_train_eval", "pipeline_text_chunk_documents",
+    "pipeline_text_language_id", "pipeline_text_redact_pii",
+    "pipeline_text_term_frequencies", "subquery_from_nested",
+    "subquery_join", "subquery_scalar",
+    # r05 records to fill the window (ann_cosine_topk leads — its
+    # similarity contract changed in r7 without a fresh record)
+    "pipeline_ann_cosine_topk", "subquery_correlated_exists_q4",
+    "tpch_q6_forecast_revenue", "window_range_frame",
+    "window_range_interval", "window_rows_frame",
+    "agg_approx_count_distinct",
+    # --- positions 51+: remaining r05 records, then r06, then r09 ---
+    "agg_group_by_ordinal", "events_tumbling_window",
     "pipeline_ann_lsh_bucketed", "pipeline_dedup_exact",
     "pipeline_embedding_near_dup", "pipeline_multimodal_decode_images",
     "pipeline_stateful_dedup", "pipeline_streaming_sessionize",
     "pipeline_streaming_sliding", "pipeline_streaming_tumbling",
-    "subquery_correlated_exists_q4", "tpch_q11_important_stock",
-    "tpch_q6_forecast_revenue", "window_range_frame",
-    "window_range_interval", "window_rows_frame",
 ]
 
 

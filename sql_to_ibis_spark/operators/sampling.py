@@ -225,6 +225,10 @@ def mix_sources(
     """
     from sql_to_ibis_spark.operators.dedup import normalized_text
 
+    if not budgets:
+        raise ValueError("mix_sources: budgets must name at least one "
+                         "source (got an empty dict)")
+
     t = normalized_text(F.col(text_col))
     key = F.col(order_col).desc() if descending else F.col(order_col).asc()
     toks = (

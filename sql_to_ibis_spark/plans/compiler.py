@@ -1395,6 +1395,7 @@ class Compiler:
 
         edges: list[tuple[int, str, int, str, ast.Expr]] = []
         single_join_conds: list[ast.Expr] = []
+        retained_theta: list[ast.Expr] = []
         for c in join_conj:
             ow = owners(c)
             if ow is None:
@@ -1413,7 +1414,14 @@ class Compiler:
                 single_join_conds.append(c)
                 needed.update(ow)
             else:
-                needed.update(ow)  # theta joins force retention
+                # theta / expression-equality / null-safe conjuncts force
+                # every owner table retained — AND the predicate itself
+                # must survive: all joins here are inner, so ON ≡ WHERE,
+                # and the owners land in `retained` (⊇ needed), making it
+                # legal to evaluate as an inner-node WHERE conjunct.
+                # Dropping it (pre-r10 bug) silently widened the join.
+                needed.update(ow)
+                retained_theta.append(c)
 
         # group keys spanning several tables force them all retained
         group_owned: list[tuple[ast.Expr, set[int]]] = []
@@ -1545,7 +1553,9 @@ class Compiler:
 
         if not forced:
             prod, known = 1.0, True
-            for ti, col in ndv_cols:
+            # dedupe: a column reused as attach key for several dims (or
+            # as both attach and group key) must count once, not squared
+            for ti, col in {(t, c.lower()) for t, c in ndv_cols}:
                 st = stats[ti]
                 v = st.ndv.get(col.lower()) if st is not None \
                     and getattr(st, "ndv", None) else None
@@ -1593,7 +1603,7 @@ class Compiler:
                     if not (t in tset and tset <= placed)]
 
         inner_where_list = [c for c, ow in where_owned if ow <= retained] \
-            + single_join_conds + [c for _, c in pool]
+            + single_join_conds + retained_theta + [c for _, c in pool]
         inner_where: ast.Expr | None = None
         for c in inner_where_list:
             inner_where = c if inner_where is None else ast.BinaryOp(
@@ -2896,6 +2906,16 @@ class Compiler:
                     # group-reduced (bounded) frame; lineage truncation
                     # costs nothing because the frame is already an
                     # aggregate output no filter could push into.
+                    # Fault-tolerance tradeoff (deliberate): localCheckpoint
+                    # stores blocks on executor-local storage, so losing an
+                    # executor mid-query FAILS the query instead of
+                    # recomputing from lineage, and the blocks are reclaimed
+                    # by the ContextCleaner rather than at stage end. For a
+                    # single interactive query over a group-reduced frame
+                    # this is the right price for halving the CTE subtree's
+                    # execution; a persist(MEMORY_AND_DISK) would keep
+                    # lineage but NOT restore AQE exchange reuse here
+                    # (canonical-plan mismatch is below the persist point).
                     base = cte.localCheckpoint(eager=False)
                     totals = base.agg(*[c.alias(t) for t, c in attached])
                     frame = base.crossJoin(F.broadcast(totals))

@@ -171,3 +171,49 @@ def test_bails_on_distinct_and_avg(engine, monkeypatch):
             GROUP BY n.n_name
         """)
         assert _n_aggregates(df) == 1
+
+
+def test_theta_conjunct_between_retained_tables(engine, monkeypatch):
+    # r10 regression (ADVICE r9 high): a non-equi ON conjunct between two
+    # retained tables (l.l_shipdate > o.o_orderdate) was previously
+    # classified "theta forces retention" but never re-emitted — the
+    # rewrite fired with the predicate silently dropped, widening the
+    # join. It must survive as an inner-node WHERE conjunct (all joins
+    # inner, so ON ≡ WHERE) while the rewrite still fires.
+    sql = """
+        SELECT n.n_name, count(*) AS cnt,
+               CAST(sum(l.l_extendedprice) AS double) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     AND l.l_shipdate > o.o_orderdate
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2  # rewrite fires, predicate retained
+    compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_expression_equality_conjunct_retained(engine, monkeypatch):
+    # expression equality (not ColumnRef=ColumnRef) is not an attach
+    # edge; it must be kept as a retained-side predicate, not dropped
+    sql = """
+        SELECT n.n_name, count(*) AS cnt,
+               CAST(sum(l.l_quantity) AS double) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+                     AND l.l_linenumber = o.o_orderkey % 5 + 1
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    compare_frames(eager.toPandas(), stock, ordered=True)
