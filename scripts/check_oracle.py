@@ -55,6 +55,7 @@ def main() -> int:
         # eager-agg profitability gate too
         os.environ["SPARK_GRAFT_SINGLE_REL_MAGIC"] = "1"
         os.environ["SPARK_GRAFT_EAGER_AGG"] = "1"
+        os.environ["SPARK_GRAFT_IN_KEYSET_REDUCTION"] = "1"
         from sql_to_ibis_spark import SqlEngine
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)

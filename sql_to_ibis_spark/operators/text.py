@@ -183,79 +183,88 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     * ``top_bigram`` — the argmax 2-gram itself (ties broken by descending
       lexicographic order so the result is engine-deterministic).
 
-    Scale shape: one explode → partial-aggregated ``groupBy(doc, ngram)``
-    (the shuffle carries per-partition-distinct n-grams, not tokens) → one
-    window/agg per doc. No Python anywhere in the row path.
+    Scale shape (r10 fusion — largest absolute text entry, 22.7 s at
+    sf10 pre-fusion): the 2-gram and 3-gram families share ONE
+    tokenization and ONE aggregation exchange. The token array is
+    sliced into 3 shifted views and exploded once per position
+    (``explode_outer`` keeps empty docs as a marker row); each position
+    row then fans out to an ``(n, ngram)`` pair per family through a
+    2-element struct-array explode — plain codegen end to end, no HOFs.
+    (The obvious transform(sequence(...), i -> array_join(slice...))
+    formulation is an interpreted HOF: measured 15.4 s at sf0.1 vs
+    0.2 s for the slice shape; the token array gets its OWN projection
+    because generators get no common-subexpression elimination, so
+    inlining the regex would re-run it per slice — measured 14×
+    slower.) One partial-aggregated ``groupBy(doc, n, ngram)`` carries
+    per-partition-distinct n-grams of BOTH families through a single
+    shuffle; one ``groupBy(doc)`` with conditional aggregates derives
+    the bigram argmax and the trigram dup fraction together. The
+    marker row makes short docs survive aggregation, so the pre-fusion
+    restore joins (and their exchanges) are gone: 4 shuffles + 2 joins
+    → 2 shuffles, and the corpus is tokenized once instead of twice.
+    No Python anywhere in the row path.
     """
     t = normalized_text(F.col(text_col))
     toks = F.split(t, " ")
 
-    def _exploded_ngrams(src: DataFrame, n: int, extra: list[Column]):
-        # n parallel shifted slices zipped and exploded, string built AFTER
-        # the explode — plain codegen expressions end to end. (The obvious
-        # transform(sequence(...), i -> array_join(slice...)) formulation is
-        # an interpreted HOF: measured 15.4 s for this entry at sf0.1 vs
-        # 0.2 s for this shape.) The token array is materialized in its OWN
-        # projection first: generators get no common-subexpression
-        # elimination, so slicing `split(regexp_replace(...))` inline would
-        # re-run the regex n+1 times per row (measured 14× slower). Docs
-        # with < n tokens produce no rows (zero-length slices), restored by
-        # the left joins below.
-        pre = src.select(F.col(id_col), *extra, toks.alias("__tk"))
-        tk = F.col("__tk")
-        ln = F.greatest(F.size(tk) - (n - 1), F.lit(0))
-        zipped = F.arrays_zip(
-            *[F.slice(tk, i + 1, ln).alias(f"t{i}") for i in range(n)])
-        carried = [c for c in pre.columns if c not in (id_col, "__tk")]
-        exploded = pre.select(F.col(id_col), *[F.col(c) for c in carried],
-                              F.explode(zipped).alias("__z"))
-        return exploded.select(
-            F.col(id_col), *[F.col(c) for c in carried],
-            F.concat_ws(" ", *[F.col(f"__z.t{i}") for i in range(n)])
-            .alias("ngram"))
+    pre = df.select(F.col(id_col), F.length(t).alias("__nchars"),
+                    toks.alias("__tk"))
+    tk = F.col("__tk")
+    # one slice length for all views (positions = size-1): the trigram
+    # view runs one short, arrays_zip null-pads, and the null t2 marks
+    # "no trigram at this position"
+    ln = F.greatest(F.size(tk) - 1, F.lit(0))
+    zipped = F.arrays_zip(
+        *[F.slice(tk, i + 1, ln).alias(f"t{i}") for i in range(3)])
+    pos = pre.select(F.col(id_col), F.col("__nchars"),
+                     F.explode_outer(zipped).alias("__z"))
+    z = F.col("__z")
+    bigram = F.when(z["t0"].isNotNull() & z["t1"].isNotNull(),
+                    F.concat_ws(" ", z["t0"], z["t1"]))
+    trigram = F.when(z["t2"].isNotNull(),
+                     F.concat_ws(" ", z["t0"], z["t1"], z["t2"]))
+    tagged = pos.select(
+        F.col(id_col), F.col("__nchars"),
+        F.explode(F.array(
+            F.struct(F.lit(2).alias("n"), bigram.alias("g")),
+            F.struct(F.lit(3).alias("n"), trigram.alias("g")),
+        )).alias("__g"),
+    ).filter(
+        # drop positions without a trigram; keep ONE null-ngram marker
+        # row (n=2) for docs with <2 tokens so they survive aggregation
+        F.col("__g.g").isNotNull() | (F.col("__g.n") == 2)
+    )
 
-    bi_counts = (
-        _exploded_ngrams(df, 2, [F.length(t).alias("__nchars")])
-        .groupBy(id_col, "__nchars", "ngram")
+    counts = (
+        tagged.groupBy(id_col, "__nchars", F.col("__g.n").alias("__n"),
+                       F.col("__g.g").alias("ngram"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # argmax via max(struct(cnt, ngram)): same winner and tie-break as the
-    # oracle's ORDER BY cnt DESC, ngram DESC window, but as a partial-agg
-    # aggregation instead of a per-doc sort
-    top_bi = (
-        bi_counts.groupBy(id_col, "__nchars")
-        .agg(F.max(F.struct(F.col("cnt"), F.col("ngram"))).alias("__top"))
+    # argmax via max(struct(cnt, ngram)): same winner and tie-break as
+    # the oracle's ORDER BY cnt DESC, ngram DESC window, but as a
+    # partial-agg aggregation instead of a per-doc sort
+    is_bi = (F.col("__n") == 2) & F.col("ngram").isNotNull()
+    is_tri = F.col("__n") == 3
+    return (
+        counts.groupBy(id_col, "__nchars")
+        .agg(
+            F.max(F.when(is_bi, F.struct(F.col("cnt"), F.col("ngram"))))
+            .alias("__top"),
+            F.sum(F.when(is_tri, F.col("cnt"))).alias("__tri_total"),
+            F.count(F.when(is_tri, F.lit(1))).alias("__tri_distinct"),
+        )
         .select(
             F.col(id_col),
             F.col("__top.ngram").alias("top_bigram"),
-            _trunc(F.col("__top.cnt") * F.length("__top.ngram")
-                   / F.nullif(F.col("__nchars"), F.lit(0)), 6)
-            .alias("top_bigram_char_frac"),
-        )
-    )
-
-    tri_dup = (
-        _exploded_ngrams(df, 3, [])
-        .groupBy(id_col, "ngram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy(id_col)
-        .agg(_trunc(
-            (F.sum("cnt") - F.count(F.lit(1)))
-            / F.nullif(F.sum("cnt"), F.lit(0)).cast("double"), 6)
-            .alias("dup_trigram_frac"))
-    )
-
-    return (
-        df.select(F.col(id_col))
-        .join(top_bi, id_col, "left")
-        .join(tri_dup, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.col("top_bigram"),
-            F.coalesce("top_bigram_char_frac", F.lit(0.0))
-            .alias("top_bigram_char_frac"),
-            F.coalesce("dup_trigram_frac", F.lit(0.0))
-            .alias("dup_trigram_frac"),
+            F.coalesce(
+                _trunc(F.col("__top.cnt") * F.length("__top.ngram")
+                       / F.nullif(F.col("__nchars"), F.lit(0)), 6),
+                F.lit(0.0)).alias("top_bigram_char_frac"),
+            F.coalesce(
+                _trunc((F.col("__tri_total") - F.col("__tri_distinct"))
+                       / F.nullif(F.col("__tri_total"),
+                                  F.lit(0)).cast("double"), 6),
+                F.lit(0.0)).alias("dup_trigram_frac"),
         )
     )
 

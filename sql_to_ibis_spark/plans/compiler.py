@@ -353,6 +353,12 @@ class Compiler:
             # carries a ScalarRef, which the reducer already excludes
             self._cte_attach = self._plan_cte_scalar_attach(node)
             self._semi_plan = self._plan_semi_reduction(node)
+            ks_extra, ks_cache = self._plan_in_keyset_reduction(node)
+            for k in ks_extra:
+                self._semi_plan.setdefault(k, []).extend(ks_extra[k])
+            if not hasattr(self, "_in_keyset_cache"):
+                self._in_keyset_cache: dict[int, tuple[DataFrame, bool]] = {}
+            self._in_keyset_cache.update(ks_cache)
             saved_bcast = getattr(self, "_bcast_hints", {})
             self._bcast_hints = self._plan_stats_broadcasts(node)
             try:
@@ -2876,6 +2882,207 @@ class Compiler:
             df = df.join(F.broadcast(red), cond, "left_semi")
         return df
 
+    # runtime-certified key-set cap for the aggregated-IN reduction: the
+    # surviving keys are collected for an explicit broadcast, so the
+    # estimate must sit comfortably under the session broadcast ceiling
+    _IN_KEYSET_CAP = 32 << 20
+
+    def _plan_in_keyset_reduction(
+        self, node: ast.SelectNode
+    ) -> tuple[dict[int, list[tuple[list[tuple[str, str]], DataFrame]]],
+               dict[int, tuple[DataFrame, bool]]]:
+        """TPC-H q18-shape reduction: ``WHERE col IN (SELECT k FROM big
+        GROUP BY k HAVING agg ...)`` over an inner-join tree that scans
+        another copy of the big table.
+
+        The stock plan sends the fact through TWO exchanges — once for
+        the subquery's own groupBy and once for the outer join — because
+        the HAVING-surviving key count is unknown until the first pass
+        finishes, so neither static planning nor AQE (the join sits in
+        the same stage graph as the agg) can shrink the second pass. At
+        sf10 only ~918k of 15M orderkeys survive q18's HAVING (~7 MB of
+        longs): exactly a broadcast-sized reducer that static stats can
+        never certify.
+
+        This pass closes that gap with RUNTIME certification: the key
+        set is computed once (it is needed for the semi join regardless),
+        pinned via lazy localCheckpoint, and counted — one cheap action
+        over the already-required aggregate. When rows × estimated key
+        width ≤ SPARK_GRAFT_IN_KEYSET_CAP (default 32 MB), every base
+        relation of the join tree whose column is transitively
+        equi-connected to the IN operand — including the operand's own
+        table — is broadcast-semi-reduced AT THE SCAN, before any
+        exchange, through the existing _semi_plan mechanism. The WHERE-
+        level semi join is then skipped (the operand-table scan reduction
+        IS the IN predicate; σ on one side commutes through the inner
+        equi-join). Over the cap, the checkpointed frame still feeds the
+        stock shuffle semi join, so the extra count is the only cost.
+
+        Soundness mirrors _plan_semi_reduction: reducing a base relation
+        by a superset-implied key filter only removes rows that could
+        never survive the full conjunct set, which is still applied
+        downstream unchanged. Only positive (non-negated), uncorrelated,
+        single-column IN conjuncts in top-level WHERE position qualify;
+        the subquery must be group-reduced with a HAVING (the unknown-
+        selectivity signature — without HAVING the key set is the full
+        group-key NDV, which footer stats already size).
+
+        Gate: some OTHER connected base relation must be plan-estimated
+        ≥ SPARK_GRAFT_SEMIJOIN_FACT_MIN (there must be a second big pass
+        to reduce — the certification count is not free at tiny scale).
+        SPARK_GRAFT_IN_KEYSET_REDUCTION=0 disables, =1 forces (static
+        gates skipped; the runtime cap still decides).
+        """
+        env = os.environ.get("SPARK_GRAFT_IN_KEYSET_REDUCTION")
+        if env == "0" or node.where is None or not node.relations:
+            return {}, {}
+        forced = env == "1"
+        fact_min = int(os.environ.get(
+            "SPARK_GRAFT_SEMIJOIN_FACT_MIN", str(64 << 20)))
+        cap = int(os.environ.get(
+            "SPARK_GRAFT_IN_KEYSET_CAP", str(self._IN_KEYSET_CAP)))
+
+        # candidate conjuncts: positive IN over a grouped-HAVING subquery
+        cands: list[ast.InSubquery] = []
+        for conjunct in self._split_conjuncts(node.where):
+            n, neg = conjunct, False
+            while isinstance(n, ast.UnaryOp) and n.op == "not" \
+                    and isinstance(n.operand,
+                                   (ast.InSubquery, ast.ExistsSubquery)):
+                neg = not neg
+                n = n.operand
+            if not isinstance(n, ast.InSubquery) or (n.negated ^ neg):
+                continue
+            sub = n.subquery
+            if not isinstance(sub, ast.SelectNode) or not sub.group_by \
+                    or sub.having is None or sub.limit is not None \
+                    or sub.offset is not None or len(sub.items) != 1 \
+                    or isinstance(sub.items[0].expr, ast.Star):
+                continue
+            if not isinstance(n.operand, ast.ColumnRef):
+                continue
+            cands.append(n)
+        if not cands:
+            return {}, {}
+
+        # flatten the outer inner-join tree of base relations
+        base: list[tuple[ast.Relation, DataFrame]] = []
+        conj_pool: list[ast.Expr] = []
+
+        def flatten(rel: ast.Relation) -> bool:
+            if isinstance(rel, ast.TableRef):
+                df = self._cte_frames.get(rel.name.lower())
+                if df is None:
+                    try:
+                        df = self.catalog.get(rel.name).df
+                    except Exception:
+                        return False
+                base.append((rel, df))
+                return True
+            if isinstance(rel, ast.Join) and rel.kind in ("inner", "cross"):
+                if not (flatten(rel.left) and flatten(rel.right)):
+                    return False
+                if rel.kind == "inner":
+                    conj_pool.extend(self._split_conjuncts(rel.condition))
+                return True
+            return False
+
+        for rel_ast in node.relations:
+            if not flatten(rel_ast):
+                return {}, {}
+        conj_pool.extend(
+            c for c in self._split_conjuncts(node.where)
+            if not self._contains_any_subquery(c)
+            and not self._contains_nondeterministic(c))
+
+        scopes = [Scope([RelationInfo(qualifier="",
+                                      display=(r.alias or r.name
+                                               if isinstance(r, ast.TableRef)
+                                               else ""),
+                                      columns=list(df.columns))])
+                  for r, df in base]
+
+        def owner_of(ref: ast.ColumnRef) -> tuple[int, str] | None:
+            hits = []
+            for i, sc in enumerate(scopes):
+                if self._resolves_in(ref, sc):
+                    hits.append((i, sc.resolve(ref.name, ref.table)[1]))
+            return hits[0] if len(hits) == 1 else None
+
+        # transitive equi-closure over ColumnRef=ColumnRef conjuncts
+        eq_edges: list[tuple[tuple[int, str], tuple[int, str]]] = []
+        for c in conj_pool:
+            if (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                a, b = owner_of(c.left), owner_of(c.right)
+                if a and b and a[0] != b[0]:
+                    eq_edges.append((a, b))
+
+        def closure(seed: tuple[int, str]) -> set[tuple[int, str]]:
+            out = {seed}
+            grew = True
+            while grew:
+                grew = False
+                for a, b in eq_edges:
+                    if a in out and b not in out:
+                        out.add(b)
+                        grew = True
+                    elif b in out and a not in out:
+                        out.add(a)
+                        grew = True
+            return out
+
+        def size_of(df: DataFrame) -> int:
+            try:
+                return int(str(df._jdf.queryExecution().optimizedPlan()
+                               .stats().sizeInBytes()))
+            except Exception:
+                return 1 << 62
+
+        extra: dict[int, list[tuple[list[tuple[str, str]], DataFrame]]] = {}
+        cache: dict[int, tuple[DataFrame, bool]] = {}
+        for n in cands:
+            seed = owner_of(n.operand)
+            if seed is None:
+                continue
+            targets = closure(seed)
+            if not forced:
+                if not any(size_of(base[i][1]) >= fact_min
+                           for i, _ in targets if i != seed[0]):
+                    continue
+            try:
+                # a correlated subquery cannot compile standalone — the
+                # outer-scope reference raises, which is exactly the bail
+                sub_df = self.compile(n.subquery)
+            except Exception:
+                continue
+            if len(sub_df.columns) != 1:
+                continue
+            tag = f"__inks_{next(self._tmp_counter)}"
+            # lazy localCheckpoint: the count below materializes it once;
+            # every reducer and (on fallback) the stock semi join reuse
+            # the pinned partitions. Same executor-loss tradeoff as the
+            # CTE scalar attach (documented there).
+            kdf = (sub_df.select(F.col(_bq(sub_df.columns[0])).alias(tag))
+                   .localCheckpoint(eager=False))
+            try:
+                rows = kdf.count()
+            except Exception:
+                continue
+            width = 16
+            dt = kdf.schema.fields[0].dataType.simpleString()
+            if dt in ("string", "binary"):
+                width = 48  # conservative: header + bytes for id-ish keys
+            certified = rows * width <= cap
+            cache[id(n)] = (kdf, certified)
+            if not certified:
+                continue
+            for i, colname in targets:
+                extra.setdefault(id(base[i][0]), []).append(
+                    ([(colname, tag)], kdf))
+        return extra, cache
+
     # -------------------------------------------------------------- FROM/join
 
     def _compile_relation(
@@ -3604,6 +3811,20 @@ class Compiler:
                 outer_node=outer_node)
             if out is not None:
                 return out
+        cached = getattr(self, "_in_keyset_cache", {}).get(id(node))
+        if cached is not None and not negated:
+            self._in_keyset_cache.pop(id(node), None)
+            kdf, certified = cached
+            if certified:
+                # the scan-level broadcast semi reducers planned by
+                # _plan_in_keyset_reduction already enforce membership at
+                # the operand table's scan (and its equi-connected peers)
+                return df
+            # over the cap: stock shuffle semi, reusing the checkpointed
+            # key set so the certification count wasn't a second pass
+            operand = self.compile_expr(node.operand, scope)
+            return df.join(kdf, operand == F.col(kdf.columns[0]),
+                           "left_semi")
         sub = self.compile(node.subquery)
         if len(sub.columns) != 1:
             # parity: reference raises when IN-subquery has >1 column

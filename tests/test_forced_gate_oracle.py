@@ -57,6 +57,9 @@ def forced(spark):
     # both so the differential actually exercises their plans
     os.environ["SPARK_GRAFT_SINGLE_REL_MAGIC"] = "1"
     os.environ["SPARK_GRAFT_EAGER_AGG"] = "1"
+    # r10: aggregated-IN key-set reduction (its static fact-size gate
+    # never opens at test scale; the runtime cap still decides)
+    os.environ["SPARK_GRAFT_IN_KEYSET_REDUCTION"] = "1"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     eng.analyze()
@@ -77,6 +80,7 @@ def forced(spark):
     os.environ.pop("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", None)
     os.environ.pop("SPARK_GRAFT_SINGLE_REL_MAGIC", None)
     os.environ.pop("SPARK_GRAFT_EAGER_AGG", None)
+    os.environ.pop("SPARK_GRAFT_IN_KEYSET_REDUCTION", None)
 
 
 def test_gate_families_selected():
