@@ -975,8 +975,10 @@ _PRIORITY: list[str] = [
     "events_json_extract", "pipeline_dedup_clusters",
     "tpch_q11_important_stock",
     # r10-plan-changed (this round): q18 HAVING-keyset semi-reduction,
-    # repetition-signals shared-exchange fusion
+    # repetition-signals shared-exchange fusion; plus the NEW r10 JPEG
+    # entry (no driver record exists at all — the most-stale state)
     "tpch_q18_large_volume_customer", "pipeline_text_repetition_signals",
+    "pipeline_multimodal_decode_jpeg",
     # oldest-stale: the 13 r01 records
     "join_inner", "join_left", "join_multiway", "join_right",
     "join_semi_in_subquery", "join_theta", "limit_offset",
@@ -999,9 +1001,9 @@ _PRIORITY: list[str] = [
     "pipeline_ann_cosine_topk", "subquery_correlated_exists_q4",
     "tpch_q6_forecast_revenue", "window_range_frame",
     "window_range_interval", "window_rows_frame",
-    "agg_approx_count_distinct",
     # --- positions 51+: remaining r05 records, then r06, then r09 ---
-    "agg_group_by_ordinal", "events_tumbling_window",
+    "agg_approx_count_distinct", "agg_group_by_ordinal",
+    "events_tumbling_window",
     "pipeline_ann_lsh_bucketed", "pipeline_dedup_exact",
     "pipeline_embedding_near_dup", "pipeline_multimodal_decode_images",
     "pipeline_stateful_dedup", "pipeline_streaming_sessionize",
@@ -1738,6 +1740,27 @@ def _add_pipeline_operators(out: dict) -> None:
                CAST(4 + (doc_id // 16) % 16 AS int) AS height,
                3 AS channels,
                CAST(doc_id % 256 AS double) AS mean_pixel
+        FROM documents
+    """
+
+    # REAL baseline-JPEG decode path (r10): synthesize an actual
+    # grayscale baseline-DCT JPEG per doc_id (Annex-K Huffman + quant
+    # tables, constant blocks with even level-shifted values quantize
+    # losslessly), decode through the full marker-parse + Huffman +
+    # dequantize + IDCT pipeline — the oracle recomputes the closed
+    # form, so a bit-reader, zigzag, or IDCT bug breaks the hash match
+    def decode_jpeg_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        blobs = multimodal.synthesize_jpeg_blobs(_docs(spark, sf_dir))
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_jpeg"] = decode_jpeg_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_jpeg"] = """
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 4) AS int) AS width,
+               CAST(8 * (1 + (doc_id // 4) % 4) AS int) AS height,
+               1 AS channels,
+               CAST(2 * (doc_id % 64) + 128 AS double) AS mean_pixel
         FROM documents
     """
 

@@ -547,6 +547,7 @@ def connected_components(
     max_iterations: int = 20,
     stats: dict | None = None,
     local_threshold: int = 2_000_000,
+    local_bytes_budget: int = 64 << 20,
 ) -> DataFrame:
     """Connected components over near-duplicate pairs → (id, component)
     with ``component`` = min member id.
@@ -560,10 +561,16 @@ def connected_components(
     path-compressed union-find — the distributed loop below costs 2 Spark
     jobs per pointer-jumping round, which on a small graph is pure
     scheduling floor (a 10-round solve is ~20 scheduling round-trips for
-    milliseconds of actual work). 2M pairs is ~32 MB of longs on the
-    driver, the same budget the estimator allows a broadcast side; a
-    100 TB corpus's near-dup graph blows past it and takes the distributed
-    path. ``local_threshold=0`` forces distributed.
+    milliseconds of actual work). The cap is BYTE-aware (r10): long ids
+    cost 16 B/pair, but string doc ids land on the driver as Python
+    objects (~56 B overhead each plus the characters), so the admission
+    estimate is measured from the pairs themselves — for string/binary
+    ids the counting job also sums id lengths, and the local path runs
+    only when ``pairs ≤ local_threshold`` (numpy time) AND estimated
+    driver bytes ≤ ``local_bytes_budget`` (64 MB default — the same
+    order the estimator allows a broadcast side). A 100 TB corpus's
+    near-dup graph blows past both and takes the distributed path.
+    ``local_threshold=0`` forces distributed.
 
     Distributed path: each round combines min-label propagation (every
     node adopts the smallest label among itself and its neighbors) with
@@ -575,8 +582,20 @@ def connected_components(
     """
     pairs_sel = pairs.select(F.col(id_a).alias("src"),
                              F.col(id_b).alias("dst")).persist()
-    n_pairs = pairs_sel.count()
-    if n_pairs <= local_threshold:
+    id_dt = pairs_sel.schema["src"].dataType.simpleString()
+    if id_dt in ("string", "binary"):
+        # same single job as the plain count, plus the byte evidence the
+        # admission decision needs: chars + per-object driver overhead
+        row = pairs_sel.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length("src") + F.length("dst")).alias("chars"),
+        ).collect()[0]
+        n_pairs = row["n"]
+        est_bytes = int(row["chars"] or 0) + n_pairs * 2 * 56
+    else:
+        n_pairs = pairs_sel.count()
+        est_bytes = n_pairs * 16
+    if n_pairs <= local_threshold and est_bytes <= local_bytes_budget:
         try:
             return _connected_components_local(pairs_sel, stats)
         finally:

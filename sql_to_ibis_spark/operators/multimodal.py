@@ -126,11 +126,14 @@ def decode_images(
                     w, h, c, mean = decode_bmp(data)
                 elif data[:8] == _PNG_MAGIC:
                     w, h, c, mean = decode_png(data)
+                elif data[:2] == b"\xff\xd8":
+                    w, h, c, mean = decode_jpeg_gray(data)
                 elif not use_stub_decoder:
                     raise NotImplementedError(
-                        "only BMP and 8-bit RGB/RGBA PNG decode without an "
-                        "external codec in this environment; pass "
-                        "use_stub_decoder=True or plug a real decoder here"
+                        "only BMP, 8-bit RGB/RGBA PNG, and baseline "
+                        "grayscale JPEG decode without an external codec "
+                        "in this environment; pass use_stub_decoder=True "
+                        "or plug a real decoder here"
                     )
                 else:
                     # deterministic fake from the byte length (closed form,
@@ -326,6 +329,329 @@ def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 w, h, v = 4 + i % 16, 4 + (i // 16) % 16, i % 256
                 px = np.full((h, w, 3), v, dtype=np.uint8)
                 blobs.append(encode_png(px, filter_type=i % 3))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+# ------------------------------------------------- baseline JPEG (real, r10)
+# Pure-numpy baseline-DCT grayscale JPEG (ITU T.81): spec Annex K
+# luminance Huffman + quantization tables, orthonormal 8×8 DCT by matrix
+# multiply, DC differential coding, AC run-length/size coding, byte
+# stuffing. Closes the "real codec" gap for the multimodal column story
+# without external libraries; color/progressive plug in behind the same
+# decode_images contract.
+
+# Annex K.1 luminance quantization table (zigzag order applied at use)
+_JPEG_QTAB = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+# Annex K.3: luminance DC — BITS (codes per length 1..16) and HUFFVAL
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+# Annex K.5: luminance AC
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+_JPEG_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def _jpeg_dct_matrix() -> "np.ndarray":
+    x = np.arange(8)
+    u = x.reshape(-1, 1)
+    m = np.cos((2 * x + 1) * u * np.pi / 16)
+    m *= np.sqrt(2.0 / 8.0)
+    m[0] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman per T.81 C.2: symbol -> (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(size, amplitude bits) per T.81 F.1.2.1: negative values encode
+    as value-1 in `size` low bits."""
+    if v == 0:
+        return 0, 0
+    size = int(v if v > 0 else -v).bit_length()
+    amp = v if v >= 0 else v - 1
+    return size, amp & ((1 << size) - 1)
+
+
+def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
+    """Baseline-DCT grayscale JPEG from a uint8 (h, w) array; h and w
+    must be multiples of 8 (no edge replication — fixture codec)."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    m = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    zz = _JPEG_ZIGZAG
+    qflat = _JPEG_QTAB.reshape(-1)[zz]
+
+    bw = _BitWriter()
+    prev_dc = 0
+    shifted = pixels.astype(np.float64) - 128.0
+    for by in range(0, h, 8):
+        for bx in range(0, w, 8):
+            block = shifted[by:by + 8, bx:bx + 8]
+            coef = m @ block @ m.T
+            q = np.round(coef.reshape(-1)[zz] / qflat).astype(np.int64)
+            diff = int(q[0]) - prev_dc
+            prev_dc = int(q[0])
+            size, amp = _jpeg_magnitude(diff)
+            code, ln = dc_codes[size]
+            bw.write(code, ln)
+            if size:
+                bw.write(amp, size)
+            run = 0
+            nz = np.nonzero(q[1:])[0]
+            last = nz[-1] + 1 if len(nz) else 0
+            for i in range(1, last + 1):
+                v = int(q[i])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                size, amp = _jpeg_magnitude(v)
+                code, ln = ac_codes[(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(amp, size)
+                run = 0
+            if last < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qflat))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([1, 1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out)
+            + b"\xff\xd9")
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # unstuff
+                else:
+                    b = 0  # hit a marker — pad (EOI follows valid data)
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return out
+
+
+def _jpeg_extend(amp: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if amp < (1 << (size - 1)):
+        return amp - (1 << size) + 1
+    return amp
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
+    """Parse + Huffman-decode + dequantize + IDCT a baseline grayscale
+    JPEG; returns (width, height, channels, mean_pixel). Only the subset
+    this module's encoder emits (single component, no restart markers) —
+    the documented plug point covers everything else."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtab = None
+    w = h = None
+    dc_lookup: dict[tuple[int, int], int] = {}
+    ac_lookup: dict[tuple[int, int], int] = {}
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        payload = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            qtab = np.frombuffer(payload[1:65], dtype=np.uint8
+                                 ).astype(np.int64)
+        elif marker == 0xC0:
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            if payload[5] != 1:
+                raise NotImplementedError(
+                    "only single-component (grayscale) baseline JPEG "
+                    "decodes here; plug libjpeg for color")
+        elif marker == 0xC4:
+            tc_th = payload[0]
+            bits = list(payload[1:17])
+            vals = list(payload[17:17 + sum(bits)])
+            table = {(c, l): s for s, (c, l) in
+                     _huff_codes(bits, vals).items()}
+            if tc_th >> 4 == 0:
+                dc_lookup = table
+            else:
+                ac_lookup = table
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError(
+                "extended/progressive JPEG is a documented plug point")
+        elif marker == 0xDA:
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if qtab is None or w is None or scan_start is None:
+        raise ValueError("truncated JPEG")
+    br = _BitReader(data[scan_start:])
+
+    def huff_read(table: dict[tuple[int, int], int]) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman stream")
+
+    m = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    total = 0.0
+    prev_dc = 0
+    blocks_y, blocks_x = h // 8, w // 8
+    for _ in range(blocks_y * blocks_x):
+        q = np.zeros(64, dtype=np.int64)
+        size = huff_read(dc_lookup)
+        prev_dc += _jpeg_extend(br.read(size), size) if size else 0
+        q[0] = prev_dc
+        i = 1
+        while i < 64:
+            sym = huff_read(ac_lookup)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i >= 64:
+                raise ValueError("AC index overflow")
+            q[i] = _jpeg_extend(br.read(size), size)
+            i += 1
+        coef = np.zeros(64, dtype=np.float64)
+        coef[zz] = q * qtab
+        block = m.T @ coef.reshape(8, 8) @ m
+        total += float(np.clip(np.round(block + 128.0), 0, 255).sum())
+    return w, h, 1, total / (w * h)
+
+
+def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL baseline JPEG per row from its
+    id: width = 8 × (1 + id % 4), height = 8 × (1 + (id // 4) % 4), all
+    pixels = 2 × (id % 64) + 128. Constant blocks with an even level-
+    shifted value quantize exactly (DC = 8·v′, q₀₀ = 16 ⇒ lossless
+    roundtrip), so after decode width/height/mean_pixel equal those
+    closed forms and the oracle can hash-check the full Huffman + DCT
+    path end to end."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt = 8 * (1 + i % 4), 8 * (1 + (i // 4) % 4)
+                v = 2 * (i % 64) + 128
+                px = np.full((hgt, w), v, dtype=np.uint8)
+                blobs.append(encode_jpeg_gray(px))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

@@ -52,6 +52,16 @@ def get_spark(app_name: str = "sql_to_ibis_spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # keep timestamps deterministic across engines/oracles
         .config("spark.sql.session.timeZone", "UTC")
+        # Spark still DEFAULTS to the deprecated INT96 parquet timestamp
+        # encoding, which carries NO min/max statistics — every sink the
+        # engine writes (snapshots, z-ordered layouts, sized writes)
+        # would produce timestamp columns that no reader can footer- or
+        # row-group-prune. TIMESTAMP_MICROS is the modern INT64 form
+        # with full statistics (and what the driver's own testdata
+        # uses). Found via the r10 shipdate-clustering A/B: the
+        # clustered snapshot showed 1.00 footer admission because the
+        # INT96 shipdate had no stats to prune on.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # parquet TIMESTAMP(NANOS) is otherwise unreadable; sources/readers.py
         # converts the long nanos back to TimestampType JVM-side
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -279,6 +279,20 @@ def file_prune_fraction(path: str, col: str, value) -> float:
                 break
         if not usable or lo is None:
             hit += 1
-        elif lo <= value <= hi:
+            continue
+        # normalize datetime comparability: parquet TIMESTAMP stats come
+        # back tz-aware (UTC) from pyarrow while probes are often naive
+        # dates/datetimes — the session pins UTC, so stripping tzinfo
+        # (and widening a date probe to midnight) compares correctly
+        import datetime as _dt
+        v = value
+        if isinstance(lo, _dt.datetime):
+            if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                v = _dt.datetime(v.year, v.month, v.day)
+            lo = lo.replace(tzinfo=None)
+            hi = hi.replace(tzinfo=None)
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                v = v.replace(tzinfo=None)
+        if lo <= v <= hi:
             hit += 1
     return hit / len(files)

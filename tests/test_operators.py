@@ -304,6 +304,30 @@ def test_connected_components_local_string_ids(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_connected_components_byte_budget_forces_distributed(spark):
+    """r10: the local-solve admission is byte-aware — wide string ids
+    must take the distributed path even when the PAIR count is tiny
+    (2M long pairs ≈ 32 MB, but 2M wide-string pairs can be 10× that
+    on the driver), and both paths must agree."""
+    from sql_to_ibis_spark.operators import dedup
+
+    wide = [("doc_" + "x" * 200 + str(i), "doc_" + "x" * 200 + str(i + 1))
+            for i in range(50)]
+    pairs = spark.createDataFrame(wide, "id_a: string, id_b: string")
+    s_forced: dict = {}
+    # 50 pairs × ~(400 chars + 112 B overhead) ≫ a 1 KB budget
+    forced = {(r["id"], r["component"])
+              for r in dedup.connected_components(
+                  pairs, stats=s_forced, local_bytes_budget=1024).collect()}
+    assert s_forced["mode"] == "distributed"
+    s_local: dict = {}
+    local = {(r["id"], r["component"])
+             for r in dedup.connected_components(
+                 pairs, stats=s_local).collect()}
+    assert s_local["mode"] == "local"
+    assert forced == local
+
+
 def test_dedup_clusters_end_to_end(spark):
     from sql_to_ibis_spark.operators import dedup
 
@@ -920,3 +944,65 @@ def test_take_token_budget_matches_single_window(spark):
     total = sum(r[1] for r in a)
     boundary = max(a, key=lambda r: r[2])
     assert total >= 100 and total - boundary[1] < 100
+
+
+def test_jpeg_roundtrip_constant_blocks_exact():
+    """Constant blocks with even level-shifted values quantize exactly
+    (DC = 8·v′, q00 = 16): the full Huffman + DCT roundtrip must be
+    LOSSLESS on the fixture family the oracle entry uses."""
+    import numpy as np
+
+    for i in (0, 3, 17, 63, 130, 255):
+        w, h = 8 * (1 + i % 4), 8 * (1 + (i // 4) % 4)
+        v = 2 * (i % 64) + 128
+        blob = multimodal.encode_jpeg_gray(
+            np.full((h, w), v, dtype=np.uint8))
+        dw, dh, c, mean = multimodal.decode_jpeg_gray(blob)
+        assert (dw, dh, c) == (w, h, 1)
+        assert mean == float(v)
+
+
+def test_jpeg_structured_content_lossy_but_close():
+    """Non-constant images exercise AC coefficients, run-lengths, ZRL
+    and EOB; baseline JPEG is lossy, so assert bounded mean error."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for shape in ((8, 8), (16, 24), (32, 32)):
+        px = rng.integers(0, 256, shape).astype(float)
+        for _ in range(3):  # smooth so quantization error is bounded
+            px = (np.roll(px, 1, 0) + np.roll(px, -1, 0)
+                  + np.roll(px, 1, 1) + np.roll(px, -1, 1) + px) / 5
+        px = np.clip(px, 0, 255).astype(np.uint8)
+        w, h, c, mean = multimodal.decode_jpeg_gray(
+            multimodal.encode_jpeg_gray(px))
+        assert (w, h, c) == (shape[1], shape[0], 1)
+        assert abs(mean - px.mean()) < 1.0
+
+
+def test_jpeg_rejects_unsupported():
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(b"\x00\x11not a jpeg")
+    with pytest.raises(ValueError):
+        multimodal.encode_jpeg_gray(np.zeros((7, 8), np.uint8))  # non-×8
+    # progressive SOF2 must raise, not mis-decode
+    blob = bytearray(multimodal.encode_jpeg_gray(
+        np.zeros((8, 8), np.uint8)))
+    sof = blob.find(b"\xff\xc0")
+    blob[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_jpeg_gray(bytes(blob))
+
+
+def test_jpeg_decode_distributed(spark, docs):
+    synth = multimodal.synthesize_jpeg_blobs(docs.limit(64))
+    out = multimodal.decode_images(synth).collect()
+    assert len(out) == 64
+    for r in out:
+        i = r["doc_id"]
+        assert r["width"] == 8 * (1 + i % 4)
+        assert r["height"] == 8 * (1 + (i // 4) % 4)
+        assert r["channels"] == 1
+        assert r["mean_pixel"] == float(2 * (i % 64) + 128)
