@@ -128,12 +128,15 @@ def with_zorder_key(
     str_bounds: dict[int, object] = {}
     if string_idx:
         # One shared Bernoulli sample sized for ~sample_per_bucket values
-        # per bucket (the RangePartitioner recipe). The count() is cheap
-        # for parquet-backed inputs (footer metadata) and the sample is a
-        # map-only scan of just the clustered string columns.
+        # per bucket (the RangePartitioner recipe). The count runs on the
+        # SOURCE frame, not `keyed` — same row count, but for parquet
+        # inputs Catalyst folds count(*) to footer metadata, while the
+        # derived __zq_ projections would force a scan (r9 verdict nit).
+        # The sample itself is a map-only scan of just the clustered
+        # string columns.
         scols = [f"__zq_{i}" for i in string_idx]
         want = n_buckets * sample_per_bucket
-        total = keyed.count()
+        total = df.count()
         frac = min(1.0, (want * 1.5) / max(total, 1))
         rows = keyed.select(*scols).sample(False, frac, seed=42).collect()
         for i in string_idx:
