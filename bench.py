@@ -88,6 +88,8 @@ HEADLINE = [
     "subquery_exists_in_select", "agg_corr_regr",
     # round 7: total-over-groups rewrite surface
     "agg_share_of_total",
+    # round 10: real baseline-JPEG decode entry
+    "pipeline_multimodal_decode_jpeg",
 ]
 
 

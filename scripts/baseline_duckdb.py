@@ -35,6 +35,7 @@ NONCOMPARABLE = {
     "pipeline_ann_ivf_nprobe",
     "pipeline_multimodal_decode_images",
     "pipeline_multimodal_decode_bmp",
+    "pipeline_multimodal_decode_jpeg",
     "pipeline_dedup_minhash_lsh",
     "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_clusters",
