@@ -240,19 +240,33 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
                        F.col("__g.g").alias("ngram"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    # argmax via max(struct(cnt, ngram)): same winner and tie-break as
-    # the oracle's ORDER BY cnt DESC, ngram DESC window, but as a
-    # partial-agg aggregation instead of a per-doc sort
-    is_bi = (F.col("__n") == 2) & F.col("ngram").isNotNull()
-    is_tri = F.col("__n") == 3
+    # Final per-doc reduction, split by family over the SAME level-1
+    # aggregate (the filters sit above a canonically identical subtree,
+    # so the exchange is planned once and reused): the bigram argmax
+    # needs max(struct(cnt, ngram)) — a sort-based aggregate, since
+    # neither struct nor string max fits HashAggregate's fixed-width
+    # buffers — and fusing the trigram sums into that aggregate dragged
+    # previously hash-aggregated work into the sort (measured +68% at
+    # sf1). Split, the sort covers only bigram rows, the trigram
+    # sums stay a HashAggregate, and both branch outputs are hash-
+    # partitioned on the same (doc, nchars) keys so the recombining
+    # left join needs no further exchange. Tie-break matches the
+    # oracle's ORDER BY cnt DESC, ngram DESC.
+    bi_top = (
+        counts.filter(F.col("__n") == 2)  # null-ngram marker rows ride
+        .groupBy(id_col, "__nchars")      # along to keep short docs
+        .agg(F.max(F.when(F.col("ngram").isNotNull(),
+                          F.struct(F.col("cnt"), F.col("ngram"))))
+             .alias("__top"))
+    )
+    tri_stats = (
+        counts.filter(F.col("__n") == 3)
+        .groupBy(id_col, "__nchars")
+        .agg(F.sum("cnt").alias("__tri_total"),
+             F.count(F.lit(1)).alias("__tri_distinct"))
+    )
     return (
-        counts.groupBy(id_col, "__nchars")
-        .agg(
-            F.max(F.when(is_bi, F.struct(F.col("cnt"), F.col("ngram"))))
-            .alias("__top"),
-            F.sum(F.when(is_tri, F.col("cnt"))).alias("__tri_total"),
-            F.count(F.when(is_tri, F.lit(1))).alias("__tri_distinct"),
-        )
+        bi_top.join(tri_stats, [id_col, "__nchars"], "left")
         .select(
             F.col(id_col),
             F.col("__top.ngram").alias("top_bigram"),
