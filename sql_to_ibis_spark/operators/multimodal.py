@@ -127,7 +127,17 @@ def decode_images(
                 elif data[:8] == _PNG_MAGIC:
                     w, h, c, mean = decode_png(data)
                 elif data[:2] == b"\xff\xd8":
-                    w, h, c, mean = decode_jpeg_gray(data)
+                    try:
+                        w, h, c, mean = decode_jpeg_gray(data)
+                    except NotImplementedError:
+                        # color / progressive / arithmetic JPEG — honor the
+                        # caller's explicit stub request instead of raising
+                        if not use_stub_decoder:
+                            raise
+                        w = 16 + (len(data) % 64)
+                        h = 16 + ((len(data) // 64) % 64)
+                        c = 3
+                        mean = (len(data) % 251) / 7.0
                 elif not use_stub_decoder:
                     raise NotImplementedError(
                         "only BMP, 8-bit RGB/RGBA PNG, and baseline "
@@ -513,17 +523,31 @@ class _BitReader:
         self.pos = 0
         self.acc = 0
         self.nbits = 0
+        # sticky end-of-entropy flag: once a marker (or end of buffer) is
+        # hit we keep returning pad bits instead of re-reading the marker
+        # byte as literal data — corrupt/foreign streams get clean padding,
+        # never an IndexError past end-of-buffer
+        self.eos = False
 
     def read(self, n: int) -> int:
         while self.nbits < n:
-            b = self.data[self.pos]
-            self.pos += 1
-            if b == 0xFF:
-                nxt = self.data[self.pos]
-                if nxt == 0x00:
-                    self.pos += 1  # unstuff
-                else:
-                    b = 0  # hit a marker — pad (EOI follows valid data)
+            if self.eos or self.pos >= len(self.data):
+                self.eos = True
+                b = 0
+            else:
+                b = self.data[self.pos]
+                self.pos += 1
+                if b == 0xFF:
+                    nxt = (self.data[self.pos]
+                           if self.pos < len(self.data) else None)
+                    if nxt == 0x00:
+                        self.pos += 1  # unstuff
+                    else:
+                        # marker (EOI/RST/…) — do NOT consume it; pad from
+                        # here on (EOI follows valid data)
+                        self.pos -= 1
+                        self.eos = True
+                        b = 0
             self.acc = (self.acc << 8) | b
             self.nbits += 8
         out = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)

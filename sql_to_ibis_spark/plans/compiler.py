@@ -218,6 +218,52 @@ class Compiler:
     def compile(
         self, node: ast.SelectNode | ast.SetOpNode | ast.WithNode
     ) -> DataFrame:
+        # _in_keyset_cache entries are keyed by id() of live AST nodes and
+        # normally consumed during _apply_where; scope them to ONE top-level
+        # compile so an aborted compile (exception between planning and
+        # WHERE) cannot leave a stale entry that a later query's recycled
+        # node address would falsely hit (and, with certified=True, silently
+        # skip its IN predicate). Also bounds the checkpoint-block footprint.
+        self._compile_depth = getattr(self, "_compile_depth", 0) + 1
+        try:
+            return self._compile_dispatch(node)
+        finally:
+            self._compile_depth -= 1
+            if self._compile_depth == 0:
+                self.__dict__.pop("_in_keyset_cache", None)
+
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Pin a bounded intermediate frame for reuse across plan branches.
+
+        ``SPARK_GRAFT_PIN_MODE`` selects the durability contract:
+
+        - ``checkpoint`` (default): ``localCheckpoint(eager=False)`` —
+          truncates lineage so AQE canonical-plan matching reuses ONE
+          materialization across branches; blocks live on executor-local
+          storage, so losing an executor mid-query fails the query rather
+          than recomputing.
+        - ``persist``: ``persist(MEMORY_AND_DISK)`` — keeps lineage (an
+          executor loss recomputes the lost partitions), at the cost of
+          AQE exchange reuse below the persist point (the CTE-attach
+          subtree may execute twice).
+
+        Both sites that call this pin group-reduced/keyset frames that are
+        small by construction (bounded by the reducer caps).
+        """
+        mode = os.environ.get("SPARK_GRAFT_PIN_MODE", "checkpoint").lower()
+        if mode == "persist":
+            from pyspark import StorageLevel
+
+            return df.persist(StorageLevel.MEMORY_AND_DISK)
+        if mode != "checkpoint":
+            raise ValueError(
+                f"SPARK_GRAFT_PIN_MODE must be 'checkpoint' or 'persist', "
+                f"got {mode!r}")
+        return df.localCheckpoint(eager=False)
+
+    def _compile_dispatch(
+        self, node: ast.SelectNode | ast.SetOpNode | ast.WithNode
+    ) -> DataFrame:
         if isinstance(node, ast.ShowTablesNode):
             return self.spark.createDataFrame(
                 [(n,) for n in sorted(self.catalog.names())],
@@ -3064,8 +3110,8 @@ class Compiler:
             # every reducer and (on fallback) the stock semi join reuse
             # the pinned partitions. Same executor-loss tradeoff as the
             # CTE scalar attach (documented there).
-            kdf = (sub_df.select(F.col(_bq(sub_df.columns[0])).alias(tag))
-                   .localCheckpoint(eager=False))
+            kdf = self._pin(
+                sub_df.select(F.col(_bq(sub_df.columns[0])).alias(tag)))
             try:
                 rows = kdf.count()
             except Exception:
@@ -3123,7 +3169,9 @@ class Compiler:
                     # execution; a persist(MEMORY_AND_DISK) would keep
                     # lineage but NOT restore AQE exchange reuse here
                     # (canonical-plan mismatch is below the persist point).
-                    base = cte.localCheckpoint(eager=False)
+                    # SPARK_GRAFT_PIN_MODE=persist opts into that contract
+                    # (see _pin).
+                    base = self._pin(cte)
                     totals = base.agg(*[c.alias(t) for t, c in attached])
                     frame = base.crossJoin(F.broadcast(totals))
                 reduced = self._apply_semi_reduction(rel, frame)

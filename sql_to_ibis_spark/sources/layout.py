@@ -289,13 +289,23 @@ def file_prune_fraction(path: str, col: str, value) -> float:
         # (and widening a date probe to midnight) compares correctly
         import datetime as _dt
         v = value
+        v_end = None
         if isinstance(lo, _dt.datetime):
             if isinstance(v, _dt.date) and not isinstance(v, _dt.datetime):
+                # a date probe means the whole day: the interval
+                # [midnight, next midnight) — a file whose range starts
+                # after 00:00 but inside the day still contains rows on
+                # that date and must count as a hit
+                v_end = _dt.datetime(v.year, v.month, v.day) \
+                    + _dt.timedelta(days=1)
                 v = _dt.datetime(v.year, v.month, v.day)
             lo = lo.replace(tzinfo=None)
             hi = hi.replace(tzinfo=None)
             if isinstance(v, _dt.datetime) and v.tzinfo is not None:
                 v = v.replace(tzinfo=None)
-        if lo <= v <= hi:
+        if v_end is not None:
+            if lo < v_end and hi >= v:  # range overlaps [v, v_end)
+                hit += 1
+        elif lo <= v <= hi:
             hit += 1
     return hit / len(files)
