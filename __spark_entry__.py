@@ -962,52 +962,47 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # (dict order). ROTATION POLICY (r7+): each round the window leads with
 # entries whose PLANS changed since their last driver record, then the
 # longest-stale remainder (last-record round computed from
-# CORRECTNESS_r0*.json; after r9: 13×r01, 4×r03, 18×r04, 19×r05, 50×r06,
-# 50×r09). The full 154-entry local oracle run (scripts/check_oracle.py,
+# CORRECTNESS_r0*.json; after r10: 11×r05, 45×r06, 49×r09, 50×r10). The
+# full 155-entry local oracle run (scripts/check_oracle.py,
 # recorded per-round) is the safety net for everything past position 50.
 _PRIORITY: list[str] = [
     # --- driver window (50) ---
-    # r9-plan-changed entries whose latest driver record predates r9:
-    # single-rel magic (q2/q17), single-pass BM25, two-phase NOT-EXISTS,
-    # parse-per-distinct fixes, local CC solve, scalar-total merge (q11)
-    "tpch_q2_minimum_cost_supplier", "subquery_correlated_scalar_q17",
-    "pipeline_text_bm25", "subquery_correlated_not_exists",
-    "events_json_extract", "pipeline_dedup_clusters",
-    "tpch_q11_important_stock",
-    # r10-plan-changed (this round): q18 HAVING-keyset semi-reduction,
-    # repetition-signals shared-exchange fusion; plus the NEW r10 JPEG
-    # entry (no driver record exists at all — the most-stale state)
-    "tpch_q18_large_volume_customer", "pipeline_text_repetition_signals",
-    "pipeline_multimodal_decode_jpeg",
-    # oldest-stale: the 13 r01 records
-    "join_inner", "join_left", "join_multiway", "join_right",
-    "join_semi_in_subquery", "join_theta", "limit_offset",
-    "order_by_multi_key", "select_alias_expr", "select_distinct",
-    "select_project", "select_star", "top_k",
-    # the 4 r03 records
-    "events_funnel_share", "events_user_daily",
-    "pipeline_sample_stratified", "pipeline_skew_salted_join",
-    # the 17 remaining r04 records
-    "agg_percentile", "cte_chained", "pipeline_doc_fingerprint",
-    "pipeline_multimodal_audio_rms", "pipeline_multimodal_blob_dedup",
-    "pipeline_multimodal_blob_metadata", "pipeline_multimodal_decode_bmp",
-    "pipeline_sample_top_n_per_key", "pipeline_skew_salted_count",
-    "pipeline_split_train_eval", "pipeline_text_chunk_documents",
-    "pipeline_text_language_id", "pipeline_text_redact_pii",
-    "pipeline_text_term_frequencies", "subquery_from_nested",
-    "subquery_join", "subquery_scalar",
-    # r05 records to fill the window (ann_cosine_topk leads — its
-    # similarity contract changed in r7 without a fresh record)
-    "pipeline_ann_cosine_topk", "subquery_correlated_exists_q4",
-    "tpch_q6_forecast_revenue", "window_range_frame",
-    "window_range_interval", "window_rows_frame",
-    # --- positions 51+: remaining r05 records, then r06, then r09 ---
+    # r11-plan-touched: q18 (keyset compile path refactored to _pin +
+    # per-compile cache scoping), q15 (CTE-attach pin refactor),
+    # repetition-signals (plan re-measured/iterated this round), JPEG
+    # decode (BitReader marker handling rewritten)
+    "tpch_q18_large_volume_customer", "tpch_q15_top_supplier",
+    "pipeline_text_repetition_signals", "pipeline_multimodal_decode_jpeg",
+    # oldest-stale: the 11 entries whose latest driver record is r05
     "agg_approx_count_distinct", "agg_group_by_ordinal",
-    "events_tumbling_window",
-    "pipeline_ann_lsh_bucketed", "pipeline_dedup_exact",
-    "pipeline_embedding_near_dup", "pipeline_multimodal_decode_images",
-    "pipeline_stateful_dedup", "pipeline_streaming_sessionize",
-    "pipeline_streaming_sliding", "pipeline_streaming_tumbling",
+    "events_tumbling_window", "pipeline_ann_lsh_bucketed",
+    "pipeline_dedup_exact", "pipeline_embedding_near_dup",
+    "pipeline_multimodal_decode_images", "pipeline_stateful_dedup",
+    "pipeline_streaming_sessionize", "pipeline_streaming_sliding",
+    "pipeline_streaming_tumbling",
+    # r06-dated entries filling the window (alphabetical)
+    "agg_corr_regr", "date_extract", "date_functions",
+    "distinct_on_latest_event", "embeddings_unnest_dims",
+    "group_cube_grouping", "group_grouping_sets", "group_rollup",
+    "join_asof_sql", "pipeline_ann_ivf", "pipeline_ann_ivf_nprobe",
+    "pipeline_containment", "pipeline_curate_documents",
+    "pipeline_decontaminate", "pipeline_dedup_lines",
+    "pipeline_dedup_minhash_lsh", "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_simhash", "pipeline_pack_sequences",
+    "pipeline_streaming_interval_join", "pipeline_take_token_budget",
+    "pipeline_temporal_asof_join", "pipeline_temporal_range_join",
+    "pipeline_text_bpe_tokens", "pipeline_text_quality_score",
+    "pipeline_text_token_stats", "pipeline_text_unigram_logprob",
+    "pivot_event_type", "scalar_now_today_projection",
+    "scalar_today_pinned_filter", "string_ansi_forms", "string_functions",
+    "subquery_exists_in_select", "subquery_quantified_all_correlated",
+    "subquery_quantified_any_grouped",
+    # --- positions 51+: the 10 remaining r06 records (re-verified by the
+    # full local oracle run), then r09/r10 ---
+    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "unpivot_order_measures", "window_named", "window_ntile",
+    "window_qualify_topn", "window_rank_dense_rank", "window_row_number",
 ]
 
 
