@@ -5,6 +5,8 @@ run at full whole-stage-codegen speed over any corpus size.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -171,7 +173,8 @@ def term_frequencies(
 
 
 def repetition_signals(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       plan: str | None = None) -> DataFrame:
     """Repetition-based quality signals (the Gopher/MassiveText filter
     family, recomputed from the published definitions): per document,
 
@@ -183,29 +186,55 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     * ``top_bigram`` — the argmax 2-gram itself (ties broken by descending
       lexicographic order so the result is engine-deterministic).
 
-    Scale shape (r10 fusion — largest absolute text entry, 22.7 s at
-    sf10 pre-fusion): the 2-gram and 3-gram families share ONE
-    tokenization and ONE aggregation exchange. The token array is
-    sliced into 3 shifted views and exploded once per position
-    (``explode_outer`` keeps empty docs as a marker row); each position
-    row then fans out to an ``(n, ngram)`` pair per family through a
-    2-element struct-array explode — plain codegen end to end, no HOFs.
-    (The obvious transform(sequence(...), i -> array_join(slice...))
-    formulation is an interpreted HOF: measured 15.4 s at sf0.1 vs
-    0.2 s for the slice shape; the token array gets its OWN projection
-    because generators get no common-subexpression elimination, so
-    inlining the regex would re-run it per slice — measured 14×
-    slower.) One partial-aggregated ``groupBy(doc, n, ngram)`` carries
-    per-partition-distinct n-grams of BOTH families through a single
-    shuffle; one ``groupBy(doc)`` with conditional aggregates derives
-    the bigram argmax and the trigram dup fraction together. The
-    marker row makes short docs survive aggregation, so the pre-fusion
-    restore joins (and their exchanges) are gone: 4 shuffles + 2 joins
-    → 2 shuffles, and the corpus is tokenized once instead of twice.
-    No Python anywhere in the row path.
+    Scale shape (r11 ``docpart`` plan — default): each source row is a
+    WHOLE document, so one ``repartition(doc_id)`` of the raw corpus is
+    the only shuffle in the operator — it moves ~1× corpus bytes, where
+    shuffling the level-1 n-gram counts (the earlier ``split``/``fused``
+    shapes) carries every per-doc-distinct bigram+trigram string, ~4-5×
+    corpus. ``HashPartitioning(doc)`` satisfies ClusteredDistribution
+    for every downstream ``groupBy`` keyed on doc, so tokenization, the
+    level-1 count aggregate, and the fused level-2 aggregate all run
+    partition-local with zero further exchanges and no join. Measured
+    (local[32], interleaved A/B): sf1 docpart 1.50 s vs split 5.25 s vs
+    fused 6.9 s; sf10 6.0 s vs 18.1 s vs 32.3 s.
+
+    Tokenization detail: the token array is sliced into 3 shifted views
+    and exploded once per position (``explode_outer`` keeps empty docs
+    as a marker row); each position row fans out to an ``(n, ngram)``
+    pair per family through a 2-element struct-array explode — plain
+    codegen end to end, no HOFs. (The obvious
+    transform(sequence(...), i -> array_join(slice...)) formulation is
+    an interpreted HOF: measured 15.4 s at sf0.1 vs 0.2 s for the slice
+    shape; the token array gets its OWN projection because generators
+    get no common-subexpression elimination, so inlining the regex
+    would re-run it per slice — measured 14× slower.) The marker row
+    makes short docs survive aggregation. Under docpart the level-2
+    reduction MUST be the fused single aggregate: the join-based split
+    sits directly on the doc-partitioned subtree with no exchange
+    between its branches, and the isnotnull filters pushed into one
+    branch break AQE canonical matching — the corpus would be scanned
+    and tokenized twice, with the doc-level tri frame broadcast (not
+    scale-safe). No Python anywhere in the row path.
     """
+    plan = plan or os.environ.get("SPARK_GRAFT_REPETITION_PLAN", "docpart")
+    if plan not in ("docpart", "split", "fused"):
+        raise ValueError(
+            f"SPARK_GRAFT_REPETITION_PLAN must be docpart|split|fused, "
+            f"got {plan!r}")
     t = normalized_text(F.col(text_col))
     toks = F.split(t, " ")
+
+    if plan == "docpart":
+        # ONE exchange, of the RAW corpus: each source row is a whole
+        # document, so hash-partitioning by doc_id BEFORE tokenization
+        # shuffles ~1× corpus bytes, while exchanging the level-1 n-gram
+        # counts (the split/fused shapes) carries ~4-5× corpus (every
+        # per-doc-distinct bigram+trigram string). HashPartitioning(doc)
+        # satisfies ClusteredDistribution for every downstream groupBy
+        # whose keys include doc_id, so the level-1 agg, both level-2
+        # aggs, and the recombining join all plan WITHOUT further
+        # exchanges — the whole operator is one corpus-sized shuffle.
+        df = df.repartition(F.col(id_col))
 
     pre = df.select(F.col(id_col), F.length(t).alias("__nchars"),
                     toks.alias("__tk"))
@@ -252,21 +281,42 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     # partitioned on the same (doc, nchars) keys so the recombining
     # left join needs no further exchange. Tie-break matches the
     # oracle's ORDER BY cnt DESC, ngram DESC.
-    bi_top = (
-        counts.filter(F.col("__n") == 2)  # null-ngram marker rows ride
-        .groupBy(id_col, "__nchars")      # along to keep short docs
-        .agg(F.max(F.when(F.col("ngram").isNotNull(),
-                          F.struct(F.col("cnt"), F.col("ngram"))))
-             .alias("__top"))
-    )
-    tri_stats = (
-        counts.filter(F.col("__n") == 3)
-        .groupBy(id_col, "__nchars")
-        .agg(F.sum("cnt").alias("__tri_total"),
-             F.count(F.lit(1)).alias("__tri_distinct"))
-    )
+    if plan in ("fused", "docpart"):
+        # single level-2 aggregate: no join; the max(struct) makes it a
+        # SortAggregate over all level-1 rows. Under docpart this is
+        # REQUIRED, not just preferred: the join-based split's two
+        # branches sit directly on the doc-partitioned subtree with no
+        # exchange between them, and the isnotnull filters pushed into
+        # one branch's scan break AQE canonical matching — the corpus
+        # would be scanned + tokenized + exploded TWICE (verified in the
+        # executed plan), and the doc-level tri frame gets broadcast,
+        # which is not scale-safe. Fused keeps exactly one subtree.
+        joined = counts.groupBy(id_col, "__nchars").agg(
+            F.max(F.when((F.col("__n") == 2) & F.col("ngram").isNotNull(),
+                         F.struct(F.col("cnt"), F.col("ngram"))))
+            .alias("__top"),
+            F.sum(F.when(F.col("__n") == 3, F.col("cnt")))
+            .alias("__tri_total"),
+            F.count(F.when(F.col("__n") == 3, F.lit(1)))
+            .alias("__tri_distinct"),
+        )
+    else:
+        bi_top = (
+            counts.filter(F.col("__n") == 2)  # null-ngram marker rows ride
+            .groupBy(id_col, "__nchars")      # along to keep short docs
+            .agg(F.max(F.when(F.col("ngram").isNotNull(),
+                              F.struct(F.col("cnt"), F.col("ngram"))))
+                 .alias("__top"))
+        )
+        tri_stats = (
+            counts.filter(F.col("__n") == 3)
+            .groupBy(id_col, "__nchars")
+            .agg(F.sum("cnt").alias("__tri_total"),
+                 F.count(F.lit(1)).alias("__tri_distinct"))
+        )
+        joined = bi_top.join(tri_stats, [id_col, "__nchars"], "left")
     return (
-        bi_top.join(tri_stats, [id_col, "__nchars"], "left")
+        joined
         .select(
             F.col(id_col),
             F.col("__top.ngram").alias("top_bigram"),

@@ -273,3 +273,52 @@ def test_partition_complete_filter_below_window_decorrelation(engine):
     assert i_win >= 0, plan
     # the semi join prints BELOW (after) the Window operator
     assert "LeftSemi" in plan[i_win:], plan
+
+
+def test_repetition_signals_single_corpus_exchange(spark):
+    # r11: repetition_signals' docpart plan hash-partitions the RAW
+    # corpus by doc_id once (each source row is a whole document), so
+    # every downstream aggregate is partition-local: exactly ONE shuffle
+    # exchange, no joins, no broadcast of a doc-level frame, and one
+    # parquet scan (the earlier split plan tokenized the corpus once but
+    # paid 3 shuffles + a join; the docpart+split hybrid silently scanned
+    # and tokenized the corpus TWICE via broken AQE exchange reuse).
+    from sql_to_ibis_spark.operators import text
+    from sql_to_ibis_spark.sources.readers import read_parquet
+
+    docs = read_parquet(spark, "/root/testdata/sf0.001/documents.parquet")
+    df = text.repetition_signals(docs)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints Final + Initial sections; pin the executed (final) one
+    plan = plan.split("== Initial Plan ==")[0]
+    shuffles = [ln for ln in plan.splitlines()
+                if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 1, plan
+    assert "REPARTITION_BY_COL" in shuffles[0], plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert plan.count("Scan parquet") == 1, plan
+
+
+def test_q18_keyset_plan_has_no_sort_merge_join(engine, monkeypatch):
+    # r10: with the HAVING-keyset semi-reduction certified, q18's
+    # executed plan loses every SortMergeJoin — lineitem is semi-reduced
+    # at the scan and AQE broadcast-converts the remaining joins over
+    # the reduced orders side (sf10: 12.84 → 8.44 s).
+    monkeypatch.setenv("SPARK_GRAFT_IN_KEYSET_REDUCTION", "1")
+    df = engine.query("""
+        SELECT c_name, o.o_orderkey, o_totalprice,
+          CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS tq
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+          GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+        GROUP BY c_name, o.o_orderkey, o_totalprice
+        ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+    """)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__inks_" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
