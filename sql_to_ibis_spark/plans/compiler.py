@@ -4034,6 +4034,60 @@ class Compiler:
         # unmatchable node kinds get identity-based keys (never equal)
         return ("opaque", id(expr))
 
+    def _maybe_prepartition_agg(
+        self, df: DataFrame, node: ast.SelectNode,
+        group_by: list[ast.Expr], keys: list[dict]
+    ) -> DataFrame:
+        """Near-unique-key GROUP BY pre-repartition: when the group keys
+        are almost one-per-row, map-side partial aggregation reduces next
+        to nothing but still builds a full per-task hash map over every
+        input row BEFORE the shuffle (q18's HAVING aggregate: 15M
+        orderkey groups over 60M rows at sf10 — 0.94% map-side
+        reduction). Repartitioning the RAW rows on the keys first moves
+        the same shuffle bytes, skips the useless pre-shuffle hash
+        build, and the partial+final pair runs post-shuffle inside one
+        codegen stage. Measured sf10 (interleaved A/B): the q18 HAVING
+        aggregate 3.46 → 2.16 s (−38%).
+
+        Gate (static, analyze() footer stats): single-table scan, plain
+        column keys, rows ≥ 4M, and Π ndv(keys) ≥ rows/8 — mean group
+        size ≤ 8, so even an input CLUSTERED by the key (where map-side
+        combine would achieve its full g× reduction and this rewrite
+        would forgo it) caps the forgone reduction at 8× (q18's shape
+        is g ≈ 4.4 — scattered keys, measured win), while the
+        scattered-key case (the common one; group members spread across
+        ≥ g partitions) wins outright. ``SPARK_GRAFT_PREPART_AGG=0``
+        disables, ``=1`` forces (skips the static gates but still
+        requires plain column keys on a single scan)."""
+        mode = os.environ.get("SPARK_GRAFT_PREPART_AGG", "")
+        if mode == "0":
+            return df
+        if (len(node.relations) != 1
+                or not isinstance(node.relations[0], ast.TableRef)
+                or node.relations[0].name.lower() in self._cte_frames):
+            return df
+        if not group_by or not all(
+                isinstance(g, ast.ColumnRef) for g in group_by):
+            return df
+        if mode != "1":
+            try:
+                entry = self.catalog.get(node.relations[0].name)
+            except Exception:
+                return df
+            st = entry.stats
+            rows = getattr(st, "rows", None) if st is not None else None
+            if not rows or rows < 4_000_000 or not getattr(st, "ndv", None):
+                return df
+            prod = 1.0
+            for g in group_by:
+                n = st.ndv.get(g.name.lower())
+                if not n:
+                    return df
+                prod *= n
+            if prod < rows / 8:
+                return df
+        return df.repartition(*[k["col"] for k in keys])
+
     def _compile_aggregation(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
     ) -> DataFrame:
@@ -4330,6 +4384,7 @@ class Compiler:
                 *[agged[i] for i in range(len(keys), len(agged.columns))],
             )
         elif keys:
+            df = self._maybe_prepartition_agg(df, node, group_by, keys)
             agged = df.groupBy(*key_exprs).agg(*agg_exprs)
         else:
             agged = df.agg(*agg_exprs)
