@@ -451,3 +451,101 @@ class TestDecimalLimbBoundary:
             assert a == e, (s, a, e)
         finally:
             eng.remove_temp_table("limb_t")
+
+
+# ---- r11: extension-surface property coverage (GROUP BY ALL, QUALIFY,
+# grouping sets + HAVING) — the extensions had pinned examples but no
+# randomized differential coverage
+
+FUZZ50 = settings(max_examples=50, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+
+GROUP_KEY_EXPRS = ["l_returnflag", "l_linestatus", "l_linenumber % 3",
+                   "l_orderkey % 7"]
+
+
+@given(
+    keys=st.lists(st.sampled_from(GROUP_KEY_EXPRS),
+                  min_size=1, max_size=3, unique=True),
+    fn=st.sampled_from(["sum", "min", "max", "count", "avg"]),
+    pred=_predicate(1),
+)
+@FUZZ50
+def test_random_group_by_all_matches_duckdb(engine, ddb, keys, fn, pred):
+    # GROUP BY ALL derives the keys from the non-aggregate select items —
+    # both engines must infer the same key set (incl. expression keys)
+    key_sql = ", ".join(f"{k} AS k{i}" for i, k in enumerate(keys))
+    sql = (f"SELECT {key_sql}, {fn}(l_quantity) AS v, count(*) AS n "
+           f"FROM lineitem WHERE {pred} GROUP BY ALL")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    fn=st.sampled_from(["rank()", "dense_rank()", "row_number()"]),
+    part=st.sampled_from(["l_returnflag", "l_linestatus"]),
+    k=st.integers(min_value=1, max_value=5),
+    cmp=st.sampled_from(["<=", "<", "="]),
+)
+@FUZZ50
+def test_random_qualify_matches_duckdb(engine, ddb, fn, part, k, cmp):
+    # QUALIFY filters on a window result post-windowing; the total
+    # ordering below is unique so rank ties cannot differ across engines
+    sql = (
+        f"SELECT l_orderkey, l_linenumber, l_quantity "
+        f"FROM lineitem WHERE l_orderkey < 400 "
+        f"QUALIFY {fn} OVER (PARTITION BY {part} "
+        f"ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) "
+        f"{cmp} {k}"
+    )
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    nsets=st.lists(
+        st.lists(st.sampled_from(["l_returnflag", "l_linestatus",
+                                  "l_linenumber % 2"]),
+                 min_size=0, max_size=2, unique=True),
+        min_size=1, max_size=3, unique_by=lambda s: tuple(s)),
+    fn=st.sampled_from(["sum", "count", "max"]),
+    having_n=st.one_of(st.none(), st.integers(min_value=0, max_value=3000)),
+)
+@FUZZ50
+def test_random_grouping_sets_having_matches_duckdb(engine, ddb, nsets, fn,
+                                                    having_n):
+    all_keys = sorted({k for s in nsets for k in s})
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in nsets)
+    having = f" HAVING count(*) > {having_n}" if having_n is not None else ""
+    # a key may only be selected if some grouping set contains it; with
+    # only the empty set () the select list is aggregates-only
+    sel_keys = "".join(f"{k} AS g{i}, " for i, k in enumerate(all_keys))
+    sql = (f"SELECT {sel_keys}{fn}(l_quantity) AS v, "
+           f"count(*) AS n FROM lineitem "
+           f"GROUP BY GROUPING SETS ({sets_sql}){having}")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
+
+
+@given(
+    mode=st.sampled_from(["ROLLUP", "CUBE"]),
+    keys=st.lists(st.sampled_from(["l_returnflag", "l_linestatus",
+                                   "l_linenumber % 2"]),
+                  min_size=1, max_size=2, unique=True),
+    fn=st.sampled_from(["sum", "count", "min"]),
+    having_n=st.one_of(st.none(), st.integers(min_value=0, max_value=4000)),
+)
+@FUZZ50
+def test_random_rollup_cube_having_matches_duckdb(engine, ddb, mode, keys,
+                                                  fn, having_n):
+    key_sql = ", ".join(keys)
+    sel_keys = ", ".join(f"{k} AS g{i}" for i, k in enumerate(keys))
+    having = f" HAVING count(*) > {having_n}" if having_n is not None else ""
+    sql = (f"SELECT {sel_keys}, {fn}(l_quantity) AS v, count(*) AS n "
+           f"FROM lineitem GROUP BY {mode}({key_sql}){having}")
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected)
