@@ -56,6 +56,9 @@ def main() -> int:
         os.environ["SPARK_GRAFT_SINGLE_REL_MAGIC"] = "1"
         os.environ["SPARK_GRAFT_EAGER_AGG"] = "1"
         os.environ["SPARK_GRAFT_IN_KEYSET_REDUCTION"] = "1"
+        # r11: NDV clamping CLOSES the near-unique-key prepart gate
+        # (prod ndv 100 << rows/8) — env-force it open instead
+        os.environ["SPARK_GRAFT_PREPART_AGG"] = "1"
         from sql_to_ibis_spark import SqlEngine
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)
