@@ -59,6 +59,7 @@ def main() -> int:
         # r11: NDV clamping CLOSES the near-unique-key prepart gate
         # (prod ndv 100 << rows/8) — env-force it open instead
         os.environ["SPARK_GRAFT_PREPART_AGG"] = "1"
+        os.environ["SPARK_GRAFT_NEQ_EXISTS_AGG"] = "1"
         from sql_to_ibis_spark import SqlEngine
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)
