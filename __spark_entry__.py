@@ -968,10 +968,11 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 _PRIORITY: list[str] = [
     # --- driver window (50) ---
     # r11-plan-touched: q18 (keyset compile path refactored to _pin +
-    # per-compile cache scoping), q15 (CTE-attach pin refactor),
-    # repetition-signals (plan re-measured/iterated this round), JPEG
-    # decode (BitReader marker handling rewritten)
-    "tpch_q18_large_volume_customer", "tpch_q15_top_supplier",
+    # per-compile cache scoping), q21 (<>-EXISTS aggregate unnesting),
+    # q15 (CTE-attach pin refactor), repetition-signals (docpart plan),
+    # JPEG decode (BitReader marker handling rewritten)
+    "tpch_q18_large_volume_customer",
+    "tpch_q21_suppliers_kept_waiting", "tpch_q15_top_supplier",
     "pipeline_text_repetition_signals", "pipeline_multimodal_decode_jpeg",
     # oldest-stale: the 11 entries whose latest driver record is r05
     "agg_approx_count_distinct", "agg_group_by_ordinal",
@@ -996,9 +997,9 @@ _PRIORITY: list[str] = [
     "pivot_event_type", "scalar_now_today_projection",
     "scalar_today_pinned_filter", "string_ansi_forms", "string_functions",
     "subquery_exists_in_select", "subquery_quantified_all_correlated",
-    "subquery_quantified_any_grouped",
-    # --- positions 51+: the 10 remaining r06 records (re-verified by the
+    # --- positions 51+: the remaining r06 records (re-verified by the
     # full local oracle run), then r09/r10 ---
+    "subquery_quantified_any_grouped",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
     "unpivot_order_measures", "window_named", "window_ntile",
