@@ -971,6 +971,7 @@ _PRIORITY: list[str] = [
     # per-compile cache scoping), q21 (<>-EXISTS aggregate unnesting),
     # q15 (CTE-attach pin refactor), repetition-signals (docpart plan),
     # JPEG decode (BitReader marker handling rewritten)
+    "pipeline_multimodal_decode_jpeg_color",
     "tpch_q18_large_volume_customer",
     "tpch_q21_suppliers_kept_waiting", "tpch_q15_top_supplier",
     "pipeline_text_repetition_signals", "pipeline_multimodal_decode_jpeg",
@@ -996,9 +997,10 @@ _PRIORITY: list[str] = [
     "pipeline_text_token_stats", "pipeline_text_unigram_logprob",
     "pivot_event_type", "scalar_now_today_projection",
     "scalar_today_pinned_filter", "string_ansi_forms", "string_functions",
-    "subquery_exists_in_select", "subquery_quantified_all_correlated",
+    "subquery_exists_in_select",
     # --- positions 51+: the remaining r06 records (re-verified by the
     # full local oracle run), then r09/r10 ---
+    "subquery_quantified_all_correlated",
     "subquery_quantified_any_grouped",
     "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
     "tpch_q8_market_share", "tpch_q9_product_profit",
@@ -1758,6 +1760,35 @@ def _add_pipeline_operators(out: dict) -> None:
                1 AS channels,
                CAST(2 * (doc_id % 64) + 128 AS double) AS mean_pixel
         FROM documents
+    """
+
+    # REAL baseline COLOR JPEG decode path (r11): synthesize an actual
+    # 4:2:0 YCbCr baseline JPEG per doc_id (constant even-shifted
+    # planes quantize losslessly, never clip, never hit a rounding
+    # half-boundary — brute-force verified), decode through the full
+    # interleaved-MCU + chroma-upsample + YCbCr→RGB pipeline; the
+    # oracle recomputes the closed form, so a sampling, interleave, or
+    # color-transform bug breaks the hash match
+    def decode_jpeg_color_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        blobs = multimodal.synthesize_jpeg_color_blobs(_docs(spark, sf_dir))
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_jpeg_color"] = decode_jpeg_color_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_jpeg_color"] = """
+        SELECT doc_id,
+               CAST(16 * (1 + doc_id % 3) AS int) AS width,
+               CAST(16 * (1 + (doc_id // 3) % 3) AS int) AS height,
+               3 AS channels,
+               CAST((ROUND(y + 1.402 * dcr)
+                     + ROUND(y - 0.344136 * dcb - 0.714136 * dcr)
+                     + ROUND(y + 1.772 * dcb)) / 3.0 AS double)
+                   AS mean_pixel
+        FROM (SELECT doc_id,
+                     CAST(128 + 2 * (doc_id % 32) AS double) AS y,
+                     CAST(2 * ((doc_id // 7) % 21 - 10) AS double) AS dcb,
+                     CAST(2 * ((doc_id // 11) % 21 - 10) AS double) AS dcr
+              FROM documents)
     """
 
     # REAL audio decode path: synthesized constant-amplitude PCM WAV per

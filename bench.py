@@ -90,6 +90,8 @@ HEADLINE = [
     "agg_share_of_total",
     # round 10: real baseline-JPEG decode entry
     "pipeline_multimodal_decode_jpeg",
+    # round 11: real baseline COLOR JPEG (4:2:0 interleaved MCU) decode
+    "pipeline_multimodal_decode_jpeg_color",
 ]
 
 

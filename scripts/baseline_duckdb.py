@@ -36,6 +36,7 @@ NONCOMPARABLE = {
     "pipeline_multimodal_decode_images",
     "pipeline_multimodal_decode_bmp",
     "pipeline_multimodal_decode_jpeg",
+    "pipeline_multimodal_decode_jpeg_color",
     "pipeline_dedup_minhash_lsh",
     "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_clusters",

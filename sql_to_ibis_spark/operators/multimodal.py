@@ -108,8 +108,9 @@ def decode_images(
 ) -> DataFrame:
     """Decode image blobs → (doc_id, width, height, channels, mean_pixel).
 
-    BMP blobs (uncompressed 24/32bpp) are decoded FOR REAL — header parse +
-    numpy pixel statistics, no codec required. Other formats fall back to
+    BMP (uncompressed 24/32bpp), 8-bit RGB/RGBA PNG, and baseline-DCT
+    JPEG (grayscale AND color, any chroma subsampling, restart markers)
+    are decoded FOR REAL — pure numpy, no codec required. Other formats fall back to
     the deterministic stub when ``use_stub_decoder=True`` (fake-but-stable
     dimensions derived from the bytes, so downstream stages and tests run
     with the true schema and batch shape) or raise ``NotImplementedError``
@@ -130,7 +131,7 @@ def decode_images(
                     try:
                         w, h, c, mean = decode_jpeg_gray(data)
                     except NotImplementedError:
-                        # color / progressive / arithmetic JPEG — honor the
+                        # progressive / arithmetic / CMYK JPEG — honor the
                         # caller's explicit stub request instead of raising
                         if not use_stub_decoder:
                             raise
@@ -141,9 +142,9 @@ def decode_images(
                 elif not use_stub_decoder:
                     raise NotImplementedError(
                         "only BMP, 8-bit RGB/RGBA PNG, and baseline "
-                        "grayscale JPEG decode without an external codec "
-                        "in this environment; pass use_stub_decoder=True "
-                        "or plug a real decoder here"
+                        "JPEG (gray/color) decode without an external "
+                        "codec in this environment; pass "
+                        "use_stub_decoder=True or plug a real decoder here"
                     )
                 else:
                     # deterministic fake from the byte length (closed form,
@@ -452,6 +453,43 @@ def _jpeg_magnitude(v: int) -> tuple[int, int]:
     return size, amp & ((1 << size) - 1)
 
 
+def _jpeg_encode_block(bw: "_BitWriter", shifted: "np.ndarray",
+                       prev_dc: int, dc_codes: dict, ac_codes: dict,
+                       qflat: "np.ndarray", m: "np.ndarray") -> int:
+    """FDCT + quantize + Huffman-encode one level-shifted 8×8 block;
+    returns the new DC predictor."""
+    zz = _JPEG_ZIGZAG
+    coef = m @ shifted @ m.T
+    q = np.round(coef.reshape(-1)[zz] / qflat).astype(np.int64)
+    diff = int(q[0]) - prev_dc
+    size, amp = _jpeg_magnitude(diff)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(amp, size)
+    run = 0
+    nz = np.nonzero(q[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        size, amp = _jpeg_magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(amp, size)
+        run = 0
+    if last < 63:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(q[0])
+
+
 def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
     """Baseline-DCT grayscale JPEG from a uint8 (h, w) array; h and w
     must be multiples of 8 (no edge replication — fixture codec)."""
@@ -469,36 +507,9 @@ def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
     shifted = pixels.astype(np.float64) - 128.0
     for by in range(0, h, 8):
         for bx in range(0, w, 8):
-            block = shifted[by:by + 8, bx:bx + 8]
-            coef = m @ block @ m.T
-            q = np.round(coef.reshape(-1)[zz] / qflat).astype(np.int64)
-            diff = int(q[0]) - prev_dc
-            prev_dc = int(q[0])
-            size, amp = _jpeg_magnitude(diff)
-            code, ln = dc_codes[size]
-            bw.write(code, ln)
-            if size:
-                bw.write(amp, size)
-            run = 0
-            nz = np.nonzero(q[1:])[0]
-            last = nz[-1] + 1 if len(nz) else 0
-            for i in range(1, last + 1):
-                v = int(q[i])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                size, amp = _jpeg_magnitude(v)
-                code, ln = ac_codes[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(amp, size)
-                run = 0
-            if last < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            prev_dc = _jpeg_encode_block(
+                bw, shifted[by:by + 8, bx:bx + 8], prev_dc,
+                dc_codes, ac_codes, qflat, m)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -515,6 +526,80 @@ def encode_jpeg_gray(pixels: "np.ndarray") -> bytes:
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out)
             + b"\xff\xd9")
+
+
+def encode_jpeg_ycbcr(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
+                      sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Baseline-DCT color JPEG from full-resolution float64/uint8 YCbCr
+    planes; ``sampling`` is the luma (H, V) factor (chroma is 1×1), so
+    (2, 2) = 4:2:0, (2, 1) = 4:2:2, (1, 1) = 4:4:4. Dims must be
+    multiples of 8·H / 8·V (fixture codec — no edge replication). One
+    shared quantization table and one shared DC/AC Huffman pair for all
+    components (legal per T.81; keeps the fixture closed-form)."""
+    sh, sv = sampling
+    h, w = y.shape
+    if h % (8 * sv) or w % (8 * sh):
+        raise ValueError("fixture encoder requires multiple-of-MCU dims")
+    m = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qflat = _JPEG_QTAB.reshape(-1)[_JPEG_ZIGZAG]
+
+    def box_down(p: "np.ndarray") -> "np.ndarray":
+        if sh == 1 and sv == 1:
+            return p.astype(np.float64)
+        return p.astype(np.float64).reshape(
+            h // sv, sv, w // sh, sh).mean(axis=(1, 3))
+
+    planes = [y.astype(np.float64) - 128.0,
+              box_down(cb) - 128.0, box_down(cr) - 128.0]
+    factors = [(sh, sv), (1, 1), (1, 1)]
+    bw = _BitWriter()
+    prev = [0, 0, 0]
+    for my in range(h // (8 * sv)):
+        for mx in range(w // (8 * sh)):
+            for ci, (p, (hi, vi)) in enumerate(zip(planes, factors)):
+                for v in range(vi):
+                    for u in range(hi):
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + u) * 8
+                        prev[ci] = _jpeg_encode_block(
+                            bw, p[y0:y0 + 8, x0:x0 + 8], prev[ci],
+                            dc_codes, ac_codes, qflat, m)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qflat))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([3,
+                       1, (sh << 4) | sv, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof + dht + sos + bytes(bw.out)
+            + b"\xff\xd9")
+
+
+def encode_jpeg_rgb(rgb: "np.ndarray",
+                    sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Baseline color JPEG from a uint8 (h, w, 3) RGB array via the JFIF
+    YCbCr transform (floats — no pre-rounding, quantization is the only
+    loss for smooth inputs)."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return encode_jpeg_ycbcr(y, cb, cr, sampling)
+
 
 
 class _BitReader:
@@ -564,18 +649,25 @@ def _jpeg_extend(amp: int, size: int) -> int:
     return amp
 
 
-def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
-    """Parse + Huffman-decode + dequantize + IDCT a baseline grayscale
-    JPEG; returns (width, height, channels, mean_pixel). Only the subset
-    this module's encoder emits (single component, no restart markers) —
-    the documented plug point covers everything else."""
+def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
+    """Parse + Huffman-decode + dequantize + IDCT a baseline-DCT JPEG
+    (ITU-T T.81 SOF0): grayscale or color, arbitrary chroma subsampling
+    (4:4:4 / 4:2:2 / 4:2:0 / any Hi×Vi ≤ 4), multiple quantization and
+    Huffman tables, restart markers (DRI/RSTn). Returns
+    (width, height, channels, mean_pixel) where mean_pixel averages the
+    grayscale plane (1 component) or all RGB samples after JFIF
+    YCbCr→RGB conversion and clipping (3 components). Progressive
+    (SOF2), extended/lossless (SOF1/SOF3+), and arithmetic coding stay
+    the documented plug point (NotImplementedError)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
-    qtab = None
+    qtabs: dict[int, "np.ndarray"] = {}
     w = h = None
-    dc_lookup: dict[tuple[int, int], int] = {}
-    ac_lookup: dict[tuple[int, int], int] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (cid, hi, vi, tq)
+    lookups: dict[tuple[int, int], dict] = {}    # (tc, th) -> huff lookup
+    sel: list[tuple[int, int, int]] = []         # SOS: (cid, td, ta)
+    dri = 0
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -583,40 +675,67 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
         marker = data[pos + 1]
         if marker == 0xD9:
             break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:  # RSTn/TEM: no payload
+            pos += 2
+            continue
         ln = int.from_bytes(data[pos + 2:pos + 4], "big")
         payload = data[pos + 4:pos + 2 + ln]
         if marker == 0xDB:
-            qtab = np.frombuffer(payload[1:65], dtype=np.uint8
-                                 ).astype(np.int64)
+            # a DQT segment may carry several tables back to back
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                off += 1
+                if pq:
+                    qtabs[tq] = np.frombuffer(
+                        payload[off:off + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 128
+                else:
+                    qtabs[tq] = np.frombuffer(
+                        payload[off:off + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    off += 64
         elif marker == 0xC0:
             h = int.from_bytes(payload[1:3], "big")
             w = int.from_bytes(payload[3:5], "big")
-            if payload[5] != 1:
-                raise NotImplementedError(
-                    "only single-component (grayscale) baseline JPEG "
-                    "decodes here; plug libjpeg for color")
+            n = payload[5]
+            comps = []
+            for i in range(n):
+                cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
         elif marker == 0xC4:
-            tc_th = payload[0]
-            bits = list(payload[1:17])
-            vals = list(payload[17:17 + sum(bits)])
-            table = {(c, l): s for s, (c, l) in
-                     _huff_codes(bits, vals).items()}
-            if tc_th >> 4 == 0:
-                dc_lookup = table
-            else:
-                ac_lookup = table
-        elif marker in (0xC1, 0xC2, 0xC3):
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17:off + 17 + nv])
+                lookups[(tc, th)] = {
+                    (c, l): s for s, (c, l) in
+                    _huff_codes(bits, vals).items()}
+                off += 17 + nv
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "extended/progressive JPEG is a documented plug point")
+                "only baseline sequential Huffman JPEG (SOF0) decodes "
+                "here; progressive/extended/arithmetic is a documented "
+                "plug point")
+        elif marker == 0xDD:
+            dri = int.from_bytes(payload[0:2], "big")
         elif marker == 0xDA:
+            ns = payload[0]
+            for i in range(ns):
+                cid, tda = payload[1 + 2 * i:3 + 2 * i]
+                sel.append((cid, tda >> 4, tda & 0x0F))
             scan_start = pos + 2 + ln
             break
         pos += 2 + ln
-    if qtab is None or w is None or scan_start is None:
+    if not qtabs or w is None or not comps or scan_start is None:
         raise ValueError("truncated JPEG")
     br = _BitReader(data[scan_start:])
 
-    def huff_read(table: dict[tuple[int, int], int]) -> int:
+    def huff_read(table: dict) -> int:
         code, length = 0, 0
         while length <= 16:
             code = (code << 1) | br.read(1)
@@ -628,17 +747,25 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
 
     m = _jpeg_dct_matrix()
     zz = _JPEG_ZIGZAG
-    total = 0.0
-    prev_dc = 0
-    blocks_y, blocks_x = h // 8, w // 8
-    for _ in range(blocks_y * blocks_x):
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    tsel = {cid: (td, ta) for cid, td, ta in sel} if sel else {
+        c[0]: (0, 0) for c in comps}
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), dtype=np.float64)
+              for _, hi, vi, _ in comps]
+    prev_dc = [0] * len(comps)
+
+    def decode_block(dct: dict, act: dict, qtab: "np.ndarray",
+                     ci: int) -> "np.ndarray":
         q = np.zeros(64, dtype=np.int64)
-        size = huff_read(dc_lookup)
-        prev_dc += _jpeg_extend(br.read(size), size) if size else 0
-        q[0] = prev_dc
+        size = huff_read(dct)
+        prev_dc[ci] += _jpeg_extend(br.read(size), size) if size else 0
+        q[0] = prev_dc[ci]
         i = 1
         while i < 64:
-            sym = huff_read(ac_lookup)
+            sym = huff_read(act)
             if sym == 0x00:  # EOB
                 break
             if sym == 0xF0:  # ZRL
@@ -652,9 +779,76 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
             i += 1
         coef = np.zeros(64, dtype=np.float64)
         coef[zz] = q * qtab
-        block = m.T @ coef.reshape(8, 8) @ m
-        total += float(np.clip(np.round(block + 128.0), 0, 255).sum())
-    return w, h, 1, total / (w * h)
+        return m.T @ coef.reshape(8, 8) @ m
+
+    def restart() -> None:
+        # byte-align and consume the expected RSTn; the sticky-EOS
+        # reader stopped AT the marker without consuming it
+        br.acc = 0
+        br.nbits = 0
+        p = br.pos
+        while p + 1 < len(br.data) and not (
+                br.data[p] == 0xFF and 0xD0 <= br.data[p + 1] <= 0xD7):
+            p += 1
+        if p + 1 >= len(br.data):
+            raise ValueError("missing restart marker")
+        br.pos = p + 2
+        br.eos = False
+        for ci in range(len(comps)):
+            prev_dc[ci] = 0
+
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                restart()
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
+                td, ta = tsel.get(cid, (0, 0))
+                dct = lookups.get((0, td))
+                act = lookups.get((1, ta))
+                if dct is None or act is None:
+                    raise ValueError("missing Huffman table")
+                qtab = qtabs.get(tq)
+                if qtab is None:
+                    raise ValueError("missing quantization table")
+                for v in range(vi):
+                    for u in range(hi):
+                        block = decode_block(dct, act, qtab, ci)
+                        y0 = (my * vi + v) * 8
+                        x0 = (mx * hi + u) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = block
+            mcu_n += 1
+
+    # per-component true dims, replicate-upsample to full size, crop
+    full = []
+    for (cid, hi, vi, tq), plane in zip(comps, planes):
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        p = plane[:ch, :cw] + 128.0
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255)
+        return w, h, 1, float(gray.mean())
+    if len(full) != 3:
+        raise NotImplementedError(
+            f"{len(full)}-component JPEG (CMYK/other) is a documented "
+            "plug point")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b])), 0, 255)
+    return w, h, 3, float(rgb.mean())
+
+
+def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
+    """Back-compat name for the original grayscale-only entry point —
+    now delegates to the general baseline decoder (which also handles
+    color); kept because operators and tests reference it."""
+    return decode_jpeg(data)
 
 
 def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -676,6 +870,41 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 v = 2 * (i % 64) + 128
                 px = np.full((hgt, w), v, dtype=np.uint8)
                 blobs.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+def synthesize_jpeg_color_blobs(df: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL baseline 4:2:0 COLOR JPEG per
+    row from its id: width = 16 × (1 + id % 3), height =
+    16 × (1 + (id // 3) % 3), constant YCbCr planes Y = 128 + 2·(id % 32),
+    Cb = 128 + 2·((id // 7) % 21 − 10), Cr = 128 + 2·((id // 11) % 21 − 10).
+    Even level shifts quantize losslessly, constants survive chroma
+    box-downsampling and replicate-upsampling exactly, and the chosen
+    ranges never clip or land on a rounding half-boundary (brute-force
+    verified over the full domain), so mean_pixel has the closed form
+    (round(Y + 1.402·dCr) + round(Y − 0.344136·dCb − 0.714136·dCr) +
+    round(Y + 1.772·dCb)) / 3 — the oracle hash-checks the entire
+    interleaved-MCU + subsampling + YCbCr→RGB path end to end."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt = 16 * (1 + i % 3), 16 * (1 + (i // 3) % 3)
+                y = np.full((hgt, w), 128.0 + 2 * (i % 32))
+                cb = np.full((hgt, w), 128.0 + 2 * ((i // 7) % 21 - 10))
+                cr = np.full((hgt, w), 128.0 + 2 * ((i // 11) % 21 - 10))
+                blobs.append(encode_jpeg_ycbcr(y, cb, cr, (2, 2)))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([
