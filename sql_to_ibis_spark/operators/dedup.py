@@ -776,10 +776,15 @@ def decontaminate(
 
     Scale shape: codegen zip-slice shingling (``exploded_shingle_hashes``;
     the interpreted-HOF formulation measured 4.2 s at sf0.1 vs ~1 s).
-    Distinct-per-doc collapses repetition with map-side partial
-    aggregation, and the eval-side distinct n-gram set — benchmark suites
-    are tiny next to a training corpus — is broadcast, making the probe
-    side a map-only hash lookup at any train size. Set
+    The eval-side distinct n-gram set — benchmark suites are tiny next
+    to a training corpus — is broadcast, making the probe side a
+    map-only hash lookup at any train size. Train-side shingles are
+    deduplicated AFTER the join, not before: contamination is the
+    exception, so the matched set is orders of magnitude smaller than
+    the corpus shingle stream, and a pre-join ``distinct()`` would
+    shuffle EVERY train shingle just to remove intra-doc repeats the
+    post-join ``count_distinct`` removes anyway (measured sf10,
+    interleaved A/B: 7.59 → 3.82 s, −50%). Set
     ``broadcast_eval=False`` for an oversized eval set to fall back to a
     shuffle join.
     """
@@ -787,11 +792,11 @@ def decontaminate(
     if broadcast_eval:
         ev = F.broadcast(ev)
     tr = exploded_shingle_hashes(train, shingle_size, text_col,
-                                 [F.col(id_col)]).distinct()
+                                 [F.col(id_col)])
     hits = (
         tr.join(ev, "__sg")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_contaminated_ngrams"))
+        .agg(F.count_distinct("__sg").alias("n_contaminated_ngrams"))
     )
     return (
         train.select(F.col(id_col))
