@@ -839,6 +839,13 @@ def containment_candidates(
     sg = exploded_shingle_hashes(df, shingle_size, text_col,
                                  [F.col(id_col)]).distinct()
     if df_cap is not None:
+        # inner join against the keep set, NOT an anti join against the
+        # tiny over-cap set: keep derives from the SAME sg subtree, so
+        # AQE exchange reuse shares one shuffle between probe and build,
+        # and the output stays hash-partitioned on __sg for the self-join
+        # below. (The anti-join-the-hot-set variant measured +42% at sf1
+        # — the broadcast never materializes because the hot set sits
+        # behind the same shuffle, and the anti join re-exchanges.)
         keep = (sg.groupBy("__sg")
                 .agg(F.count(F.lit(1)).alias("__df"))
                 .filter(F.col("__df") <= df_cap)
