@@ -142,9 +142,17 @@ def main() -> None:
     # immutable timestamp-stamped copy so prior runs are never lost
     # (r7/r8 ADVICE: bench provenance — keep run files immutable).
     os.makedirs("bench_results", exist_ok=True)
+    # codec-bound entries run a FIXED 5k-doc fixture at every SF (they
+    # measure the pure-Python JPEG codec + mapInPandas plumbing, not the
+    # engine) — cross-SF scaling aggregates must exclude them, so the
+    # record marks them explicitly (r11 ADVICE)
+    codec_bound = sorted(n for n in timings
+                         if n in ("pipeline_multimodal_decode_jpeg",
+                                  "pipeline_multimodal_decode_jpeg_color"))
     record = {"metric": "headline_queries_total_wall", "value": total,
               "unit": "sec", "queries": timings,
-              "floor_sec": round(floor, 4), "sf": sf_val}
+              "floor_sec": round(floor, 4), "sf": sf_val,
+              "codec_bound": codec_bound}
     stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())
     # Subset runs (SPARK_GRAFT_QUERIES) never touch the unstamped "latest"
     # full-suite pointer — only a complete headline run may update it

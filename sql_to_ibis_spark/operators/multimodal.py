@@ -130,9 +130,13 @@ def decode_images(
                 elif data[:2] == b"\xff\xd8":
                     try:
                         w, h, c, mean = decode_jpeg_gray(data)
-                    except NotImplementedError:
-                        # progressive / arithmetic / CMYK JPEG — honor the
-                        # caller's explicit stub request instead of raising
+                    except (NotImplementedError, ValueError):
+                        # progressive / arithmetic / CMYK JPEG
+                        # (NotImplementedError) AND malformed/truncated
+                        # streams (ValueError) — in stub mode BOTH fall to
+                        # the deterministic fake, matching how undecodable
+                        # non-JPEG formats behave; without the stub the
+                        # error propagates fail-fast
                         if not use_stub_decoder:
                             raise
                         w = 16 + (len(data) % 64)
@@ -817,9 +821,13 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
         coef[zz] = q * qtab
         return m.T @ coef.reshape(8, 8) @ m
 
-    def restart() -> None:
+    def restart(interval: int) -> None:
         # byte-align and consume the expected RSTn; the sticky-EOS
-        # reader stopped AT the marker without consuming it
+        # reader stopped AT the marker without consuming it. RSTn
+        # markers cycle 0-7 (T.81 §B.2.1.2): a dropped or duplicated
+        # marker in a foreign stream would silently misalign every
+        # following MCU, so verify the sequence number and fail fast
+        # like the rest of the parser.
         br.acc = 0
         br.nbits = 0
         p = br.pos
@@ -828,6 +836,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
             p += 1
         if p + 1 >= len(br.data):
             raise ValueError("missing restart marker")
+        got = br.data[p + 1] - 0xD0
+        want = (interval - 1) % 8
+        if got != want:
+            raise ValueError(
+                f"restart marker out of sequence: RST{got} where "
+                f"RST{want} expected (dropped or duplicated marker)")
         br.pos = p + 2
         br.eos = False
         for ci in range(len(comps)):
@@ -837,7 +851,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
     for my in range(mcuy):
         for mx in range(mcux):
             if dri and mcu_n and mcu_n % dri == 0:
-                restart()
+                restart(mcu_n // dri)
             for ci, (cid, hi, vi, tq) in enumerate(comps):
                 td, ta = tsel.get(cid, (0, 0))
                 dct = lookups.get((0, td))
