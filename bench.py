@@ -92,6 +92,9 @@ HEADLINE = [
     "pipeline_multimodal_decode_jpeg",
     # round 11: real baseline COLOR JPEG (4:2:0 interleaved MCU) decode
     "pipeline_multimodal_decode_jpeg_color",
+    # round 12: progressive (SOF2) decode — multi-scan successive
+    # approximation; fixed 5k-doc fixture like the other codec entries
+    "pipeline_multimodal_decode_jpeg_progressive",
 ]
 
 
@@ -148,7 +151,8 @@ def main() -> None:
     # record marks them explicitly (r11 ADVICE)
     codec_bound = sorted(n for n in timings
                          if n in ("pipeline_multimodal_decode_jpeg",
-                                  "pipeline_multimodal_decode_jpeg_color"))
+                                  "pipeline_multimodal_decode_jpeg_color",
+                                  "pipeline_multimodal_decode_jpeg_progressive"))
     record = {"metric": "headline_queries_total_wall", "value": total,
               "unit": "sec", "queries": timings,
               "floor_sec": round(floor, 4), "sf": sf_val,

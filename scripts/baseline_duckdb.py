@@ -37,6 +37,7 @@ NONCOMPARABLE = {
     "pipeline_multimodal_decode_bmp",
     "pipeline_multimodal_decode_jpeg",
     "pipeline_multimodal_decode_jpeg_color",
+    "pipeline_multimodal_decode_jpeg_progressive",
     "pipeline_dedup_minhash_lsh",
     "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_clusters",

@@ -29,6 +29,10 @@ class SqlEngine:
         self.functions: dict[str, object] = {}   # user scalar fns, lowercased
         self.aggregates: dict[str, object] = {}  # user aggregate fns (UDAFs)
         self.table_functions: dict[str, object] = {}  # user UDTFs
+        # frames persisted by the compiler's _pin in
+        # SPARK_GRAFT_PIN_MODE=persist — released at the next query()
+        # (see release_pinned)
+        self._pinned_frames: list[DataFrame] = []
 
     # -- user-defined functions --------------------------------------------
 
@@ -167,7 +171,12 @@ class SqlEngine:
         snapshot_name = snapshot_name or (
             f"bucketed_{table_name.lower()}_"
             + "_".join(c.lower() for c in bucket_cols)
-            + f"_{num_buckets}")
+            + f"_{num_buckets}"
+            # sorted and unsorted layouts are different physical tables —
+            # the name must distinguish them or a stale unsorted snapshot
+            # would be silently reused for a sorted request
+            + ("_s_" + "_".join(c.lower() for c in sort_cols)
+               if sort_cols else ""))
         if refresh or not self.spark.catalog.tableExists(snapshot_name):
             if not self.spark.catalog.tableExists(snapshot_name):
                 # the default in-memory metastore forgets tables between
@@ -327,12 +336,33 @@ class SqlEngine:
         ``readStream`` DataFrame as a table and the compiled plan is a
         streaming DataFrame ready for ``writeStream`` (Structured
         Streaming's unified model — the compiler emits only declarative
-        ops, so batch/stream is an input property, not a dialect)."""
+        ops, so batch/stream is an input property, not a dialect).
+
+        In ``SPARK_GRAFT_PIN_MODE=persist``, frames the compiler pinned
+        for the PREVIOUS query are unpersisted here (their action has
+        either run by now or will correctly recompute from lineage), so
+        a long-lived session holds at most one query's pins instead of
+        accumulating until the ContextCleaner notices. Call
+        ``release_pinned()`` to drop them eagerly. Checkpoint mode
+        (default) needs no tracking — localCheckpoint blocks belong to
+        the ContextCleaner."""
+        self.release_pinned()
         node = parse(sql)
         return Compiler(self.catalog, self.spark,
                         user_functions=self.functions,
                         user_aggregates=self.aggregates,
-                        user_table_functions=self.table_functions).compile(node)
+                        user_table_functions=self.table_functions,
+                        pin_registry=self._pinned_frames).compile(node)
+
+    def release_pinned(self) -> None:
+        """Unpersist frames pinned (persist mode) by earlier queries.
+        Safe at any time: an unpersisted frame recomputes from lineage."""
+        for f in self._pinned_frames:
+            try:
+                f.unpersist(False)
+            except Exception:
+                pass
+        self._pinned_frames.clear()
 
 
 # ---------------------------------------------------------------------------

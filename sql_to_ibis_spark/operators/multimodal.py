@@ -627,6 +627,311 @@ def encode_jpeg_ycbcr(y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
             + b"\xff\xd9")
 
 
+# Progressive-scan Huffman tables: Annex K's baseline AC table lacks the
+# EOBn symbols (0x10..0xE0) progressive coding requires, so the fixture
+# encoder ships flat custom canonical tables — all 12 DC size symbols at
+# length 4 (last code 11 < 15, all-ones free) and all 176 AC symbols
+# (sizes 1-10 × runs 0-15, EOB0..EOB14, ZRL) at length 8 (last code
+# 175 < 255). Legal per T.81 C.2; the decoder reads them from DHT like
+# any other table.
+_PROG_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_PROG_DC_VALS = list(range(12))
+_PROG_AC_VALS = ([0xF0] + [(r << 4) for r in range(15)]
+                 + [(r << 4) | s for s in range(1, 11) for r in range(16)])
+_PROG_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_VALS),
+                 0, 0, 0, 0, 0, 0, 0, 0]
+
+# default scan scripts (comp_indices, Ss, Se, Ah, Al) — the libjpeg-style
+# shape: DC first at reduced precision, spectral-selection AC bands at
+# reduced precision, then one-bit refinements of everything
+_PROG_SCRIPT_GRAY = [
+    ([0], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0], 0, 0, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+_PROG_SCRIPT_COLOR = [
+    ([0, 1, 2], 0, 0, 0, 1),
+    ([0], 1, 5, 0, 2),
+    ([2], 1, 63, 0, 1),
+    ([1], 1, 63, 0, 1),
+    ([0], 6, 63, 0, 2),
+    ([0], 1, 63, 2, 1),
+    ([0, 1, 2], 0, 0, 1, 0),
+    ([2], 1, 63, 1, 0),
+    ([1], 1, 63, 1, 0),
+    ([0], 1, 63, 1, 0),
+]
+
+
+def _quantize_blocks(plane_shifted: "np.ndarray", qflat: "np.ndarray",
+                     m: "np.ndarray") -> "np.ndarray":
+    """FDCT + quantize every 8×8 block of a level-shifted plane →
+    (bh, bw, 64) int coefficients in zigzag order."""
+    zz = _JPEG_ZIGZAG
+    h, w = plane_shifted.shape
+    bh, bw = h // 8, w // 8
+    out = np.zeros((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            coef = m @ plane_shifted[by * 8:by * 8 + 8,
+                                     bx * 8:bx * 8 + 8] @ m.T
+            out[by, bx] = np.round(coef.reshape(-1)[zz] / qflat)
+    return out
+
+
+class _ProgScanWriter:
+    """Entropy writer for one progressive scan: wraps _BitWriter with the
+    EOB-run accounting and deferred correction bits of T.81 G.1.2.2/3
+    (the stream interleaves Huffman codes with raw bits, and correction
+    bits buffered during an EOB run flush right after the EOBn code)."""
+
+    def __init__(self, bw: "_BitWriter", ac_codes: dict) -> None:
+        self.bw = bw
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.pending: list[int] = []
+
+    def code(self, sym: int) -> None:
+        c, ln = self.ac[sym]
+        self.bw.write(c, ln)
+
+    def flush_pending(self) -> None:
+        for b in self.pending:
+            self.bw.write(b, 1)
+        self.pending.clear()
+
+    def flush_eobrun(self) -> None:
+        while self.eobrun > 0:
+            chunk = min(self.eobrun, 0x7FFF)
+            r = chunk.bit_length() - 1
+            self.code(r << 4)
+            if r:
+                self.bw.write(chunk - (1 << r), r)
+            self.eobrun -= chunk
+            self.flush_pending()
+
+
+def _emit_ac_first(sw: "_ProgScanWriter", band: "np.ndarray",
+                   al: int) -> None:
+    # point transform for AC is magnitude shift (T.81 G.1.2.2), not
+    # arithmetic shift: sign(v) * (|v| >> Al)
+    t = np.sign(band) * (np.abs(band) >> al)
+    nz = np.nonzero(t)[0]
+    if len(nz) == 0:
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    sw.flush_eobrun()
+    run = 0
+    last = nz[-1]
+    for k in range(len(t)):
+        v = int(t[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            sw.code(0xF0)
+            run -= 16
+        size, amp = _jpeg_magnitude(v)
+        sw.code((run << 4) | size)
+        sw.bw.write(amp, size)
+        run = 0
+        if k == last:
+            break
+    if last < len(t) - 1:
+        sw.eobrun += 1
+
+
+def _emit_ac_refine(sw: "_ProgScanWriter", band: "np.ndarray",
+                    al: int) -> None:
+    # refinement (Ah = Al+1): history-nonzero coefficients (|v|>>Ah != 0)
+    # get a correction bit ((|v|>>Al) & 1); newly significant ones
+    # (|v|>>Al == 1) emit (run,1)+sign where run counts zero-history
+    # positions only. TWO correction buffers with different flush points
+    # (T.81 G.1.2.3 / the jcphuff BE-vs-BR split): bits belonging to
+    # blocks inside an EOB run (sw.pending) flush right after the EOBn
+    # code; bits of the CURRENT block (br, accumulated while walking
+    # toward the next emitted code) flush after that code — the decoder
+    # consumes them while advancing through the code's zero run
+    ab = np.abs(band) >> al
+    nz1 = np.nonzero(ab == 1)[0]
+    if len(nz1) == 0:
+        # corrections-only block: joins the EOB run, bits deferred
+        for k in np.nonzero(ab > 1)[0]:
+            sw.pending.append(int(ab[k]) & 1)
+        sw.eobrun += 1
+        if sw.eobrun == 0x7FFF:
+            sw.flush_eobrun()
+        return
+    last = int(nz1[-1])
+    run = 0
+    br: list[int] = []
+    for k in range(len(ab)):
+        a = int(ab[k])
+        if a == 0:
+            run += 1
+            continue
+        # ZRLs only while another newly-significant coef lies ahead —
+        # trailing zero runs fold into the EOB instead
+        while run > 15 and k <= last:
+            sw.flush_eobrun()
+            sw.code(0xF0)
+            run -= 16
+            for b in br:
+                sw.bw.write(b, 1)
+            br = []
+        if a > 1:
+            br.append(a & 1)
+            continue
+        sw.flush_eobrun()
+        sw.code((run << 4) | 1)
+        sw.bw.write(1 if band[k] > 0 else 0, 1)
+        for b in br:
+            sw.bw.write(b, 1)
+        br = []
+        run = 0
+        if k == last:
+            break
+    if last < len(ab) - 1:
+        # trailing positions (zeros and/or corrections) join the EOB run
+        for k in range(last + 1, len(ab)):
+            if ab[k] > 1:
+                sw.pending.append(int(ab[k]) & 1)
+        sw.eobrun += 1
+
+
+def _encode_jpeg_progressive(planes: list["np.ndarray"],
+                             factors: list[tuple[int, int]],
+                             w: int, h: int,
+                             script: list[tuple[list[int], int, int, int,
+                                                int]]) -> bytes:
+    """Assemble a progressive JPEG from level-shifted component planes
+    (already at their subsampled resolution). Shared quantization table;
+    the flat progressive Huffman pair; one DHT before the scans."""
+    m = _jpeg_dct_matrix()
+    qflat = _JPEG_QTAB.reshape(-1)[_JPEG_ZIGZAG]
+    dc_codes = _huff_codes(_PROG_DC_BITS, _PROG_DC_VALS)
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    coefs = [_quantize_blocks(p, qflat, m) for p in planes]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = coefs[0].shape[1] // factors[0][0]
+    mcuy = coefs[0].shape[0] // factors[0][1]
+
+    out = bytearray()
+    for comps, ss, se, ah, al in script:
+        bw = _BitWriter()
+        if ss == 0:
+            prev = {ci: 0 for ci in comps}
+
+            def dc_block(ci: int, by: int, bx: int) -> None:
+                dc = int(coefs[ci][by, bx, 0])
+                if ah == 0:
+                    v = dc >> al  # arithmetic shift per G.1.2.1
+                    diff = v - prev[ci]
+                    prev[ci] = v
+                    size, amp = _jpeg_magnitude(diff)
+                    c, ln = dc_codes[size]
+                    bw.write(c, ln)
+                    if size:
+                        bw.write(amp, size)
+                else:
+                    bw.write((dc >> al) & 1, 1)
+
+            if len(comps) > 1:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        for ci in comps:
+                            hi, vi = factors[ci]
+                            for v_ in range(vi):
+                                for u in range(hi):
+                                    dc_block(ci, my * vi + v_,
+                                             mx * hi + u)
+            else:
+                ci = comps[0]
+                bh_c, bw_c = coefs[ci].shape[:2]
+                for by in range(bh_c):
+                    for bx in range(bw_c):
+                        dc_block(ci, by, bx)
+        else:
+            ci = comps[0]
+            sw = _ProgScanWriter(bw, ac_codes)
+            bh_c, bw_c = coefs[ci].shape[:2]
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    band = coefs[ci][by, bx, ss:se + 1]
+                    if ah == 0:
+                        _emit_ac_first(sw, band, al)
+                    else:
+                        _emit_ac_refine(sw, band, al)
+            sw.flush_eobrun()
+        bw.flush()
+        ns = len(comps)
+        sos_payload = bytes([ns])
+        for ci in comps:
+            sos_payload += bytes([ci + 1, 0x00])  # DC table 0 / AC table 0
+        sos_payload += bytes([ss, se, (ah << 4) | al])
+        out += bytes([0xFF, 0xDA]) \
+            + (len(sos_payload) + 2).to_bytes(2, "big") + sos_payload
+        out += bytes(bw.out)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) \
+            + (len(payload) + 2).to_bytes(2, "big") + payload
+
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qflat))
+    sof_body = bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big") \
+        + bytes([len(planes)])
+    for ci, (hi, vi) in enumerate(factors):
+        sof_body += bytes([ci + 1, (hi << 4) | vi, 0])
+    sof = seg(0xC2, sof_body)
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_PROG_DC_BITS)
+               + bytes(_PROG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_PROG_AC_BITS)
+                 + bytes(_PROG_AC_VALS)))
+    return b"\xff\xd8" + dqt + sof + dht + bytes(out) + b"\xff\xd9"
+
+
+def encode_jpeg_progressive_gray(pixels: "np.ndarray") -> bytes:
+    """Progressive (SOF2) grayscale JPEG with the default 6-scan script
+    (DC first Al=1, AC bands at Al=2, full refinements); dims must be
+    multiples of 8 (fixture codec). Quantizes identically to the
+    baseline encoder, so the two encodings decode bit-identically."""
+    h, w = pixels.shape
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder requires multiple-of-8 dims")
+    plane = pixels.astype(np.float64) - 128.0
+    return _encode_jpeg_progressive([plane], [(1, 1)], w, h,
+                                    _PROG_SCRIPT_GRAY)
+
+
+def encode_jpeg_progressive_ycbcr(
+        y: "np.ndarray", cb: "np.ndarray", cr: "np.ndarray",
+        sampling: tuple[int, int] = (2, 2)) -> bytes:
+    """Progressive color JPEG (10-scan libjpeg-style script) from
+    full-resolution YCbCr planes; chroma box-downsampled like the
+    baseline encoder."""
+    sh, sv = sampling
+    h, w = y.shape
+    if h % (8 * sv) or w % (8 * sh):
+        raise ValueError("fixture encoder requires multiple-of-MCU dims")
+
+    def box_down(p: "np.ndarray") -> "np.ndarray":
+        if sh == 1 and sv == 1:
+            return p.astype(np.float64)
+        return p.astype(np.float64).reshape(
+            h // sv, sv, w // sh, sh).mean(axis=(1, 3))
+
+    planes = [y.astype(np.float64) - 128.0,
+              box_down(cb) - 128.0, box_down(cr) - 128.0]
+    return _encode_jpeg_progressive(
+        planes, [(sh, sv), (1, 1), (1, 1)], w, h, _PROG_SCRIPT_COLOR)
+
+
 def encode_jpeg_rgb(rgb: "np.ndarray",
                     sampling: tuple[int, int] = (2, 2)) -> bytes:
     """Baseline color JPEG from a uint8 (h, w, 3) RGB array via the JFIF
@@ -755,12 +1060,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
                     (c, l): s for s, (c, l) in
                     _huff_codes(bits, vals).items()}
                 off += 17 + nv
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC2:
+            # progressive DCT: multi-scan coefficient accumulation —
+            # dedicated path (r12; was the documented plug point)
+            return _decode_jpeg_progressive(data)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential Huffman JPEG (SOF0) decodes "
-                "here; progressive/extended/arithmetic is a documented "
-                "plug point")
+                "only baseline sequential (SOF0) and progressive (SOF2) "
+                "Huffman JPEG decode here; extended/lossless/arithmetic "
+                "is a documented plug point")
         elif marker == 0xDD:
             dri = int.from_bytes(payload[0:2], "big")
         elif marker == 0xDA:
@@ -894,6 +1203,340 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
     return w, h, 3, float(rgb.mean())
 
 
+def _jpeg_reconstruct(comps: list, planes: list, w: int, h: int,
+                      hmax: int, vmax: int) -> tuple[int, int, int, float]:
+    """Shared tail of both JPEG decode paths: per-component crop,
+    level-unshift, replicate-upsample, grayscale mean or JFIF
+    YCbCr→RGB + mean."""
+    full = []
+    for (cid, hi, vi, tq), plane in zip(comps, planes):
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        p = plane[:ch, :cw] + 128.0
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
+                          hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        gray = np.clip(np.round(full[0]), 0, 255)
+        return w, h, 1, float(gray.mean())
+    if len(full) != 3:
+        raise NotImplementedError(
+            f"{len(full)}-component JPEG (CMYK/other) is a documented "
+            "plug point")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.clip(np.round(np.stack([r, g, b])), 0, 255)
+    return w, h, 3, float(rgb.mean())
+
+
+def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, float]:
+    """Progressive-DCT JPEG (ITU-T T.81 SOF2, Huffman): the image's
+    quantized coefficients arrive over MULTIPLE scans — spectral
+    selection (each AC scan carries one zigzag band of one component)
+    and successive approximation (first scans carry coefficients at
+    reduced precision ``>> Al``; refinement scans add one bit each,
+    with the EOB-run and correction-bit coding of T.81 G.2 / Annex G).
+    Coefficients accumulate per component in zigzag order; dequantize +
+    IDCT + upsample + color run once at the end via the shared baseline
+    tail, so a progressive and a baseline encoding of the same
+    quantized data decode BIT-IDENTICALLY (pinned in tests). Restart
+    markers reset the DC predictors AND the EOB run per T.81."""
+    pos = 2
+    qtabs: dict[int, "np.ndarray"] = {}
+    w = h = None
+    comps: list[tuple[int, int, int, int]] = []
+    lookups: dict[tuple[int, int], dict] = {}
+    dri = 0
+    coefs: list["np.ndarray"] = []       # per comp (bv, bh, 64) zigzag
+    nblocks: list[tuple[int, int]] = []  # per comp true (bh, bw) blocks
+    hmax = vmax = 1
+    mcux = mcuy = 0
+    dc_done: set[int] = set()
+
+    def huff_read(br: "_BitReader", table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman stream")
+
+    def decode_scan(scomps: list[tuple[int, int, int]], ss: int, se: int,
+                    ah: int, al: int, start: int) -> int:
+        """Decode one scan's entropy data beginning at byte ``start``;
+        returns the byte offset of the next marker."""
+        nonlocal dc_done
+        br = _BitReader(data[start:])
+        eobrun = 0
+        idxs = []
+        for cid, td, ta in scomps:
+            ci = next((i for i, c in enumerate(comps) if c[0] == cid),
+                      None)
+            if ci is None:
+                raise ValueError("scan references unknown component")
+            idxs.append((ci, td, ta))
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and len(idxs) != 1:
+            raise ValueError("progressive AC scans carry one component")
+        if ss == 0 and ah == 0:
+            dc_done |= {ci for ci, _, _ in idxs}
+        elif ss > 0 and idxs[0][0] not in dc_done:
+            raise ValueError("AC scan before the component's DC scan")
+        prev_dc = [0] * len(comps)
+        p1, m1 = 1 << al, -(1 << al)
+
+        def dc_first(cb: "np.ndarray", ci: int, td: int) -> None:
+            dct = lookups.get((0, td))
+            if dct is None:
+                raise ValueError("missing Huffman table")
+            size = huff_read(br, dct)
+            prev_dc[ci] += _jpeg_extend(br.read(size), size) if size else 0
+            cb[0] = prev_dc[ci] << al
+
+        def dc_refine(cb: "np.ndarray") -> None:
+            if br.read(1):
+                cb[0] |= p1
+
+        def ac_first(cb: "np.ndarray", act: dict) -> None:
+            nonlocal eobrun
+            if eobrun:
+                eobrun -= 1
+                return
+            k = ss
+            while k <= se:
+                rs = huff_read(br, act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += br.read(r)
+                    return
+                k += r
+                if k > se:
+                    raise ValueError("AC band overflow")
+                cb[k] = _jpeg_extend(br.read(s), s) << al
+                k += 1
+
+        def ac_refine(cb: "np.ndarray", act: dict) -> None:
+            # T.81 G.2: EOB runs carry correction bits for every
+            # already-nonzero coefficient they span; newly significant
+            # coefficients are ±1<<Al placed after skipping r
+            # zero-history positions (correction bits read for nonzero
+            # positions passed over — they don't count toward r)
+            nonlocal eobrun
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = huff_read(br, act)
+                    r, s = rs >> 4, rs & 0x0F
+                    val = 0
+                    if s:
+                        if s != 1:
+                            raise ValueError(
+                                "invalid refinement magnitude")
+                        val = p1 if br.read(1) else m1
+                    elif r != 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += br.read(r)
+                        break
+                    while k <= se:
+                        if cb[k] != 0:
+                            if br.read(1) and not (cb[k] & p1):
+                                cb[k] += p1 if cb[k] > 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= se:
+                        cb[k] = val
+                    k += 1
+            if eobrun:
+                while k <= se:
+                    if cb[k] != 0:
+                        if br.read(1) and not (cb[k] & p1):
+                            cb[k] += p1 if cb[k] > 0 else m1
+                    k += 1
+                eobrun -= 1
+
+        def restart(interval: int) -> None:
+            nonlocal eobrun
+            br.acc = 0
+            br.nbits = 0
+            p = br.pos
+            while p + 1 < len(br.data) and not (
+                    br.data[p] == 0xFF
+                    and 0xD0 <= br.data[p + 1] <= 0xD7):
+                p += 1
+            if p + 1 >= len(br.data):
+                raise ValueError("missing restart marker")
+            got = br.data[p + 1] - 0xD0
+            want = (interval - 1) % 8
+            if got != want:
+                raise ValueError(
+                    f"restart marker out of sequence: RST{got} where "
+                    f"RST{want} expected")
+            br.pos = p + 2
+            br.eos = False
+            eobrun = 0
+            for i in range(len(prev_dc)):
+                prev_dc[i] = 0
+
+        interleaved = len(idxs) > 1
+        if interleaved:
+            if ss != 0:
+                raise ValueError("interleaved progressive scan must be DC")
+            n = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and n and n % dri == 0:
+                        restart(n // dri)
+                    for ci, td, _ta in idxs:
+                        _cid, hi, vi, _tq = comps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                cb = coefs[ci][my * vi + v, mx * hi + u]
+                                if ah == 0:
+                                    dc_first(cb, ci, td)
+                                else:
+                                    dc_refine(cb)
+                    n += 1
+        else:
+            ci, td, ta = idxs[0]
+            act = lookups.get((1, ta)) if ss > 0 else None
+            if ss > 0 and act is None:
+                raise ValueError("missing Huffman table")
+            bh_c, bw_c = nblocks[ci]
+            n = 0
+            for by in range(bh_c):
+                for bx in range(bw_c):
+                    if dri and n and n % dri == 0:
+                        restart(n // dri)
+                    cb = coefs[ci][by, bx]
+                    if ss == 0:
+                        if ah == 0:
+                            dc_first(cb, ci, td)
+                        else:
+                            dc_refine(cb)
+                    elif ah == 0:
+                        ac_first(cb, act)
+                    else:
+                        ac_refine(cb, act)
+                    n += 1
+        # locate the next marker after the consumed entropy bytes
+        p = start + br.pos
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] != 0x00:
+                if 0xD0 <= data[p + 1] <= 0xD7:
+                    p += 2
+                    continue
+                return p
+            p += 1
+        return len(data)
+
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        payload = data[pos + 4:pos + 2 + ln]
+        if marker == 0xDB:
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0x0F
+                off += 1
+                if pq:
+                    qtabs[tq] = np.frombuffer(
+                        payload[off:off + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 128
+                else:
+                    qtabs[tq] = np.frombuffer(
+                        payload[off:off + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    off += 64
+        elif marker == 0xC2:
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            n = payload[5]
+            comps = []
+            for i in range(n):
+                cid, hv, tq = payload[6 + 3 * i:9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            coefs = [np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+                     for _, hi, vi, _ in comps]
+            nblocks = []
+            for _, hi, vi, _ in comps:
+                ch = -(-h * vi // vmax)
+                cw = -(-w * hi // hmax)
+                nblocks.append((-(-ch // 8), -(-cw // 8)))
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17:off + 17 + nv])
+                lookups[(tc, th)] = {
+                    (c, l): s for s, (c, l) in
+                    _huff_codes(bits, vals).items()}
+                off += 17 + nv
+        elif marker == 0xDD:
+            dri = int.from_bytes(payload[0:2], "big")
+        elif marker == 0xDA:
+            if w is None or not comps:
+                raise ValueError("SOS before SOF")
+            ns = payload[0]
+            scomps = [(payload[1 + 2 * i], payload[2 + 2 * i] >> 4,
+                       payload[2 + 2 * i] & 0x0F) for i in range(ns)]
+            ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+            ahal = payload[3 + 2 * ns]
+            pos = decode_scan(scomps, ss, se, ahal >> 4, ahal & 0x0F,
+                              pos + 2 + ln)
+            continue
+        pos += 2 + ln
+    if not qtabs or w is None or not comps or not dc_done:
+        raise ValueError("truncated JPEG")
+
+    m = _jpeg_dct_matrix()
+    zz = _JPEG_ZIGZAG
+    planes = []
+    for (cid, hi, vi, tq), carr in zip(comps, coefs):
+        qtab = qtabs.get(tq)
+        if qtab is None:
+            raise ValueError("missing quantization table")
+        bv, bw_c = carr.shape[:2]
+        plane = np.zeros((bv * 8, bw_c * 8), dtype=np.float64)
+        coef = np.zeros(64, dtype=np.float64)
+        for by in range(bv):
+            for bx in range(bw_c):
+                coef[:] = 0.0
+                coef[zz] = carr[by, bx] * qtab
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
+                    m.T @ coef.reshape(8, 8) @ m
+        planes.append(plane)
+    return _jpeg_reconstruct(comps, planes, w, h, hmax, vmax)
+
+
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
     """Back-compat name for the original grayscale-only entry point —
     now delegates to the general baseline decoder (which also handles
@@ -920,6 +1563,35 @@ def synthesize_jpeg_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 v = 2 * (i % 64) + 128
                 px = np.full((hgt, w), v, dtype=np.uint8)
                 blobs.append(encode_jpeg_gray(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+def synthesize_jpeg_progressive_blobs(df: DataFrame,
+                                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL progressive (SOF2) JPEG per
+    row — same closed forms as the baseline grayscale fixture (width =
+    8 × (1 + id % 4), height = 8 × (1 + (id // 4) % 4), all pixels =
+    2 × (id % 64) + 128) so the oracle hash-checks the full multi-scan
+    path: spectral selection, DC successive approximation + refinement,
+    and the EOB-run coding of the (all-zero) AC bands."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt = 8 * (1 + i % 4), 8 * (1 + (i // 4) % 4)
+                v = 2 * (i % 64) + 128
+                px = np.full((hgt, w), v, dtype=np.uint8)
+                blobs.append(encode_jpeg_progressive_gray(px))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

@@ -91,6 +91,11 @@ class RelationInfo:
     display: str             # user-visible name: alias or table name
     columns: list[str]       # true column names, schema order
     types: dict[str, T.DataType] = field(default_factory=dict)
+    # the RAW catalog frame behind this relation (None for derived
+    # tables/CTEs/VALUES): rewrites that only need a SUPERSET of the
+    # relation's key values (the NOT-EXISTS matched-key set) can read it
+    # directly instead of re-executing the filtered/joined outer subtree
+    base_df: "DataFrame | None" = None
 
     def __post_init__(self) -> None:
         self.colmap = {c.lower(): c for c in self.columns}
@@ -191,9 +196,15 @@ class Compiler:
     def __init__(self, catalog: Catalog, spark: SparkSession,
                  user_functions: dict[str, object] | None = None,
                  user_aggregates: dict[str, object] | None = None,
-                 user_table_functions: dict[str, object] | None = None):
+                 user_table_functions: dict[str, object] | None = None,
+                 pin_registry: list | None = None):
         self.catalog = catalog
         self.spark = spark
+        # engine-owned list collecting frames persisted by _pin (persist
+        # mode only) so the engine can unpersist them between queries —
+        # without it a long-lived session accumulates cached keyset/CTE
+        # frames until the ContextCleaner happens to reclaim them
+        self._pin_registry = pin_registry
         self.user_functions = user_functions or {}
         self.user_aggregates = user_aggregates or {}
         self.user_table_functions = user_table_functions or {}
@@ -256,7 +267,15 @@ class Compiler:
         if mode == "persist":
             from pyspark import StorageLevel
 
-            return df.persist(StorageLevel.MEMORY_AND_DISK)
+            out = df.persist(StorageLevel.MEMORY_AND_DISK)
+            if self._pin_registry is not None:
+                # the engine unpersists these at the NEXT query() (the
+                # action for THIS query hasn't run yet at compile time,
+                # so release must be deferred; see SqlEngine.query /
+                # release_pinned). Checkpoint mode needs no tracking —
+                # localCheckpoint blocks are owned by the ContextCleaner.
+                self._pin_registry.append(out)
+            return out
         if mode != "checkpoint":
             raise ValueError(
                 f"SPARK_GRAFT_PIN_MODE must be 'checkpoint' or 'persist', "
@@ -532,7 +551,21 @@ class Compiler:
                         f"{e.table}.{e.name}".lower() in out_cols:
                     return True
                 return e.name.lower() in out_cols
-            return True  # ordinals/expressions resolve against output
+            if isinstance(e, ast.NumberLit):
+                return True  # ordinal
+            # expression: output-resolvable only if every embedded column
+            # reference survives the projection (ORDER BY user_id % 2
+            # after SELECT user_id % 2 AS b must take the hidden path —
+            # the source column is gone from the output)
+            refs: list[ast.ColumnRef] = []
+            _collect_column_refs(e, refs)
+            for r in refs:
+                if r.table is not None and \
+                        f"{r.table}.{r.name}".lower() in out_cols:
+                    continue
+                if r.name.lower() not in out_cols:
+                    return False
+            return True
 
         if all(resolvable_in_output(i) for i in node.order_by):
             return None
@@ -3191,6 +3224,7 @@ class Compiler:
             entry = self.catalog.get(rel.name)
             display = rel.alias or entry.name
             info = self._make_rel_info(display, entry.df, existing)
+            info.base_df = entry.df
             frame = entry.df
             wgroups = getattr(self, "_nx_window_plan", {}).get(id(rel))
             if wgroups:
@@ -4024,13 +4058,18 @@ class Compiler:
                 continue
             if id(target) in getattr(self, "_semi_plan", {}):
                 continue  # reduction below the window would drop rows
-            if mode != "1" and self._bucketed_on(
-                    self.catalog.get(target.name).df, keys):
-                # bucketed-on-key layout: the agg-join path composes with
+            tdf = self.catalog.get(target.name).df
+            if mode != "1" and self._bucketed_on(tdf, keys) \
+                    and not self._ordered_on(tdf, keys):
+                # bucketed-but-UNSORTED layout: the agg-join path rides
                 # the buckets (partition-local groupBy + co-located join,
-                # zero exchanges) while WindowExec's per-group row
-                # buffering only adds cost — measured sf10 interleaved:
-                # bucketed+agg 2.66 s vs bucketed+window 2.97 s
+                # zero exchanges) while WindowExec would pay a full sort
+                # plus per-group row buffering — measured sf10
+                # interleaved: bucketed+agg 2.66 s vs bucketed+window
+                # 2.97 s. A SORTED bucketed scan flips it: the window's
+                # sort is elided and the second scan disappears —
+                # sorted-bucketed window 1.78 s vs agg 2.21 s (DuckDB
+                # 1.51 s) — so sorted layouts keep the window path.
                 continue
             n = next(self._tmp_counter)
             names = tuple(f"__nxw_{n}_{t}" for t in ("mn", "mx"))
@@ -4063,6 +4102,23 @@ class Compiler:
         cols = {c.strip().split("#")[0].lower()
                 for c in m.group(1).split(",") if not c.strip().isdigit()}
         return cols == {k.lower() for k in keys}
+
+    def _ordered_on(self, df: DataFrame, keys: list[str]) -> bool:
+        """True when ``df``'s physical scan reports an output ordering
+        whose leading columns are ``keys`` (a sorted bucketed table with
+        one file per bucket; see session.py's
+        bucketedTableScan.outputOrdering note)."""
+        try:
+            o = (df._jdf.queryExecution().sparkPlan()
+                 .outputOrdering().toString())
+        except Exception:
+            return False
+        names = [x.lower() for x in re.findall(r"(\w+)#\d+", o)]
+        want = {k.lower() for k in keys}
+        # prefix-set match is enough for the gate: if the elision doesn't
+        # apply after all, the window plan is still correct, just pays
+        # its sort (the measured-worse-by-0.3s case, not a wrong plan)
+        return set(names[:len(want)]) == want
 
     def _attach_nx_windows(
         self, df: DataFrame, wgroups: list[dict]
@@ -4209,6 +4265,8 @@ class Compiler:
                 # nondeterministic exists to be recomputed.
                 key_cols: list[Column] | None = []
                 seen_keys: set[tuple[str, str]] = set()
+                key_owners: set[int] = set()
+                owner_info: RelationInfo | None = None
                 try:
                     for conj in correlated:
                         for ref in _walk_all(conj):
@@ -4225,11 +4283,31 @@ class Compiler:
                             if ident in seen_keys:
                                 continue
                             seen_keys.add(ident)
+                            oinfo, _ = scope.resolve(ref.name, ref.table)
+                            key_owners.add(id(oinfo))
+                            owner_info = oinfo
                             key_cols.append(self.compile_expr(ref, scope))
                 except (ColumnNotFoundError, AmbiguousColumnException):
                     key_cols = None
                 if key_cols:
-                    keys = df.select(key_cols).distinct()
+                    # The matched-key set is sound for any SUPERSET of the
+                    # outer's key values (extra keys can only add matched
+                    # entries no outer row looks up; a NULL key never
+                    # matches the inner condition, so it never enters the
+                    # set regardless). When every correlation key comes
+                    # from ONE catalog-backed relation, derive the keys
+                    # from its RAW base frame: a single-column scan +
+                    # distinct, instead of re-executing the outer's whole
+                    # filtered/joined subtree twice (measured on the q22
+                    # shape: the scalar-avg bind + customer scan ran once
+                    # per consumer — the keys branch and the anti join).
+                    if len(key_owners) == 1 and owner_info is not None \
+                            and owner_info.base_df is not None:
+                        keys = (owner_info.base_df
+                                .alias(owner_info.qualifier)
+                                .select(key_cols).distinct())
+                    else:
+                        keys = df.select(key_cols).distinct()
                     matched = (F.broadcast(keys)
                                .join(inner_df, cond, "inner")
                                .select(keys["*"]).distinct())
@@ -4331,11 +4409,46 @@ class Compiler:
     ) -> DataFrame:
         if self._is_correlated(node.subquery, scope):
             if negated:
-                # correlated NOT IN has three-valued NULL semantics a plain
-                # anti join can't express; require the NOT EXISTS form
+                # Correlated NOT IN / <>-ALL in WHERE-conjunct position:
+                # exact under WHERE's UNKNOWN≡FALSE —
+                #   x NOT IN (SELECT e FROM … WHERE c)
+                #   ≡ NOT EXISTS (SELECT 1 FROM … WHERE c AND
+                #                 (x = e OR x IS NULL OR e IS NULL))
+                # (empty set → TRUE even for NULL x; a NULL x or any NULL
+                # e with a non-empty set makes the EXISTS fire, so the
+                # row drops — the three-valued cases a plain anti join
+                # can't express). Only this WHERE path uses the rewrite;
+                # expression position keeps NULL-producing semantics and
+                # compiles elsewhere.
+                sub = node.subquery
+                if isinstance(sub, ast.SelectNode) and len(sub.items) == 1 \
+                        and not isinstance(sub.items[0].expr, ast.Star) \
+                        and not sub.group_by and sub.having is None \
+                        and not sub.distinct and sub.limit is None \
+                        and sub.offset is None and not sub.group_by_all \
+                        and sub.group_mode is None:
+                    item = sub.items[0].expr
+                    match = ast.BinaryOp(
+                        op="or",
+                        left=ast.BinaryOp(op="or",
+                                          left=ast.BinaryOp(
+                                              op="=", left=node.operand,
+                                              right=item),
+                                          right=ast.IsNull(
+                                              operand=node.operand)),
+                        right=ast.IsNull(operand=item))
+                    new_where = match if sub.where is None else \
+                        ast.BinaryOp(op="and", left=sub.where, right=match)
+                    ex_sub = ast.SelectNode(
+                        items=[ast.SelectItem(
+                            expr=ast.NumberLit(value=1))],
+                        relations=sub.relations, where=new_where)
+                    return self._apply_exists(
+                        df, ast.ExistsSubquery(subquery=ex_sub),
+                        scope, negated=True, outer_node=outer_node)
                 raise InvalidQueryException(
-                    "correlated NOT IN is not supported — rewrite as "
-                    "NOT EXISTS")
+                    "correlated NOT IN is only supported for a plain "
+                    "single-column subquery — rewrite as NOT EXISTS")
             out = self._correlated_semi_join(
                 df, node.subquery, scope, negated, operand=node.operand,
                 outer_node=outer_node)

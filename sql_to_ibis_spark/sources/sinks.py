@@ -11,6 +11,7 @@ needs.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def write_parquet(
@@ -40,8 +41,17 @@ def write_bucketed_table(
 ) -> None:
     """Bucketed managed table: joins/aggregations on ``bucket_cols`` between
     tables bucketed the same way skip the shuffle entirely — the co-location
-    primitive for repeated big-big joins."""
-    writer = (df.write.mode(mode)
+    primitive for repeated big-big joins.
+
+    The frame is repartitioned to ``num_buckets`` on the bucket columns
+    first so each bucket lands in exactly ONE file (Spark's bucket hash
+    and ``repartition`` use the same Murmur3 partitioning): without it
+    every write task emits its own file per bucket, and a sorted bucket
+    split over several files loses its scan-reported ordering — the
+    property that lets a window/merge-join on the key elide its sort
+    entirely (see session.py's bucketedTableScan.outputOrdering)."""
+    writer = (df.repartition(num_buckets, *[F.col(c) for c in bucket_cols])
+              .write.mode(mode)
               .bucketBy(num_buckets, *bucket_cols))
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -417,3 +417,40 @@ class TestSingleRelationMagicSet:
         assert got_on == got_off
         for t in ("dim", "fact", "oth"):
             eng.remove_temp_table(t)
+
+
+def test_correlated_not_in_where_rewrite(spark, engine, ddb):
+    # r12: correlated NOT IN in WHERE lowers to the NULL-guarded NOT
+    # EXISTS (x = e OR x IS NULL OR e IS NULL) — exact under WHERE's
+    # UNKNOWN≡FALSE. Covers: empty sets (row kept even for NULL x),
+    # inner NULLs (row dropped), plain mismatch (kept).
+    import pandas as pd
+    from sql_to_ibis_spark import SqlEngine
+
+    outer = pd.DataFrame({"k": [1, 2, 3, 4, 5],
+                          "x": [10, 20, None, 40, 50]}).astype(
+        {"k": "int64", "x": "Int64"})
+    inner = pd.DataFrame({"k": [1, 1, 2, 3, 5],
+                          "e": [10, 11, None, 30, 51]}).astype(
+        {"k": "int64", "e": "Int64"})
+    eng = SqlEngine(spark)
+    eng.register_temp_table(spark.createDataFrame(outer), "t_o")
+    eng.register_temp_table(spark.createDataFrame(inner), "t_i")
+    sql = ("SELECT o.k FROM t_o o WHERE o.x NOT IN "
+           "(SELECT i.e FROM t_i i WHERE i.k = o.k) ORDER BY o.k")
+    got = [r.k for r in eng.query(sql).collect()]
+    # k=1: 10 matches -> drop; k=2: inner {NULL} -> UNKNOWN -> drop;
+    # k=3: x NULL, inner {30} -> UNKNOWN -> drop; k=4: empty set -> keep;
+    # k=5: {51} no match -> keep
+    assert got == [4, 5], got
+    # and the <>-ALL spelling lowers to the same path
+    sql2 = ("SELECT o.k FROM t_o o WHERE o.x <> ALL "
+            "(SELECT i.e FROM t_i i WHERE i.k = o.k) ORDER BY o.k")
+    assert [r.k for r in eng.query(sql2).collect()] == [4, 5]
+    # TPC-H-shaped differential vs DuckDB on real tables
+    sql3 = ("SELECT count(*) AS n FROM orders o WHERE o.o_totalprice NOT IN "
+            "(SELECT l.l_extendedprice FROM lineitem l "
+            "WHERE l.l_orderkey = o.o_orderkey)")
+    from tests.conftest import compare_frames
+    compare_frames(engine.query(sql3).toPandas(),
+                   ddb.execute(sql3).fetchdf())

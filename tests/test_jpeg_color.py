@@ -163,8 +163,11 @@ def test_decode_images_dispatches_color_for_real(spark):
         _expected_mean(yv, cbv, crv), abs=1e-9)
 
 
-def test_progressive_still_raises():
-    with pytest.raises(NotImplementedError):
+def test_progressive_now_decodes_truncated_fails():
+    # r12: SOF2 routes to the progressive decoder (no longer a plug
+    # point — see test_jpeg_progressive.py); a bare SOF2 with no scans
+    # is a malformed stream and fails fast
+    with pytest.raises(ValueError):
         mm.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9")
 
 

@@ -194,3 +194,36 @@ def test_bucketed_on_key_prefers_agg_path(spark):
     plan = _opt(eng.query(Q21))
     assert "__nxw_" not in plan, plan
     assert "__nxk_" in plan, plan
+
+
+def test_sorted_bucketed_prefers_window_with_elided_sort(spark):
+    # a SORTED bucketed snapshot (one file per bucket — the sink
+    # repartitions first) reports its ordering at the scan, so the
+    # window path wins: no exchange, no sort, one fact scan (measured
+    # sf10: window 1.78 s vs agg 2.21 s vs DuckDB 1.51 s). The auto
+    # gate must pick the window here, and its physical plan must have
+    # ZERO exchanges and ZERO sorts below the Window.
+    from tests.conftest import SF_DIR
+    from sql_to_ibis_spark import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    eng.snapshot_bucketed("lineitem", ["l_orderkey"], num_buckets=4,
+                          sort_cols=["l_orderkey"])
+    eng.analyze()
+    for name in eng.catalog.names():
+        st = eng.catalog.get(name).stats
+        if st is not None:
+            st.rows = max(st.rows, 10_000_000)
+    df = eng.query(Q21)
+    plan = _opt(df)
+    assert "__nxw_" in plan and "__nxk_" not in plan, plan
+    phys = _phys(df)
+    # the Window consumes the bucketed scan directly: its immediate
+    # child is NOT a Sort (elided via the reported bucket ordering) and
+    # the only hash exchange left in the plan is the final aggregation
+    lines = phys.splitlines()
+    widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
+    child = lines[widx + 1]
+    assert "Sort" not in child, phys
+    assert phys.count("Exchange hashpartitioning") <= 1, phys
