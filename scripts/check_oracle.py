@@ -60,6 +60,12 @@ def main() -> int:
         # (prod ndv 100 << rows/8) — env-force it open instead
         os.environ["SPARK_GRAFT_PREPART_AGG"] = "1"
         os.environ["SPARK_GRAFT_NEQ_EXISTS_AGG"] = "1"
+        # r12: stats inflation would auto-open the window self-rewrite,
+        # which CONSUMES the q21 shape before the agg path sees it —
+        # pin it closed here so this sweep exercises the forced AGG
+        # plan; the window plan gets its own full sweep
+        # (SPARK_GRAFT_NEQ_EXISTS_WINDOW=1 python scripts/check_oracle.py)
+        os.environ.setdefault("SPARK_GRAFT_NEQ_EXISTS_WINDOW", "0")
         from sql_to_ibis_spark import SqlEngine
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)

@@ -112,7 +112,10 @@ def main() -> None:
     qs["select_star"](spark, sf_dir).write.format("noop") \
         .mode("overwrite").save()
     for name in names:
-        m = run_one(spark, qs, name, sf_dir)
+        try:
+            m = run_one(spark, qs, name, sf_dir)
+        except Exception as e:  # OOM/spill failures are themselves data
+            m = {"error": f"{type(e).__name__}: {str(e)[:300]}"}
         record["queries"][name] = m
         print(name, json.dumps(m), flush=True)
     out = f"bench_results/r12_memory_{tag}.json"

@@ -4059,17 +4059,19 @@ class Compiler:
             if id(target) in getattr(self, "_semi_plan", {}):
                 continue  # reduction below the window would drop rows
             tdf = self.catalog.get(target.name).df
-            if mode != "1" and self._bucketed_on(tdf, keys) \
-                    and not self._ordered_on(tdf, keys):
-                # bucketed-but-UNSORTED layout: the agg-join path rides
-                # the buckets (partition-local groupBy + co-located join,
-                # zero exchanges) while WindowExec would pay a full sort
-                # plus per-group row buffering — measured sf10
-                # interleaved: bucketed+agg 2.66 s vs bucketed+window
-                # 2.97 s. A SORTED bucketed scan flips it: the window's
-                # sort is elided and the second scan disappears —
-                # sorted-bucketed window 1.78 s vs agg 2.21 s (DuckDB
-                # 1.51 s) — so sorted layouts keep the window path.
+            if mode != "1" and self._bucketed_on(tdf, keys):
+                # bucketed-on-key layout → agg-join path, ALWAYS: it
+                # rides the buckets (partition-local groupBy +
+                # co-located join, zero exchanges) and its hash
+                # aggregate scales linearly in rows-per-bucket, while
+                # WindowExec's per-GROUP row buffering degrades
+                # super-linearly as buckets grow (measured q21:
+                # sf10 window 1.78 s vs agg 2.21 s — window's only win,
+                # marginal; sf100 window 87.5 s vs agg 17.0 s, 5×, both
+                # zero-spill). On the NON-bucketed layout the window
+                # stays the default: it saves a full fact scan and one
+                # exchange, and wins at every measured SF there
+                # (sf10 4.2 vs 4.3 s; sf100 64 s vs 98 s).
                 continue
             n = next(self._tmp_counter)
             names = tuple(f"__nxw_{n}_{t}" for t in ("mn", "mx"))

@@ -454,3 +454,23 @@ def test_correlated_not_in_where_rewrite(spark, engine, ddb):
     from tests.conftest import compare_frames
     compare_frames(engine.query(sql3).toPandas(),
                    ddb.execute(sql3).fetchdf())
+
+
+def test_not_exists_keys_from_base_single_avg(engine):
+    # r12 q22-shape pin: the NOT-EXISTS matched-key set derives from the
+    # RAW base table, so the scalar-avg subtree compiles ONCE — before,
+    # the keys branch re-executed the filtered outer (avg computed
+    # twice, customer scanned 4x). partial_avg appearing once in the
+    # physical plan is the signature.
+    sql = """
+        SELECT cc, count(*) AS n FROM (
+          SELECT substring(c_name, 10, 2) AS cc
+          FROM customer c
+          WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                             WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey)) t
+        GROUP BY cc ORDER BY cc
+    """
+    plan = engine.query(sql)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("partial_avg") == 1, plan

@@ -196,13 +196,13 @@ def test_bucketed_on_key_prefers_agg_path(spark):
     assert "__nxk_" in plan, plan
 
 
-def test_sorted_bucketed_prefers_window_with_elided_sort(spark):
-    # a SORTED bucketed snapshot (one file per bucket — the sink
-    # repartitions first) reports its ordering at the scan, so the
-    # window path wins: no exchange, no sort, one fact scan (measured
-    # sf10: window 1.78 s vs agg 2.21 s vs DuckDB 1.51 s). The auto
-    # gate must pick the window here, and its physical plan must have
-    # ZERO exchanges and ZERO sorts below the Window.
+def test_sorted_bucketed_also_prefers_agg_path(spark):
+    # SORTED buckets elide the window's sort (scan-reported ordering),
+    # but WindowExec's per-GROUP buffering still degrades super-linearly
+    # with rows-per-bucket — measured q21: sf10 window 1.78 s vs agg
+    # 2.21 s (window's only, marginal win) but sf100 window 87.5 s vs
+    # agg 17.0 s. The gate therefore picks the agg path for ANY
+    # bucketed-on-key layout, sorted or not.
     from tests.conftest import SF_DIR
     from sql_to_ibis_spark import SqlEngine
 
@@ -215,15 +215,27 @@ def test_sorted_bucketed_prefers_window_with_elided_sort(spark):
         st = eng.catalog.get(name).stats
         if st is not None:
             st.rows = max(st.rows, 10_000_000)
+    plan = _opt(eng.query(Q21))
+    assert "__nxw_" not in plan and "__nxk_" in plan, plan
+
+
+def test_forced_window_on_sorted_bucket_elides_sort(spark, monkeypatch):
+    # the sort-elision capability itself stays pinned: FORCING the
+    # window over a sorted one-file-per-bucket snapshot plans with the
+    # Window directly on the scan — no Sort child, and the only hash
+    # exchange left is the final aggregation
+    from tests.conftest import SF_DIR
+    from sql_to_ibis_spark import SqlEngine
+
+    monkeypatch.setenv("SPARK_GRAFT_NEQ_EXISTS_WINDOW", "1")
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    eng.snapshot_bucketed("lineitem", ["l_orderkey"], num_buckets=4,
+                          sort_cols=["l_orderkey"])
     df = eng.query(Q21)
-    plan = _opt(df)
-    assert "__nxw_" in plan and "__nxk_" not in plan, plan
+    assert "__nxw_" in _opt(df)
     phys = _phys(df)
-    # the Window consumes the bucketed scan directly: its immediate
-    # child is NOT a Sort (elided via the reported bucket ordering) and
-    # the only hash exchange left in the plan is the final aggregation
     lines = phys.splitlines()
     widx = next(i for i, ln in enumerate(lines) if "Window" in ln)
-    child = lines[widx + 1]
-    assert "Sort" not in child, phys
+    assert "Sort" not in lines[widx + 1], phys
     assert phys.count("Exchange hashpartitioning") <= 1, phys
