@@ -1825,6 +1825,41 @@ def _add_pipeline_operators(out: dict) -> None:
         FROM documents WHERE doc_id < 5000
     """
 
+    # Corpus-scale decode ERROR ACCOUNTING (r12): planted corruption
+    # (every doc_id % 7 == 3 truncated mid-tables) through
+    # decode_images(on_error="null") — failed rows survive with NULL
+    # metrics and a decode_error; the closed-form oracle pins exactly
+    # which rows fail and that successes keep their exact values. At
+    # 100 TB this is the difference between a decode pass that dies on
+    # blob 40 billion and one that reports "0.4% undecodable".
+    def decode_error_accounting_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        blobs = multimodal.synthesize_jpeg_blobs_with_corruption(docs)
+        out = multimodal.decode_images(blobs, on_error="null")
+        return out.select(
+            "doc_id", "width", "height", "channels", "mean_pixel",
+            F.col("decode_error").isNotNull().alias("failed"))
+
+    out["pipeline_multimodal_decode_error_accounting"] = \
+        decode_error_accounting_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_error_accounting"] = """
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 THEN NULL
+                    ELSE CAST(8 * (1 + doc_id % 4) AS int) END AS width,
+               CASE WHEN doc_id % 7 = 3 THEN NULL
+                    ELSE CAST(8 * (1 + (doc_id // 4) % 4) AS int)
+                    END AS height,
+               CASE WHEN doc_id % 7 = 3 THEN NULL ELSE 1 END AS channels,
+               CASE WHEN doc_id % 7 = 3 THEN NULL
+                    ELSE CAST(2 * (doc_id % 64) + 128 AS double)
+                    END AS mean_pixel,
+               (doc_id % 7 = 3) AS failed
+        FROM documents WHERE doc_id < 5000
+    """
+
     # REAL baseline COLOR JPEG decode path (r11): synthesize an actual
     # 4:2:0 YCbCr baseline JPEG per doc_id (constant even-shifted
     # planes quantize losslessly, never clip, never hit a rounding

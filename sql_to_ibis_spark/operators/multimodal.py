@@ -40,6 +40,12 @@ DECODED_IMAGE_SCHEMA = T.StructType([
     T.StructField("mean_pixel", T.DoubleType()),
 ])
 
+# decode_images(on_error="null"|"skip"): same columns plus the error
+# accounting string (NULL on success)
+DECODED_IMAGE_ERR_SCHEMA = T.StructType(
+    DECODED_IMAGE_SCHEMA.fields
+    + [T.StructField("decode_error", T.StringType())])
+
 AUDIO_FRAME_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("frame_idx", T.IntegerType()),
@@ -105,6 +111,7 @@ def decode_images(
     blob_col: str = "blob",
     id_col: str = "doc_id",
     use_stub_decoder: bool = False,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Decode image blobs → (doc_id, width, height, channels, mean_pixel).
 
@@ -115,58 +122,82 @@ def decode_images(
     dimensions derived from the bytes, so downstream stages and tests run
     with the true schema and batch shape) or raise ``NotImplementedError``
     (plug PIL/libvips here in a real deployment).
+
+    ``on_error`` is the corpus-scale failure contract — at 100 TB a decode
+    pass must QUANTIFY bad blobs, not die on the first one:
+
+    - ``"fail"`` (default): any undecodable blob fails the job — the
+      right mode for trusted fixtures and tests;
+    - ``"null"``: failed rows survive with NULL metrics and the error in
+      a ``decode_error`` string column (NULL on success) — aggregate it
+      for per-corpus error accounting;
+    - ``"skip"``: failed rows are dropped (the output schema stays the
+      plain 5-column one; pair with a count for accounting).
     """
+    if on_error not in ("fail", "null", "skip"):
+        raise ValueError(
+            f"on_error must be fail|null|skip, got {on_error!r}")
+    accounting = on_error == "null"
+
+    def decode_one(data: bytes) -> tuple[int, int, int, float]:
+        if data[:2] == b"BM":
+            return decode_bmp(data)
+        if data[:8] == _PNG_MAGIC:
+            return decode_png(data)
+        if data[:2] == b"\xff\xd8":
+            try:
+                return decode_jpeg_gray(data)
+            except (NotImplementedError, ValueError):
+                # arithmetic / lossless / CMYK JPEG (NotImplementedError)
+                # AND malformed/truncated streams (ValueError) — in stub
+                # mode BOTH fall to the deterministic fake, matching how
+                # undecodable non-JPEG formats behave; without the stub
+                # the error propagates (fail-fast or the on_error path)
+                if not use_stub_decoder:
+                    raise
+        elif not use_stub_decoder:
+            raise NotImplementedError(
+                "only BMP, PNG, and baseline/progressive JPEG decode "
+                "without an external codec in this environment; pass "
+                "use_stub_decoder=True or plug a real decoder here"
+            )
+        # deterministic fake from the byte length (closed form, so the
+        # oracle gate can hash-check the stub path; the REAL
+        # byte-touching decodes are the BMP/PNG/JPEG paths)
+        return (16 + (len(data) % 64), 16 + ((len(data) // 64) % 64),
+                3, (len(data) % 251) / 7.0)
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = {"doc_id": [], "width": [], "height": [],
                    "channels": [], "mean_pixel": []}
+            if accounting:
+                out["decode_error"] = []
             for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
                 data = bytes(blob or b"")
-                if data[:2] == b"BM":
-                    w, h, c, mean = decode_bmp(data)
-                elif data[:8] == _PNG_MAGIC:
-                    w, h, c, mean = decode_png(data)
-                elif data[:2] == b"\xff\xd8":
-                    try:
-                        w, h, c, mean = decode_jpeg_gray(data)
-                    except (NotImplementedError, ValueError):
-                        # progressive / arithmetic / CMYK JPEG
-                        # (NotImplementedError) AND malformed/truncated
-                        # streams (ValueError) — in stub mode BOTH fall to
-                        # the deterministic fake, matching how undecodable
-                        # non-JPEG formats behave; without the stub the
-                        # error propagates fail-fast
-                        if not use_stub_decoder:
-                            raise
-                        w = 16 + (len(data) % 64)
-                        h = 16 + ((len(data) // 64) % 64)
-                        c = 3
-                        mean = (len(data) % 251) / 7.0
-                elif not use_stub_decoder:
-                    raise NotImplementedError(
-                        "only BMP, 8-bit RGB/RGBA PNG, and baseline "
-                        "JPEG (gray/color) decode without an external "
-                        "codec in this environment; pass "
-                        "use_stub_decoder=True or plug a real decoder here"
-                    )
-                else:
-                    # deterministic fake from the byte length (closed form,
-                    # so the oracle gate can hash-check the stub path; the
-                    # REAL byte-touching decodes are the BMP/PNG/WAV paths)
-                    w = 16 + (len(data) % 64)
-                    h = 16 + ((len(data) // 64) % 64)
-                    c = 3
-                    mean = (len(data) % 251) / 7.0
+                err = None
+                try:
+                    w, h, c, mean = decode_one(data)
+                except Exception as e:
+                    if on_error == "fail":
+                        raise
+                    if on_error == "skip":
+                        continue
+                    w = h = c = mean = None
+                    err = f"{type(e).__name__}: {str(e)[:160]}"
                 out["doc_id"].append(doc_id)
                 out["width"].append(w)
                 out["height"].append(h)
                 out["channels"].append(c)
                 out["mean_pixel"].append(mean)
+                if accounting:
+                    out["decode_error"].append(err)
             yield pd.DataFrame(out)
 
     return df.select(id_col, blob_col).mapInPandas(
-        decode_batches, schema=DECODED_IMAGE_SCHEMA
+        decode_batches,
+        schema=DECODED_IMAGE_ERR_SCHEMA if accounting
+        else DECODED_IMAGE_SCHEMA,
     )
 
 
@@ -1592,6 +1623,38 @@ def synthesize_jpeg_progressive_blobs(df: DataFrame,
                 v = 2 * (i % 64) + 128
                 px = np.full((hgt, w), v, dtype=np.uint8)
                 blobs.append(encode_jpeg_progressive_gray(px))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+def synthesize_jpeg_blobs_with_corruption(
+        df: DataFrame, id_col: str = "doc_id",
+        corrupt_mod: int = 7, corrupt_rem: int = 3) -> DataFrame:
+    """The grayscale JPEG fixtures with PLANTED corruption: rows where
+    ``id % corrupt_mod == corrupt_rem`` are truncated to 30 bytes (cut
+    inside the tables — deterministically undecodable), the rest are the
+    normal closed-form fixtures. Drives the ``on_error`` accounting
+    path: after ``decode_images(..., on_error="null")``, exactly the
+    planted rows must carry a ``decode_error``."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt = 8 * (1 + i % 4), 8 * (1 + (i // 4) % 4)
+                v = 2 * (i % 64) + 128
+                blob = encode_jpeg_gray(np.full((hgt, w), v, dtype=np.uint8))
+                if i % corrupt_mod == corrupt_rem:
+                    blob = blob[:30]
+                blobs.append(blob)
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

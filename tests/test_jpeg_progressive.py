@@ -106,3 +106,52 @@ def test_decode_images_routes_progressive(spark):
         assert row.height == 8 * (1 + (i // 4) % 4)
         assert row.channels == 1
         assert row.mean_pixel == float(2 * (i % 64) + 128)
+
+
+def test_decode_on_error_contract(spark):
+    # corpus-scale failure contract (r12): "null" keeps failed rows with
+    # NULL metrics + the error string, "skip" drops them, "fail" raises;
+    # successes are identical across all three modes
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(28)}))
+    blobs = mm.synthesize_jpeg_blobs_with_corruption(docs)
+
+    acc = mm.decode_images(blobs, on_error="null").toPandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(acc) == 28
+    failed = set(acc[acc.decode_error.notna()].doc_id)
+    assert failed == {3, 10, 17, 24}, failed
+    bad = acc[acc.decode_error.notna()]
+    assert bad.width.isna().all() and bad.mean_pixel.isna().all()
+    ok = acc[acc.decode_error.isna()]
+    for _, row in ok.iterrows():
+        i = int(row.doc_id)
+        assert row.width == 8 * (1 + i % 4)
+        assert row.mean_pixel == float(2 * (i % 64) + 128)
+
+    skipped = mm.decode_images(blobs, on_error="skip").toPandas()
+    assert set(skipped.columns) == {"doc_id", "width", "height",
+                                    "channels", "mean_pixel"}
+    assert set(skipped.doc_id) == set(range(28)) - {3, 10, 17, 24}
+
+    import pytest as _pytest
+    with _pytest.raises(Exception):
+        mm.decode_images(blobs, on_error="fail").toPandas()
+    with _pytest.raises(ValueError):
+        mm.decode_images(blobs, on_error="bogus")
+
+
+def test_decode_error_rate_aggregation(spark):
+    # the accounting use: one aggregate gives the corpus error rate
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(pd.DataFrame({"doc_id": range(70)}))
+    out = mm.decode_images(
+        mm.synthesize_jpeg_blobs_with_corruption(docs), on_error="null")
+    rate = out.agg(
+        F.avg(F.col("decode_error").isNotNull().cast("double"))
+    ).collect()[0][0]
+    assert rate == 10 / 70
