@@ -1093,8 +1093,14 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
                 off += 17 + nv
         elif marker == 0xC2:
             # progressive DCT: multi-scan coefficient accumulation —
-            # dedicated path (r12; was the documented plug point)
-            return _decode_jpeg_progressive(data)
+            # dedicated path (r12; was the documented plug point).
+            # Truncated headers surface as IndexError from byte slicing;
+            # normalize to the parser-wide ValueError contract so stub
+            # mode and on_error accounting treat them as malformed blobs.
+            try:
+                return _decode_jpeg_progressive(data)
+            except IndexError as exc:
+                raise ValueError("truncated JPEG (progressive)") from exc
         elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(

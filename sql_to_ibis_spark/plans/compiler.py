@@ -1306,6 +1306,31 @@ class Compiler:
 
     _EAGER_AGG_FNS = {"sum", "count", "min", "minimum", "max", "maximum"}
 
+    @staticmethod
+    def _eager_fold_in_candidate(c: object) -> bool:
+        """Structural screen for ``col IN (SELECT k FROM t GROUP BY k
+        HAVING ...)`` conjuncts that _try_eager_aggregation may fold
+        into its partial aggregate (full validation — key identity,
+        equi-closure, single unfiltered fact — happens once the
+        retained core is known). Positive, single-column, over a single
+        unfiltered base table, grouped by exactly the selected column."""
+        if not isinstance(c, ast.InSubquery) or c.negated \
+                or not isinstance(c.operand, ast.ColumnRef):
+            return False
+        sub = c.subquery
+        return (isinstance(sub, ast.SelectNode)
+                and sub.where is None and sub.having is not None
+                and len(sub.group_by) == 1
+                and isinstance(sub.group_by[0], ast.ColumnRef)
+                and sub.group_mode is None and not sub.group_by_all
+                and not sub.distinct and not sub.distinct_on
+                and sub.qualify is None and not sub.windows
+                and sub.limit is None and sub.offset is None
+                and len(sub.items) == 1
+                and isinstance(sub.items[0].expr, ast.ColumnRef)
+                and len(sub.relations) == 1
+                and isinstance(sub.relations[0], ast.TableRef))
+
     def _try_eager_aggregation(
         self, node: ast.SelectNode
     ) -> "ast.SelectNode | None":
@@ -1338,12 +1363,26 @@ class Compiler:
         any dimension carrying a WHERE predicate that references a
         retained table too.
 
+        IN-keyset fold (r12, the single-scan q18): a WHERE conjunct
+        ``col IN (SELECT k FROM T GROUP BY k HAVING h)`` folds into the
+        partial aggregate as its HAVING when T is the sole retained
+        fact with no inner-side filters, k is exactly the pushdown
+        group key, and ``col`` is equi-connected to k — the subquery's
+        keyset pass and the outer fact pass collapse into ONE scan +
+        ONE exchange (vs the stock keyset-reduction's two fact scans).
+        Sound because the partial groups are computed over exactly the
+        subquery's row set, the HAVING filters whole groups (one row
+        per key — no multiplicity change), and non-member/NULL operands
+        vanish through the inner dimension join exactly as IN drops
+        them. SPARK_GRAFT_EAGER_AGG_FOLD_IN=0 disables just the fold.
+
         Gate: catalog-stats rows of the largest retained table ≥
         SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN (default 200k) and, when
         every inner group column has an NDV estimate, Π ndv ≤ rows/2
         (the rewrite buys nothing without reduction — stats only pick
-        the plan, never the answer). SPARK_GRAFT_EAGER_AGG=1 forces,
-        =0 disables."""
+        the plan, never the answer; a successful fold skips the NDV
+        bail, since saving a whole fact scan pays regardless).
+        SPARK_GRAFT_EAGER_AGG=1 forces, =0 disables."""
         env = os.environ.get("SPARK_GRAFT_EAGER_AGG")
         if env == "0":
             return None
@@ -1424,14 +1463,32 @@ class Compiler:
                 return "(" + "|".join(parts) + ")"
             return repr(e)
 
+        # ---- IN-subquery fold candidates (single-scan q18 shape) ----
+        # ``col IN (SELECT k FROM T GROUP BY k HAVING h)`` where T is the
+        # retained fact and k is the pushdown group key folds into the
+        # partial aggregate as a HAVING — the keyset pass and the outer
+        # fact pass become ONE scan + ONE exchange. Candidates are
+        # extracted structurally here so they don't trip the blanket
+        # subquery bail; validity (key match, closure, single unfiltered
+        # fact) is checked after the retained core is known, and any
+        # failure aborts the whole rewrite (stock keyset path applies).
+        all_where = (self._split_conjuncts(node.where)
+                     if node.where is not None else [])
+        fold_cands: list[ast.InSubquery] = []
+        where_conj = []
+        fold_on = os.environ.get("SPARK_GRAFT_EAGER_AGG_FOLD_IN") != "0"
+        for c in all_where:
+            if fold_on and self._eager_fold_in_candidate(c):
+                fold_cands.append(c)
+            else:
+                where_conj.append(c)
+
         # ---- blanket bails + aggregate collection ----
         top_exprs: list[ast.Expr] = [i.expr for i in node.items]
         if node.having is not None:
             top_exprs.append(node.having)
         top_exprs += [o.expr for o in node.order_by]
-        check_exprs = top_exprs + list(node.group_by) + (
-            self._split_conjuncts(node.where) if node.where is not None
-            else [])
+        check_exprs = top_exprs + list(node.group_by) + where_conj
         for e in check_exprs:
             if self._contains_any_subquery(e) \
                     or self._contains_nondeterministic(e):
@@ -1475,8 +1532,8 @@ class Compiler:
             return None
 
         # ---- classify WHERE conjuncts and join edges ----
-        where_conj = (self._split_conjuncts(node.where)
-                      if node.where is not None else [])
+        # (where_conj excludes the fold candidates — they neither retain
+        # their operand's table nor survive into the rewritten WHERE)
         where_owned: list[tuple[ast.Expr, set[int]]] = []
         for c in where_conj:
             ow = owners(c)
@@ -1660,7 +1717,10 @@ class Compiler:
                     prod *= v
                 else:
                     known = False
-            if known and fact_rows and prod > fact_rows / 2:
+            if known and fact_rows and prod > fact_rows / 2 \
+                    and not fold_cands:
+                # with a foldable IN the rewrite saves a whole fact scan
+                # even when the partial aggregate barely reduces
                 return None
 
         partial_alias: dict[str, str] = {}
@@ -1706,8 +1766,104 @@ class Compiler:
             inner_where = c if inner_where is None else ast.BinaryOp(
                 op="and", left=inner_where, right=c)
 
+        # ---- fold qualified IN conjuncts into the partial HAVING ----
+        # Soundness: the subquery's groups must be computed over EXACTLY
+        # the inner node's row set, so the fact must be the sole retained
+        # table with no inner-side filters (matching the subquery's bare
+        # unfiltered scan), and the inner group key must be exactly the
+        # subquery's group key. The IN then filters partial groups (one
+        # row per key — no multiplicity change) and unmatched/NULL
+        # operands vanish through the inner dimension join exactly as IN
+        # semantics drop them. Any failed condition aborts the whole
+        # rewrite; the stock keyset-reduction path takes over.
+        inner_having: ast.Expr | None = None
+        if fold_cands:
+            if len(retained) != 1 or inner_where_list:
+                return None
+            ft = next(iter(retained))
+            if not forced:
+                # measured gate: at the sf0.1 stage floor the stock
+                # keyset-reduction's broadcast second pass is cheaper
+                # than the fold's extra join stages (0.77 vs 0.92 s);
+                # from ~6M fact rows the saved scan dominates (sf1
+                # 1.89→1.67 s, sf10 5.83→5.17 s interleaved medians)
+                fold_min = int(os.environ.get(
+                    "SPARK_GRAFT_EAGER_AGG_FOLD_ROWS_MIN", "2000000"))
+                st_ft = stats[ft]
+                if st_ft is None or not st_ft.rows \
+                        or st_ft.rows < fold_min:
+                    return None
+
+            def eq_closure(seed: "tuple[int, str]") -> "set[tuple[int, str]]":
+                out = {seed}
+                grew = True
+                while grew:
+                    grew = False
+                    for li, ln, ri, rn, _c in edges:
+                        a, b = (li, ln.lower()), (ri, rn.lower())
+                        if a in out and b not in out:
+                            out.add(b)
+                            grew = True
+                        elif b in out and a not in out:
+                            out.add(a)
+                            grew = True
+                return out
+
+            for cand in fold_cands:
+                sub = cand.subquery
+                sub_t = sub.relations[0]
+                if sub_t.name.lower() != tables[ft].name.lower():
+                    return None
+                sub_scope = Scope([RelationInfo(
+                    qualifier="", display=sub_t.alias or sub_t.name,
+                    columns=list(infos[ft].columns))])
+                gref = sub.group_by[0]
+                iref = sub.items[0].expr
+                try:
+                    _, key_true = sub_scope.resolve(gref.name, gref.table)
+                    _, item_true = sub_scope.resolve(iref.name, iref.table)
+                except Exception:
+                    return None
+                if item_true.lower() != key_true.lower():
+                    return None
+                if set(key_alias) != {f"col:{ft}:{key_true.lower()}"}:
+                    return None
+                try:
+                    op_info, op_true = full_scope.resolve(
+                        cand.operand.name, cand.operand.table)
+                except Exception:
+                    return None
+                if (idx_of[id(op_info)], op_true.lower()) not in \
+                        eq_closure((ft, key_true.lower())):
+                    return None
+                if self._contains_any_subquery(sub.having) \
+                        or self._contains_nondeterministic(sub.having):
+                    return None
+                for x in _walk_all(sub.having):
+                    if isinstance(x, (ast.WindowFunc, ast.Star,
+                                      ast.GroupTotalSubquery)):
+                        return None
+                bad = [False]
+
+                def reh(x: ast.Expr) -> ast.Expr:
+                    if isinstance(x, ast.ColumnRef):
+                        try:
+                            _, true = sub_scope.resolve(x.name, x.table)
+                        except Exception:
+                            bad[0] = True  # correlated / unresolvable
+                            return x
+                        return qref(ft, true)
+                    return x
+
+                h = _transform_expr(_copy_expr(sub.having), reh)
+                if bad[0]:
+                    return None
+                inner_having = h if inner_having is None else ast.BinaryOp(
+                    op="and", left=inner_having, right=h)
+
         inner = ast.SelectNode(items=inner_items, relations=[tree],
-                               where=inner_where, group_by=inner_group)
+                               where=inner_where, group_by=inner_group,
+                               having=inner_having)
 
         # ---- outer node: join dimensions to the partial, re-aggregate
         out_tree: ast.Relation = ast.SubqueryRef(query=inner, alias=ea_alias)

@@ -217,3 +217,95 @@ def test_expression_equality_conjunct_retained(engine, monkeypatch):
     eager = engine.query(sql)
     assert _n_aggregates(eager) == 2
     compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+# ---------------------------------------------------------------- IN fold
+
+Q18_SHAPE = """
+    SELECT c_name, o.o_orderkey, o_totalprice,
+      CAST(sum(CAST(l_quantity AS decimal(18,2))) AS double) AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING sum(l_quantity) > 200)
+    GROUP BY c_name, o.o_orderkey, o_totalprice
+    ORDER BY o_totalprice DESC, o.o_orderkey LIMIT 100
+"""
+
+
+def _n_fact_scans(df, fact: str = "lineitem") -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count(f"/{fact}")
+
+
+def test_in_fold_single_scan_q18(engine, ddb, monkeypatch):
+    # the IN (SELECT k FROM fact GROUP BY k HAVING ...) keyset folds into
+    # the eager partial aggregate: ONE fact scan instead of two
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(Q18_SHAPE)
+    assert _n_fact_scans(stock) >= 2
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    folded = engine.query(Q18_SHAPE)
+    assert _n_fact_scans(folded) == 1
+    compare_frames(folded.toPandas(), stock.toPandas(), ordered=True)
+    oracle = ddb.execute(Q18_SHAPE).fetchdf()
+    compare_frames(folded.toPandas(), oracle, ordered=True)
+
+
+def test_in_fold_operand_on_fact_itself(engine, monkeypatch):
+    # operand is the fact's own key column — equi-closure trivially holds
+    sql = Q18_SHAPE.replace("WHERE o.o_orderkey IN",
+                            "WHERE l.l_orderkey IN")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    folded = engine.query(sql)
+    assert _n_fact_scans(folded) == 1
+    compare_frames(folded.toPandas(), stock, ordered=True)
+
+
+def test_in_fold_bails_on_fact_filter(engine, monkeypatch):
+    # an outer filter on the fact makes the partial-aggregate row set
+    # differ from the subquery's full scan — the fold (and with it the
+    # whole rewrite) must bail to the stock keyset path
+    sql = Q18_SHAPE.replace(
+        "GROUP BY c_name", "AND l.l_linenumber <= 5 GROUP BY c_name")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    folded = engine.query(sql)
+    assert _n_fact_scans(folded) >= 2
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    compare_frames(folded.toPandas(), stock, ordered=True)
+
+
+def test_in_fold_bails_on_other_table_subquery(engine, monkeypatch):
+    # subquery aggregates a DIFFERENT table than the fact — no fold
+    sql = Q18_SHAPE.replace(
+        "IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING sum(l_quantity) > 200)",
+        "IN (SELECT o_orderkey FROM orders GROUP BY o_orderkey "
+        "HAVING max(o_totalprice) > 1000)")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    folded = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    compare_frames(folded, stock, ordered=True)
+
+
+def test_in_fold_disabled_env(engine, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG_FOLD_IN", "0")
+    df = engine.query(Q18_SHAPE)
+    assert _n_fact_scans(df) >= 2  # fold off → subquery bail → stock
+
+
+def test_in_fold_count_star_having(engine, ddb, monkeypatch):
+    # HAVING over count(*) — evaluated natively per partial group
+    sql = Q18_SHAPE.replace("HAVING sum(l_quantity) > 200",
+                            "HAVING count(*) > 6")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    folded = engine.query(sql)
+    assert _n_fact_scans(folded) == 1
+    oracle = ddb.execute(sql).fetchdf()
+    compare_frames(folded.toPandas(), oracle, ordered=True)

@@ -987,11 +987,17 @@ def test_jpeg_rejects_unsupported():
         multimodal.decode_jpeg_gray(b"\x00\x11not a jpeg")
     with pytest.raises(ValueError):
         multimodal.encode_jpeg_gray(np.zeros((7, 8), np.uint8))  # non-×8
-    # progressive SOF2 must raise, not mis-decode
     blob = bytearray(multimodal.encode_jpeg_gray(
         np.zeros((8, 8), np.uint8)))
     sof = blob.find(b"\xff\xc0")
+    # SOF2 is decoded since r12 — a baseline stream relabeled progressive
+    # is MALFORMED progressive (Ss=0/Se=63 DC scan) and must fail fast,
+    # not mis-decode
     blob[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(bytes(blob))
+    # lossless SOF3 stays the documented plug point
+    blob[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         multimodal.decode_jpeg_gray(bytes(blob))
 

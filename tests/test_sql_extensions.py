@@ -212,14 +212,14 @@ class TestCorrelatedSubqueries:
             FROM nation n
         """)
 
-    def test_correlated_not_in_raises(self, engine):
-        with pytest.raises(InvalidQueryException):
-            engine.query("""
-                SELECT count(*) AS n FROM orders o
-                WHERE o.o_orderkey NOT IN
-                      (SELECT l.l_orderkey FROM lineitem l
-                       WHERE l.l_orderkey = o.o_orderkey)
-            """)
+    def test_correlated_not_in(self, oracle):
+        # lowered to the NULL-guarded NOT EXISTS since r12 (was a raise)
+        oracle("""
+            SELECT count(*) AS n FROM orders o
+            WHERE o.o_orderkey NOT IN
+                  (SELECT l.l_orderkey FROM lineitem l
+                   WHERE l.l_orderkey = o.o_orderkey)
+        """)
 
 
 def test_scalar_subquery_in_having(oracle):
