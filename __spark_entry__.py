@@ -1706,9 +1706,11 @@ def _add_pipeline_operators(out: dict) -> None:
 
     # REAL image decode: synthesize an actual PNG per doc_id (deterministic
     # closed form — solid color id%256, per-row filter type id%3 so the
-    # DEFLATE + un-filter path does real work) and decode it with the
-    # pure-stdlib zlib decoder. The oracle recomputes the closed form, so
-    # any inflate / filter-reconstruction / stride bug breaks the hash.
+    # DEFLATE + un-filter path does real work; odd ids are Adam7-interlaced
+    # since r12 so the seven-pass lattice is oracle-covered too) and decode
+    # it with the pure-stdlib zlib decoder. The oracle recomputes the
+    # closed form, so any inflate / filter / stride / pass bug breaks the
+    # hash.
     def decode_images(spark, sf_dir):
         _engine_for(spark, sf_dir)
         blobs = multimodal.synthesize_png_blobs(_docs(spark, sf_dir))

@@ -252,18 +252,22 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
                     np.where(pb <= pc, b, c)).astype(np.uint8)
 
 
-def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
-    """Encode an (H, W, 3|4) uint8 array as a real PNG using one filter
-    type for every scanline (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth)."""
-    import zlib as _z
+# Adam7 pass geometry (RFC 2083 §2.6): per pass, the x/y origin and step
+# of the pixels it carries; each pass is filtered as an independent
+# sub-image (its own scanlines, its own filter bytes, prev-row reset)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, ch = px.shape
-    bpp = ch  # bytes per pixel (8-bit samples)
+
+def _png_filter_rows(rows: "np.ndarray", ch: int,
+                     filter_type: int) -> bytearray:
+    """Filter an (H, W*ch) uint8 sample matrix into PNG scanline bytes
+    (filter byte + filtered samples per row) with one filter type."""
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.uint8)
-    for y in range(h):
-        line = px[y].reshape(-1)
+    bpp = ch
+    prev = np.zeros(rows.shape[1], dtype=np.uint8)
+    for y in range(rows.shape[0]):
+        line = rows[y]
         left = np.concatenate([np.zeros(bpp, np.uint8), line[:-bpp]])
         upleft = np.concatenate([np.zeros(bpp, np.uint8), prev[:-bpp]])
         if filter_type == 0:
@@ -284,67 +288,50 @@ def encode_png(pixels: "np.ndarray", filter_type: int = 0) -> bytes:
         raw.append(filter_type)
         raw.extend(enc.tobytes())
         prev = line
+    return raw
+
+
+def encode_png(pixels: "np.ndarray", filter_type: int = 0,
+               interlace: bool = False) -> bytes:
+    """Encode an (H, W, 3|4) uint8 array as a real PNG using one filter
+    type for every scanline (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth);
+    ``interlace=True`` writes the Adam7 pass sequence."""
+    import zlib as _z
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, ch = px.shape
+    if not interlace:
+        raw = _png_filter_rows(px.reshape(h, w * ch), ch, filter_type)
+    else:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass carries no scanlines at all
+            raw += _png_filter_rows(
+                sub.reshape(sub.shape[0], sub.shape[1] * ch),
+                ch, filter_type)
     color_type = 2 if ch == 3 else 6
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0,
+                       1 if interlace else 0)
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
             + _png_chunk(b"IEND", b""))
 
 
-def decode_png(data: bytes) -> tuple[int, int, int, float]:
-    """Parse + inflate + un-filter a PNG: returns (width, height, channels,
-    mean_pixel). Real decode (RFC 2083): zlib-inflates IDAT, inverts
-    filter types 0-4 per scanline, then expands the color model —
-    grayscale (type 0, depths 1/2/4/8/16), RGB (2, depths 8/16),
-    palette (3, depths 1/2/4/8, PLTE lookup → RGB), gray+alpha (4,
-    depths 8/16), RGBA (6, depths 8/16). 16-bit samples are scaled to
-    the 8-bit range exactly (v / 257) so mean_pixel is comparable
-    across depths. Adam7 interlace stays the documented plug point."""
-    import zlib as _z
-
-    if data[:8] != _PNG_MAGIC:
-        raise ValueError("not a PNG blob")
-    pos = 8
-    width = height = None
-    idat = bytearray()
-    plte = None
-    depth = color_type = 0
-    while pos + 8 <= len(data):
-        (length,) = struct.unpack_from(">I", data, pos)
-        tag = data[pos + 4:pos + 8]
-        payload = data[pos + 8:pos + 8 + length]
-        pos += 12 + length  # length + tag + payload + crc
-        if tag == b"IHDR":
-            width, height, depth, color_type, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", payload)
-            if interlace != 0:
-                raise ValueError(
-                    "Adam7-interlaced PNG is a documented plug point")
-            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
-                       4: (8, 16), 6: (8, 16)}
-            if color_type not in allowed or depth not in allowed[color_type]:
-                raise ValueError(
-                    f"invalid PNG (depth={depth}, color={color_type})")
-        elif tag == b"PLTE":
-            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
-        elif tag == b"IDAT":
-            idat.extend(payload)
-        elif tag == b"IEND":
-            break
-    if width is None:
-        raise ValueError("PNG missing IHDR")
-    if color_type == 3 and plte is None:
-        raise ValueError("palette PNG missing PLTE")
-    nsamp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    raw = _z.decompress(bytes(idat))
-    stride = (width * nsamp * depth + 7) // 8
-    bpp = max(1, nsamp * depth // 8)  # filter distance in BYTES
+def _png_unfilter(raw: bytes, offset: int, stride: int, height: int,
+                  bpp: int) -> "tuple[np.ndarray, int]":
+    """Invert filter types 0-4 over ``height`` scanlines of ``stride``
+    bytes starting at ``offset``; returns (bytes matrix, next offset)."""
     out = np.zeros((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ft = raw[y * (stride + 1)]
+        base = offset + y * (stride + 1)
+        if base + stride + 1 > len(raw):
+            raise ValueError("truncated PNG scanline data")
+        ft = raw[base]
         line = np.frombuffer(raw, np.uint8, count=stride,
-                             offset=y * (stride + 1) + 1).copy()
+                             offset=base + 1).copy()
         if ft == 0:
             cur = line
         elif ft == 2:  # Up (vectorizable: only depends on prev row)
@@ -368,7 +355,14 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
             raise ValueError(f"unknown PNG filter type {ft}")
         out[y] = cur
         prev = cur
-    # expand bytes → samples in the 0-255 range
+    return out, offset + height * (stride + 1)
+
+
+def _png_expand(out: "np.ndarray", width: int, height: int, nsamp: int,
+                depth: int, color_type: int) -> "np.ndarray":
+    """Unfiltered scanline bytes → float samples in the 0-255 range,
+    shape (height, width*nsamp)."""
+    stride = out.shape[1]
     if depth == 16:
         wide = out.reshape(height, stride // 2, 2).astype(np.float64)
         samples = (wide[..., 0] * 256.0 + wide[..., 1]) / 257.0
@@ -384,7 +378,75 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
             # scale sub-8-bit gray to the full 0-255 range (RFC 2083
             # sample depth scaling: v * 255 / (2^depth - 1))
             samples = samples * (255.0 / ((1 << depth) - 1))
-    samples = samples[:, :width * nsamp]
+    return samples[:, :width * nsamp]
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, float]:
+    """Parse + inflate + un-filter a PNG: returns (width, height, channels,
+    mean_pixel). Real decode (RFC 2083): zlib-inflates IDAT, inverts
+    filter types 0-4 per scanline, then expands the color model —
+    grayscale (type 0, depths 1/2/4/8/16), RGB (2, depths 8/16),
+    palette (3, depths 1/2/4/8, PLTE lookup → RGB), gray+alpha (4,
+    depths 8/16), RGBA (6, depths 8/16). 16-bit samples are scaled to
+    the 8-bit range exactly (v / 257) so mean_pixel is comparable
+    across depths. Adam7 interlace (r12; was the documented plug point):
+    the seven passes un-filter as independent sub-images — per-pass
+    scanlines, per-pass prev-row reset, empty passes carrying no bytes —
+    and scatter back to the full grid on the RFC 2083 §2.6 lattice."""
+    import zlib as _z
+
+    if data[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG blob")
+    pos = 8
+    width = height = None
+    idat = bytearray()
+    plte = None
+    depth = color_type = interlace = 0
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4:pos + 8]
+        payload = data[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + tag + payload + crc
+        if tag == b"IHDR":
+            width, height, depth, color_type, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", payload)
+            if interlace not in (0, 1):
+                raise ValueError(f"invalid PNG interlace {interlace}")
+            allowed = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                       4: (8, 16), 6: (8, 16)}
+            if color_type not in allowed or depth not in allowed[color_type]:
+                raise ValueError(
+                    f"invalid PNG (depth={depth}, color={color_type})")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE")
+    nsamp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = _z.decompress(bytes(idat))
+    bpp = max(1, nsamp * depth // 8)  # filter distance in BYTES
+    if interlace == 0:
+        stride = (width * nsamp * depth + 7) // 8
+        out, _ = _png_unfilter(raw, 0, stride, height, bpp)
+        samples = _png_expand(out, width, height, nsamp, depth, color_type)
+    else:
+        full = np.zeros((height, width, nsamp), dtype=np.float64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * nsamp * depth + 7) // 8
+            out, off = _png_unfilter(raw, off, stride, ph, bpp)
+            sp = _png_expand(out, pw, ph, nsamp, depth, color_type)
+            full[y0::dy, x0::dx, :] = sp.reshape(ph, pw, nsamp)
+        samples = full.reshape(height, width * nsamp)
     if color_type == 3:
         idx = samples.astype(np.int64)
         if idx.max() >= len(plte):
@@ -398,9 +460,10 @@ def decode_png(data: bytes) -> tuple[int, int, int, float]:
 def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministically synthesize a real PNG blob per row from its id
     (width = 4 + id % 16, height = 4 + (id // 16) % 16, all pixels =
-    id % 256, scanline filter = id % 3) — after decode, width/height/
-    mean_pixel must equal those closed-form expressions, so any inflate/
-    un-filter/stride bug breaks the oracle hash."""
+    id % 256, scanline filter = id % 3, Adam7 interlace when id is odd)
+    — after decode, width/height/mean_pixel must equal those closed-form
+    expressions, so any inflate/un-filter/stride/pass-lattice bug breaks
+    the oracle hash."""
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -410,7 +473,8 @@ def synthesize_png_blobs(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                 i = int(i)
                 w, h, v = 4 + i % 16, 4 + (i // 16) % 16, i % 256
                 px = np.full((h, w, 3), v, dtype=np.uint8)
-                blobs.append(encode_png(px, filter_type=i % 3))
+                blobs.append(encode_png(px, filter_type=i % 3,
+                                        interlace=bool(i % 2)))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

@@ -404,6 +404,11 @@ class Compiler:
             self._window_defs = saved_windows
 
     def _compile_select_body(self, node: ast.SelectNode) -> DataFrame:
+        for _ in range(5):  # nested derived tables merge inside-out
+            rewritten = self._try_view_merge(node)
+            if rewritten is None:
+                break
+            node = rewritten
         rewritten = self._try_parse_per_distinct(node)
         if rewritten is not None:
             node = rewritten
@@ -1306,6 +1311,175 @@ class Compiler:
 
     _EAGER_AGG_FNS = {"sum", "count", "min", "minimum", "max", "maximum"}
 
+    def _try_view_merge(self, node: ast.SelectNode) -> "ast.SelectNode | None":
+        """Derived-table merge (view merging): ``SELECT ... FROM (SELECT
+        <plain projection> FROM <tree> WHERE w) a ...`` inlines the
+        inner query into the outer — outer references to ``a.<out>``
+        substitute the inner item expressions, the inner WHERE conjoins
+        the outer one, and the outer sees the inner join tree directly.
+
+        Why: the derived table is an optimization FENCE. The q7/q8/q9
+        family wraps its join in a projection (year(...), price*(1-disc)
+        AS volume) and aggregates outside; without merging, the eager-
+        aggregation pushdown (and the stats-broadcast planner's join
+        sizing) see only an opaque subquery. Catalyst collapses the
+        projection at the logical level, but OUR compile-time rewrites
+        run on the AST, before Catalyst exists.
+
+        Sound only for pure row-wise projections, so it bails on: inner
+        aggregation/grouping/having, DISTINCT, windows/QUALIFY,
+        LIMIT/OFFSET, ORDER BY, set ops, stars on either side,
+        nondeterminism or subqueries in the inner items (substitution
+        duplicates expressions), subqueries anywhere in the outer
+        (their bodies are compiled in their own scope and may reference
+        the merged-away alias), and any outer column that does not
+        resolve to an inner output. SPARK_GRAFT_VIEW_MERGE=0 disables."""
+        if os.environ.get("SPARK_GRAFT_VIEW_MERGE") == "0":
+            return None
+        if len(node.relations) != 1 \
+                or not isinstance(node.relations[0], ast.SubqueryRef):
+            return None
+        ref = node.relations[0]
+        sub = ref.query
+        if not isinstance(sub, ast.SelectNode):
+            return None
+        if (sub.group_by or sub.group_mode is not None or sub.group_by_all
+                or sub.having is not None or sub.qualify is not None
+                or sub.windows or sub.distinct or sub.distinct_on
+                or sub.limit is not None or sub.offset is not None
+                or sub.order_by or not sub.items or not sub.relations):
+            return None
+
+        # inner outputs: alias, or the written name of a plain column;
+        # t(a, b) derived-column lists override positionally
+        out_map: dict[str, ast.Expr] = {}
+        for i, item in enumerate(sub.items):
+            if isinstance(item.expr, ast.Star):
+                return None
+            if ref.columns is not None:
+                if i >= len(ref.columns):
+                    return None
+                name = ref.columns[i]
+            elif item.alias is not None:
+                name = item.alias
+            elif isinstance(item.expr, ast.ColumnRef):
+                name = item.expr.name
+            else:
+                return None
+            if name.lower() in out_map:
+                return None  # duplicate output name — ambiguous
+            out_map[name.lower()] = item.expr
+            if self._contains_any_subquery(item.expr) \
+                    or self._contains_nondeterministic(item.expr):
+                return None
+            for x in _walk_all(item.expr):
+                if isinstance(x, (ast.WindowFunc, ast.GroupTotalSubquery)):
+                    return None
+                if isinstance(x, ast.FuncCall) and (
+                        self._is_agg_name(x.name) or x.is_star
+                        or x.name in self.user_aggregates):
+                    return None
+
+        alias_l = ref.alias.lower()
+        parent_aliases = {(i.alias or (i.expr.name if isinstance(
+            i.expr, ast.ColumnRef) else "")).lower() for i in node.items}
+
+        outer_exprs: list[ast.Expr] = [i.expr for i in node.items]
+        outer_exprs += list(node.group_by)
+        outer_exprs += [g for s in node.grouping_sets for g in s]
+        outer_exprs += list(node.distinct_on)
+        for w in node.windows.values():
+            outer_exprs += list(w.partition_by)
+            outer_exprs += [o.expr for o in w.order_by]
+        if node.where is not None:
+            outer_exprs.append(node.where)
+        if node.having is not None:
+            outer_exprs.append(node.having)
+        if node.qualify is not None:
+            outer_exprs.append(node.qualify)
+        outer_exprs += [o.expr for o in node.order_by]
+        for e in outer_exprs:
+            if self._contains_any_subquery(e):
+                return None  # bodies compile in their own scope
+            for x in _walk_all(e):
+                if isinstance(x, ast.Star):
+                    if x.table is not None \
+                            and x.table.lower() != alias_l:
+                        return None
+                    return None  # star expansion over the view — leave
+                if not isinstance(x, ast.ColumnRef):
+                    continue
+                if x.table is not None:
+                    if x.table.lower() != alias_l \
+                            or x.name.lower() not in out_map:
+                        return None
+                elif x.name.lower() not in out_map \
+                        and x.name.lower() not in parent_aliases:
+                    return None
+
+        def subst(e: ast.Expr, keep_output_aliases: bool = False) -> ast.Expr:
+            def rep(x: ast.Expr) -> ast.Expr:
+                if isinstance(x, ast.ColumnRef) and (
+                        x.table is None
+                        or x.table.lower() == alias_l) \
+                        and x.name.lower() in out_map:
+                    if keep_output_aliases and x.table is None \
+                            and x.name.lower() in parent_aliases:
+                        # ORDER BY <output alias> resolves against the
+                        # outer projection, not the merged FROM — leave
+                        return x
+                    return _copy_expr(out_map[x.name.lower()])
+                return x
+            return _transform_expr(_copy_expr(e), rep)
+
+        def out_name(item: ast.SelectItem) -> "str | None":
+            if item.alias is not None:
+                return item.alias
+            if isinstance(item.expr, ast.ColumnRef):
+                return item.expr.name  # preserve the pre-merge casing
+            return None
+
+        new_where = _copy_expr(sub.where) if sub.where is not None else None
+        if node.where is not None:
+            w = subst(node.where)
+            new_where = w if new_where is None else ast.BinaryOp(
+                op="and", left=new_where, right=w)
+        merged = ast.SelectNode(
+            items=[ast.SelectItem(expr=subst(i.expr),
+                                  alias=i.alias or out_name(i))
+                   for i in node.items],
+            relations=[_copy_expr(r) for r in sub.relations],
+            where=new_where,
+            group_by=[subst(g) for g in node.group_by],
+            group_mode=node.group_mode,
+            grouping_sets=[[subst(g) for g in s]
+                           for s in node.grouping_sets],
+            group_by_all=node.group_by_all,
+            having=(subst(node.having) if node.having is not None
+                    else None),
+            qualify=(subst(node.qualify) if node.qualify is not None
+                     else None),
+            order_by=[ast.OrderItem(expr=subst(o.expr,
+                                               keep_output_aliases=True),
+                                    ascending=o.ascending,
+                                    nulls_first=o.nulls_first)
+                      for o in node.order_by],
+            limit=node.limit, offset=node.offset,
+            distinct=node.distinct,
+            distinct_on=[subst(d) for d in node.distinct_on],
+            windows={k: ast.WindowSpec(
+                partition_by=[subst(p) for p in w.partition_by],
+                order_by=[ast.OrderItem(expr=subst(o.expr),
+                                        ascending=o.ascending,
+                                        nulls_first=o.nulls_first)
+                          for o in w.order_by],
+                frame_type=w.frame_type,
+                frame_start=w.frame_start, frame_end=w.frame_end,
+                ref=w.ref)
+                for k, w in node.windows.items()},
+        )
+        return merged
+
     @staticmethod
     def _eager_fold_in_candidate(c: object) -> bool:
         """Structural screen for ``col IN (SELECT k FROM t GROUP BY k
@@ -1387,7 +1561,11 @@ class Compiler:
         if env == "0":
             return None
         forced = env == "1"
-        if (not node.group_by or node.group_mode is not None
+        # empty group_by is allowed: a GLOBAL aggregate over a join (the
+        # q14 shape) pushes down exactly like a grouped one — the inner
+        # node groups by the attach keys, the outer re-aggregates with
+        # no keys (r12; was a bail)
+        if (node.group_mode is not None
                 or node.group_by_all or node.distinct or node.distinct_on
                 or node.qualify or node.windows
                 or len(node.relations) != 1
@@ -1500,7 +1678,74 @@ class Compiler:
 
         needed: set[int] = set()
         agg_map: dict[str, ast.FuncCall] = {}
+        case_cands: dict[str, dict] = {}
         ok = [True]
+
+        def lit_of(e: ast.Expr) -> "ast.Expr | None":
+            """The literal at the core of a (possibly CAST-wrapped)
+            constant branch, or None if the branch is not a constant."""
+            x = e
+            while isinstance(x, ast.Cast):
+                x = x.operand
+            return x if isinstance(x, (ast.NumberLit, ast.StringLit,
+                                       ast.NullLit)) else None
+
+        def case_candidate(e: ast.FuncCall) -> "dict | None":
+            """CASE decomposition screen (q14 shape): agg(CASE WHEN p
+            THEN f ... END) where each branch result is a fact-side
+            expression or a neutral literal. Records branch owners in
+            ``needed`` (they are agg inputs either way) but NOT the
+            condition owners — if the conditions turn out dim-only the
+            aggregate distributes over the CASE (p is constant per
+            (group, dim-row) pair after the join), so the partial sums
+            per branch push below the join and the outer re-evaluates
+            the CASE over partial refs. Neutral-literal rules: SUM
+            branches must be 0 or NULL (a row-count-dependent constant
+            would need COUNT(*) scaling), COUNT branches NULL only
+            (non-NULL constants count every row), MIN/MAX any literal
+            (constant per joined pair either way)."""
+            if e.is_star or len(e.args) != 1 \
+                    or not isinstance(e.args[0], ast.Case):
+                return None
+            case = e.args[0]
+            fn = {"minimum": "min", "maximum": "max"}.get(e.name, e.name)
+            branches = list(case.whens) + [(None, case.else_)]
+            conds: list[ast.Expr] = [c for c, _ in case.whens]
+            cond_owner: set[int] = set()
+            parts: list[tuple[str, "ast.Expr | None"]] = []
+            for _, res in branches:
+                if res is None:  # absent ELSE ≡ NULL
+                    parts.append(("lit", None))
+                    continue
+                lit = lit_of(res)
+                if lit is not None:
+                    if fn == "sum" and not (
+                            isinstance(lit, ast.NullLit)
+                            or (isinstance(lit, ast.NumberLit)
+                                and lit.value == 0)):
+                        return None
+                    if fn == "count" and not isinstance(lit, ast.NullLit):
+                        return None
+                    parts.append(("lit", res))
+                    continue
+                ow = owners(res)
+                if ow is None or not ow:
+                    return None
+                needed.update(ow)
+                parts.append(("expr", res))
+            if not any(k == "expr" for k, _ in parts):
+                return None
+            for c in conds:
+                ow = owners(c)
+                if ow is None:
+                    return None
+                cond_owner.update(ow)
+                for x in _walk_all(c):
+                    if isinstance(x, ast.FuncCall) and (
+                            self._is_agg_name(x.name) or x.is_star):
+                        return None
+            return {"agg": e, "fn": fn, "case": case,
+                    "parts": parts, "cond_owner": cond_owner}
 
         def scan_aggs(e: object, inside: bool = False) -> None:
             if not ok[0]:
@@ -1513,13 +1758,17 @@ class Compiler:
                             and e.name not in self._EAGER_AGG_FNS):
                     ok[0] = False
                     return
-                if not e.is_star:
+                cand = None if e.is_star else case_candidate(e)
+                if cand is not None:
+                    case_cands[efp(e)] = cand
+                elif not e.is_star:
                     ow = owners(e.args[0]) if e.args else set()
                     if ow is None:
                         ok[0] = False
                         return
                     needed.update(ow)
-                agg_map[efp(e)] = e
+                if cand is None:
+                    agg_map[efp(e)] = e
                 for a in e.args:
                     scan_aggs(a, True)
                 return
@@ -1528,7 +1777,7 @@ class Compiler:
 
         for e in top_exprs:
             scan_aggs(e)
-        if not ok[0] or not agg_map or not needed:
+        if not ok[0] or not (agg_map or case_cands) or not needed:
             return None
 
         # ---- classify WHERE conjuncts and join edges ----
@@ -1635,6 +1884,21 @@ class Compiler:
             if not any(adjacent(t, retained) for t in comp):
                 return None  # was a cross join — leave alone
 
+        # ---- resolve CASE candidates now that sides are known ----
+        # dim-only conditions → decompose (the aggregate distributes
+        # over the CASE); retained-only conditions → the whole argument
+        # is fact-side, treat as a plain pushed aggregate; mixed → the
+        # rewrite cannot place the CASE on either side, leave the query
+        # on the stock plan
+        decomp: dict[str, dict] = {}
+        for fp, cand in case_cands.items():
+            if cand["cond_owner"] and cand["cond_owner"] <= deferred:
+                decomp[fp] = cand
+            elif cand["cond_owner"] <= retained:
+                agg_map[fp] = cand["agg"]
+            else:
+                return None
+
         # ---- profitability gate (stats pick the plan, never the answer)
         fact_rows = max((st.rows for i, st in enumerate(stats)
                          if i in retained and st is not None), default=0)
@@ -1642,6 +1906,15 @@ class Compiler:
             min_rows = int(os.environ.get(
                 "SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN", "200000"))
             if fact_rows < min_rows:
+                return None
+            if not node.group_by and not fold_cands:
+                # a GLOBAL aggregate already reduces to one row per
+                # partition before any exchange, so pushing a group-by
+                # below the join only ADDS a shuffle (measured sf10
+                # unfiltered join-agg: stock 4.3 s vs eager 7.2 s with
+                # the dim broadcast); it pays only when it funds an IN
+                # fold (a saved fact scan) — auto mode keeps global
+                # aggregates on the stock plan otherwise
                 return None
 
         # ---- inner node: partial aggregate over the retained subtree
@@ -1717,7 +1990,46 @@ class Compiler:
                     prod *= v
                 else:
                     known = False
-            if known and fact_rows and prod > fact_rows / 2 \
+            # the reduction the partial aggregate actually achieves is
+            # |filtered fact| / Π ndv, not |raw fact| — a month-range
+            # scan over a years-spanning fact (q14) feeds the aggregate
+            # ~1% of footer rows, and an exchange that barely reduces
+            # costs more than it saves (measured sf10: 1.83→2.05 s).
+            # Estimate retained-side selectivity with the same footer
+            # interpolation the broadcast planner uses.
+            eff_rows = float(fact_rows)
+            if where_conj and fact_rows:
+                try:
+                    from sql_to_ibis_spark.plans.estimator import (
+                        CardinalityEstimator, _Rel)
+                    est = CardinalityEstimator(self.catalog,
+                                               set(self._cte_frames))
+                    rels_est: dict[str, _Rel] = {}
+                    for i in retained:
+                        st = stats[i]
+                        if st is None:
+                            continue
+                        al = (tables[i].alias or tables[i].name).lower()
+                        rels_est[al] = _Rel(
+                            alias=al,
+                            columns=[c.lower() for c in infos[i].columns],
+                            rows=st.rows,
+                            col_min=st.col_min, col_max=st.col_max,
+                            ndv=getattr(st, "ndv", None) or {})
+                    w: ast.Expr | None = None
+                    for c in where_conj:
+                        w = c if w is None else ast.BinaryOp(
+                            op="and", left=w, right=c)
+                    sels = est._relation_selectivities(
+                        ast.SelectNode(items=[], relations=[], where=w),
+                        rels_est)
+                    eff_rows = max(
+                        (r.rows * sels.get(al, 1.0)
+                         for al, r in rels_est.items() if r.rows),
+                        default=float(fact_rows))
+                except Exception:
+                    pass
+            if known and eff_rows and prod > eff_rows / 2 \
                     and not fold_cands:
                 # with a foldable IN the rewrite saves a whole fact scan
                 # even when the partial aggregate barely reduces
@@ -1729,6 +2041,25 @@ class Compiler:
             partial_alias[fp] = alias
             inner_items.append(ast.SelectItem(expr=_copy_expr(agg),
                                               alias=alias))
+        # decomposed CASE aggregates: one partial per distinct fact-side
+        # branch (shared with plain partials when the expression matches
+        # — q14's numerator branch IS its denominator's argument)
+        for cand in decomp.values():
+            refs: list[str | None] = []
+            for kind, res in cand["parts"]:
+                if kind != "expr":
+                    refs.append(None)
+                    continue
+                synth = ast.FuncCall(name=cand["fn"],
+                                     args=[_copy_expr(res)])
+                sfp = efp(synth)
+                if sfp not in partial_alias:
+                    alias = f"__ea_a{len(partial_alias)}_{n_}"
+                    partial_alias[sfp] = alias
+                    inner_items.append(
+                        ast.SelectItem(expr=synth, alias=alias))
+                refs.append(partial_alias[sfp])
+            cand["part_refs"] = refs
 
         # rebuild the retained join tree greedily along its edges
         r_order = [i for i in range(len(tables)) if i in retained]
@@ -1906,9 +2237,43 @@ class Compiler:
                 return ast.FuncCall(name="sum", args=[ref])
             return ast.FuncCall(name=agg.name, args=[ref])
 
+        def merge_case(cand: dict) -> ast.Expr:
+            # rebuild the CASE over partial refs: conditions (dim-only)
+            # are copied verbatim — their tables sit in the outer join
+            # tree; matched groups contribute their whole-group partial,
+            # literal branches keep the original neutral constant (one
+            # per group instead of one per row — identical under the
+            # fn-specific neutrality rules checked at screen time)
+            conds = [c for c, _ in cand["case"].whens]
+            refs = cand["part_refs"]
+            fn = cand["fn"]
+
+            def out_branch(idx: int) -> ast.Expr:
+                kind, res = cand["parts"][idx]
+                if kind == "expr":
+                    return ast.ColumnRef(name=refs[idx], table=ea_alias)
+                if fn == "count":
+                    # non-matching groups contribute 0 to a count
+                    return ast.NumberLit(value=0)
+                return (_copy_expr(res) if res is not None
+                        else ast.NullLit())
+
+            case = ast.Case(
+                whens=[(_copy_expr(conds[i]), out_branch(i))
+                       for i in range(len(conds))],
+                else_=out_branch(len(conds)))
+            if fn == "count":
+                # per-group counts merge by summation, never by count
+                return ast.FuncCall(name="coalesce", args=[
+                    ast.FuncCall(name="sum", args=[case]),
+                    ast.NumberLit(value=0)])
+            return ast.FuncCall(name=fn, args=[case])
+
         def xf(e: ast.Expr) -> ast.Expr:
             def rep(x: ast.Expr) -> ast.Expr:
                 fp = efp(x)
+                if fp in decomp and isinstance(x, ast.FuncCall):
+                    return merge_case(decomp[fp])
                 if fp in partial_alias and isinstance(x, ast.FuncCall):
                     return merge(x, ast.ColumnRef(
                         name=partial_alias[fp], table=ea_alias))

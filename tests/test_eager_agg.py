@@ -309,3 +309,131 @@ def test_in_fold_count_star_having(engine, ddb, monkeypatch):
     assert _n_fact_scans(folded) == 1
     oracle = ddb.execute(sql).fetchdf()
     compare_frames(folded.toPandas(), oracle, ordered=True)
+
+
+# -------------------------------------------- CASE decomposition + global
+
+Q14_SHAPE = """
+    SELECT 100.0 *
+      CAST(sum(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                    AS decimal(18,4))
+               ELSE CAST(0 AS decimal(18,4)) END) AS double) /
+      CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+               AS decimal(18,4))) AS double) AS promo_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+"""
+
+CASE_GROUPED = """
+    SELECT n.n_name,
+      CAST(sum(CASE WHEN c.c_mktsegment = 'BUILDING'
+               THEN l.l_quantity ELSE 0 END) AS double) AS building_qty,
+      count(*) AS cnt
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name ORDER BY n.n_name
+"""
+
+
+def test_case_decomposition_global_q14(engine, ddb, monkeypatch):
+    # a GLOBAL aggregate whose CASE predicate lives on the dimension:
+    # forced → decomposed (partial per partkey below the join); auto →
+    # stock (a global agg adds a shuffle it never had)
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(Q14_SHAPE)
+    assert _n_aggregates(eager) == 2
+    oracle = ddb.execute(Q14_SHAPE).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+    monkeypatch.delenv("SPARK_GRAFT_EAGER_AGG")
+    assert _n_aggregates(engine.query(Q14_SHAPE)) == 1
+
+
+def test_case_decomposition_grouped(engine, ddb, monkeypatch):
+    # grouped: the CASE's fact branch becomes a per-attach-key partial,
+    # count(*) merges by summation, the condition re-evaluates over the
+    # dimension join
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(CASE_GROUPED).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(CASE_GROUPED)
+    assert _n_aggregates(eager) == 2
+    compare_frames(eager.toPandas(), stock, ordered=True)
+    oracle = ddb.execute(CASE_GROUPED).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+
+
+def test_case_count_min_max_decompose(engine, ddb, monkeypatch):
+    # count(CASE) with absent ELSE (NULL-neutral) and max(CASE) with a
+    # literal ELSE both distribute over the dimension predicate
+    sql = """
+        SELECT n.n_name,
+          count(CASE WHEN c.c_mktsegment = 'BUILDING'
+                THEN l.l_linenumber END) AS building_lines,
+          CAST(max(CASE WHEN c.c_mktsegment = 'BUILDING'
+               THEN l.l_quantity ELSE 0 END) AS double) AS building_max
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    oracle = ddb.execute(sql).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+
+
+def test_case_sum_nonzero_literal_bails(engine, monkeypatch):
+    # SUM with a non-neutral constant branch (contributes per ROW) must
+    # not decompose; the rewrite treats the CASE argument as plain,
+    # which retains the condition's table — results must still match
+    sql = CASE_GROUPED.replace("ELSE 0 END", "ELSE 1 END")
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_case_fact_condition_stays_plain(engine, ddb, monkeypatch):
+    # condition on the FACT itself: the whole argument is fact-side, so
+    # it pushes as a plain partial aggregate (classic eager agg)
+    sql = """
+        SELECT n.n_name,
+          CAST(sum(CASE WHEN l.l_returnflag = 'R'
+               THEN l.l_quantity ELSE 0 END) AS double) AS returned_qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    oracle = ddb.execute(sql).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+
+
+def test_case_mixed_condition_bails(engine, monkeypatch):
+    # condition spanning fact AND dimension cannot sit on either side —
+    # the rewrite must leave the stock plan (and stay correct)
+    sql = """
+        SELECT n.n_name,
+          CAST(sum(CASE WHEN c.c_acctbal > l.l_quantity * 100
+               THEN l.l_quantity ELSE 0 END) AS double) AS q
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 1  # bailed
+    compare_frames(eager.toPandas(), stock, ordered=True)

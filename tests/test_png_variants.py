@@ -103,10 +103,45 @@ def test_palette_index_out_of_range_raises():
         mm.decode_png(blob)
 
 
-def test_interlace_raises():
+def test_interlace_single_pixel():
+    # 1×1 Adam7: only pass 1 is non-empty (r12; was a raise)
     blob = _png(1, 1, 8, 0, [_none(bytes([7]))], interlace=1)
-    with pytest.raises(ValueError, match="Adam7"):
-        mm.decode_png(blob)
+    assert mm.decode_png(blob) == (1, 1, 1, 7.0)
+
+
+def test_interlace_2x2_gray_pass_order():
+    # 2×2 Adam7 carries: pass1 → (0,0), pass6 → (1,0), pass7 → row 1;
+    # passes 2-5 are empty and contribute NO scanline bytes
+    a, b, c, d = 10, 20, 30, 40
+    blob = _png(2, 2, 8, 0, [_none(bytes([a])), _none(bytes([b])),
+                             _none(bytes([c, d]))], interlace=1)
+    assert mm.decode_png(blob) == (2, 2, 1, (a + b + c + d) / 4.0)
+
+
+def test_interlace_roundtrip_all_filters():
+    rng = np.random.default_rng(3)
+    for (h, w) in [(1, 7), (5, 3), (9, 13), (16, 16), (17, 31)]:
+        for ft in range(5):
+            px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            plain = mm.decode_png(mm.encode_png(px, filter_type=ft))
+            inter = mm.decode_png(
+                mm.encode_png(px, filter_type=ft, interlace=True))
+            assert inter == plain == (w, h, 3, float(px.mean()))
+
+
+def test_interlace_truncated_raises():
+    blob = bytearray(mm.encode_png(
+        np.zeros((9, 9, 3), np.uint8), interlace=True))
+    # corrupt: re-deflate a truncated scanline stream
+    import zlib
+    start = blob.find(b"IDAT") - 4
+    (ln,) = struct.unpack_from(">I", blob, start)
+    raw = zlib.decompress(bytes(blob[start + 8:start + 8 + ln]))
+    short = zlib.compress(raw[:len(raw) // 2])
+    rebuilt = (bytes(blob[:start]) + _chunk(b"IDAT", short)
+               + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated PNG"):
+        mm.decode_png(rebuilt)
 
 
 def test_rgb8_rgba8_still_work():
