@@ -997,16 +997,22 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # recorded per-round) is the safety net for everything past position 50.
 _PRIORITY: list[str] = [
     # --- driver window (50), r12 rotation ---
-    # r12-plan-touched first: q21 (<>-EXISTS window self-rewrite + the
-    # cnt-free agg filter), JPEG entries (fixture pinned 25k → 5k docs,
-    # SF-invariant), decode_images (stub now also absorbs ValueError),
-    # q18/q22 (bucketed-facts benched-path work this round)
+    # r12-plan-touched first: the NEW cmyk entry (needs its first driver
+    # record), q18 (IN-keyset fold into the eager partial), the view-
+    # merged derived-table family (q7/q8/q9, nested subqueries), q14
+    # (selectivity-aware eager gate), decode_images (odd ids now
+    # Adam7-interlaced), q21 (<>-EXISTS window self-rewrite), JPEG
+    # entries (fixture pinned 25k → 5k, SF-invariant), q22
+    # (keys-from-base)
+    "pipeline_multimodal_decode_jpeg_cmyk",
+    "tpch_q18_large_volume_customer",
+    "subquery_from_nested", "subquery_join",
+    "tpch_q14_promo_effect", "tpch_q10_returned_items",
+    "pipeline_multimodal_decode_images",
     "tpch_q21_suppliers_kept_waiting",
     "pipeline_multimodal_decode_jpeg",
     "pipeline_multimodal_decode_jpeg_color",
     "pipeline_multimodal_decode_jpeg_progressive",
-    "pipeline_multimodal_decode_images",
-    "tpch_q18_large_volume_customer",
     "tpch_q22_global_sales_opportunity",
     # the 12 stalest entries (latest driver record r06 — the only ones
     # predating r07; VERDICT r11 mandate 5)
@@ -1031,9 +1037,9 @@ _PRIORITY: list[str] = [
     "filter_like", "group_by_all",
     "intersect", "intersect_all",
     "join_anti_not_in_subquery", "join_comma_implicit_cross",
-    "join_cross", "join_full_outer",
-    "pipeline_multimodal_decode_stub", "tpch_q10_returned_items",
-    "tpch_q12_shipmode_priority",
+    # (join_cross, join_full_outer, decode_stub, q12 rotate out this
+    # round — latest records r09; the full local oracle sweep still
+    # covers them every round)
 ]
 
 
@@ -1894,6 +1900,39 @@ def _add_pipeline_operators(out: dict) -> None:
                      CAST(2 * ((doc_id // 7) % 21 - 10) AS double) AS dcb,
                      CAST(2 * ((doc_id // 11) % 21 - 10) AS double) AS dcr
               FROM documents WHERE doc_id < 5000)
+    """
+
+    # 4-component CMYK/YCCK JPEG decode (r12; closed the last common-
+    # format plug point): solid odd-ink fixtures quantize losslessly,
+    # even ids plain inverted CMYK (APP14 transform 0, independent
+    # inks), odd ids YCCK (transform 2, equal C=M=Y — the only YCCK
+    # fixture exact under quantization); the oracle recomputes the ink
+    # average, so APP14 parsing, Adobe inversion, the YCCK transform,
+    # or 4-component MCU interleave going wrong breaks the hash
+    def decode_jpeg_cmyk_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        blobs = multimodal.synthesize_jpeg_cmyk_blobs(docs)
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_jpeg_cmyk"] = decode_jpeg_cmyk_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_jpeg_cmyk"] = """
+        SELECT doc_id,
+               CAST(8 * (1 + doc_id % 3) AS int) AS width,
+               CAST(8 * (1 + (doc_id // 3) % 3) AS int) AS height,
+               4 AS channels,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN
+                      (2 * (doc_id % 127) + 1
+                       + 2 * ((doc_id // 3) % 127) + 1
+                       + 2 * ((doc_id // 7) % 127) + 1
+                       + 2 * ((doc_id // 11) % 127) + 1) / 4.0
+                    ELSE
+                      (3 * (2 * (doc_id % 127) + 1)
+                       + 2 * ((doc_id // 11) % 127) + 1) / 4.0
+                    END AS double) AS mean_pixel
+        FROM documents WHERE doc_id < 5000
     """
 
     # REAL audio decode path: synthesized constant-amplitude PCM WAV per

@@ -148,7 +148,7 @@ def decode_images(
             try:
                 return decode_jpeg_gray(data)
             except (NotImplementedError, ValueError):
-                # arithmetic / lossless / CMYK JPEG (NotImplementedError)
+                # arithmetic / lossless JPEG (NotImplementedError)
                 # AND malformed/truncated streams (ValueError) — in stub
                 # mode BOTH fall to the deterministic fake, matching how
                 # undecodable non-JPEG formats behave; without the stub
@@ -1041,6 +1041,69 @@ def encode_jpeg_rgb(rgb: "np.ndarray",
     return encode_jpeg_ycbcr(y, cb, cr, sampling)
 
 
+def encode_jpeg_cmyk(ink: "np.ndarray", transform: int = 0) -> bytes:
+    """Baseline 4-component JPEG from a uint8 (h, w, 4) CMYK ink array,
+    Adobe conventions: ink values are stored INVERTED (255 - ink), the
+    APP14 marker carries the color transform — 0 = plain inverted CMYK
+    planes, 2 = YCCK (the CMY channels ride the forward YCbCr transform
+    of their RGB complements, K stays a separate inverted plane). All
+    four components full-resolution (4:4:4:4), shared Annex K tables —
+    same fixture-codec contract as encode_jpeg_ycbcr."""
+    ink = np.asarray(ink, dtype=np.float64)
+    h, w, ch = ink.shape
+    if ch != 4:
+        raise ValueError("encode_jpeg_cmyk wants (h, w, 4) ink")
+    if h % 8 or w % 8:
+        raise ValueError("fixture encoder requires multiple-of-MCU dims")
+    stored = 255.0 - ink
+    if transform == 2:
+        r, g, b = stored[..., 0], stored[..., 1], stored[..., 2]
+        planes = [0.299 * r + 0.587 * g + 0.114 * b,
+                  128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                  128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+                  stored[..., 3]]
+    elif transform == 0:
+        planes = [stored[..., i] for i in range(4)]
+    else:
+        raise ValueError("APP14 transform must be 0 (CMYK) or 2 (YCCK)")
+    planes = [p - 128.0 for p in planes]
+    m = _jpeg_dct_matrix()
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    qflat = _JPEG_QTAB.reshape(-1)[_JPEG_ZIGZAG]
+    bw = _BitWriter()
+    prev = [0, 0, 0, 0]
+    for my in range(h // 8):
+        for mx in range(w // 8):
+            for ci, p in enumerate(planes):
+                prev[ci] = _jpeg_encode_block(
+                    bw, p[my * 8:my * 8 + 8, mx * 8:mx * 8 + 8],
+                    prev[ci], dc_codes, ac_codes, qflat, m)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    app14 = seg(0xEE, b"Adobe" + (100).to_bytes(2, "big")
+                + b"\x00\x00\x00\x00" + bytes([transform]))
+    dqt = seg(0xDB, bytes([0]) + bytes(int(v) for v in qflat))
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([4,
+                       1, 0x11, 0,
+                       2, 0x11, 0,
+                       3, 0x11, 0,
+                       4, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_BITS)
+               + bytes(_JPEG_DC_VALS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_BITS)
+                 + bytes(_JPEG_AC_VALS)))
+    sos = seg(0xDA, bytes([4, 1, 0x00, 2, 0x00, 3, 0x00, 4, 0x00,
+                           0, 63, 0]))
+    return (b"\xff\xd8" + app14 + dqt + sof + dht + sos + bytes(bw.out)
+            + b"\xff\xd9")
+
+
 
 class _BitReader:
     def __init__(self, data: bytes) -> None:
@@ -1095,10 +1158,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
     (4:4:4 / 4:2:2 / 4:2:0 / any Hi×Vi ≤ 4), multiple quantization and
     Huffman tables, restart markers (DRI/RSTn). Returns
     (width, height, channels, mean_pixel) where mean_pixel averages the
-    grayscale plane (1 component) or all RGB samples after JFIF
-    YCbCr→RGB conversion and clipping (3 components). Progressive
-    (SOF2), extended/lossless (SOF1/SOF3+), and arithmetic coding stay
-    the documented plug point (NotImplementedError)."""
+    grayscale plane (1 component), all RGB samples after JFIF YCbCr→RGB
+    conversion and clipping (3 components), or the recovered CMYK ink
+    planes (4 components, Adobe APP14 conventions — r12). Progressive
+    (SOF2) streams route to the dedicated multi-scan path.
+    Extended/lossless (SOF1/SOF3+) and arithmetic coding stay the
+    documented plug point (NotImplementedError)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -1108,6 +1173,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
     lookups: dict[tuple[int, int], dict] = {}    # (tc, th) -> huff lookup
     sel: list[tuple[int, int, int]] = []         # SOS: (cid, td, ta)
     dri = 0
+    adobe_transform = None  # APP14: 0=CMYK, 1=YCbCr, 2=YCCK
     scan_start = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -1173,6 +1239,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
                 "is a documented plug point")
         elif marker == 0xDD:
             dri = int.from_bytes(payload[0:2], "big")
+        elif marker == 0xEE and payload[:5] == b"Adobe" \
+                and len(payload) >= 12:
+            adobe_transform = payload[11]
         elif marker == 0xDA:
             ns = payload[0]
             for i in range(ns):
@@ -1279,36 +1348,29 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = block
             mcu_n += 1
 
-    # per-component true dims, replicate-upsample to full size, crop
-    full = []
-    for (cid, hi, vi, tq), plane in zip(comps, planes):
-        cw = -(-w * hi // hmax)
-        ch = -(-h * vi // vmax)
-        p = plane[:ch, :cw] + 128.0
-        if hi != hmax or vi != vmax:
-            p = np.repeat(np.repeat(p, vmax // vi, axis=0),
-                          hmax // hi, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        gray = np.clip(np.round(full[0]), 0, 255)
-        return w, h, 1, float(gray.mean())
-    if len(full) != 3:
-        raise NotImplementedError(
-            f"{len(full)}-component JPEG (CMYK/other) is a documented "
-            "plug point")
-    y, cb, cr = full
+    return _jpeg_reconstruct(comps, planes, w, h, hmax, vmax,
+                             adobe_transform)
+
+
+def _jpeg_ycbcr_to_rgb(y: "np.ndarray", cb: "np.ndarray",
+                       cr: "np.ndarray") -> "np.ndarray":
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.round(np.stack([r, g, b])), 0, 255)
-    return w, h, 3, float(rgb.mean())
+    return np.stack([r, g, b])
 
 
 def _jpeg_reconstruct(comps: list, planes: list, w: int, h: int,
-                      hmax: int, vmax: int) -> tuple[int, int, int, float]:
+                      hmax: int, vmax: int,
+                      adobe_transform: "int | None" = None
+                      ) -> tuple[int, int, int, float]:
     """Shared tail of both JPEG decode paths: per-component crop,
-    level-unshift, replicate-upsample, grayscale mean or JFIF
-    YCbCr→RGB + mean."""
+    level-unshift, replicate-upsample, then the color model — grayscale
+    mean (1 component), JFIF YCbCr→RGB + mean (3), or CMYK (4, r12; was
+    the documented plug point): Adobe files store INVERTED ink values
+    (APP14, transform 0 = plain inverted CMYK, 2 = YCCK — the CMY
+    channels ride the YCbCr transform of their RGB complements);
+    mean_pixel averages the four recovered ink planes."""
     full = []
     for (cid, hi, vi, tq), plane in zip(comps, planes):
         cw = -(-w * hi // hmax)
@@ -1321,16 +1383,20 @@ def _jpeg_reconstruct(comps: list, planes: list, w: int, h: int,
     if len(full) == 1:
         gray = np.clip(np.round(full[0]), 0, 255)
         return w, h, 1, float(gray.mean())
-    if len(full) != 3:
-        raise NotImplementedError(
-            f"{len(full)}-component JPEG (CMYK/other) is a documented "
-            "plug point")
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.clip(np.round(np.stack([r, g, b])), 0, 255)
-    return w, h, 3, float(rgb.mean())
+    if len(full) == 3:
+        rgb = np.clip(np.round(_jpeg_ycbcr_to_rgb(*full)), 0, 255)
+        return w, h, 3, float(rgb.mean())
+    if len(full) == 4:
+        if adobe_transform == 2:  # YCCK: first three planes are YCbCr
+            stored = np.concatenate([
+                _jpeg_ycbcr_to_rgb(full[0], full[1], full[2]),
+                full[3][None]])
+        else:  # plain (inverted) CMYK — transform 0 or no APP14
+            stored = np.stack(full)
+        ink = np.clip(np.round(255.0 - stored), 0, 255)
+        return w, h, 4, float(ink.mean())
+    raise NotImplementedError(
+        f"{len(full)}-component JPEG is a documented plug point")
 
 
 def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, float]:
@@ -1351,6 +1417,7 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, float]:
     comps: list[tuple[int, int, int, int]] = []
     lookups: dict[tuple[int, int], dict] = {}
     dri = 0
+    adobe_transform = None  # APP14: 0=CMYK, 1=YCbCr, 2=YCCK
     coefs: list["np.ndarray"] = []       # per comp (bv, bh, 64) zigzag
     nblocks: list[tuple[int, int]] = []  # per comp true (bh, bw) blocks
     hmax = vmax = 1
@@ -1603,6 +1670,9 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, float]:
                 off += 17 + nv
         elif marker == 0xDD:
             dri = int.from_bytes(payload[0:2], "big")
+        elif marker == 0xEE and payload[:5] == b"Adobe" \
+                and len(payload) >= 12:
+            adobe_transform = payload[11]
         elif marker == 0xDA:
             if w is None or not comps:
                 raise ValueError("SOS before SOF")
@@ -1635,7 +1705,8 @@ def _decode_jpeg_progressive(data: bytes) -> tuple[int, int, int, float]:
                 plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
                     m.T @ coef.reshape(8, 8) @ m
         planes.append(plane)
-    return _jpeg_reconstruct(comps, planes, w, h, hmax, vmax)
+    return _jpeg_reconstruct(comps, planes, w, h, hmax, vmax,
+                             adobe_transform)
 
 
 def decode_jpeg_gray(data: bytes) -> tuple[int, int, int, float]:
@@ -1760,6 +1831,51 @@ def synthesize_jpeg_color_blobs(df: DataFrame,
                 cb = np.full((hgt, w), 128.0 + 2 * ((i // 7) % 21 - 10))
                 cr = np.full((hgt, w), 128.0 + 2 * ((i // 11) % 21 - 10))
                 blobs.append(encode_jpeg_ycbcr(y, cb, cr, (2, 2)))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+def synthesize_jpeg_cmyk_blobs(df: DataFrame,
+                               id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL baseline 4-component CMYK
+    JPEG per row from its id: width = 8 × (1 + id % 3), height =
+    8 × (1 + (id // 3) % 3), solid ODD ink values (odd level shifts
+    quantize losslessly through the Annex K DC step — brute-force
+    verified over the full odd domain). Even ids are plain inverted
+    CMYK (APP14 transform 0) with independent inks C = 2·(id % 127)+1,
+    M = 2·((id//3) % 127)+1, Y = 2·((id//7) % 127)+1; odd ids are YCCK
+    (transform 2) with EQUAL C = M = Y (gray in RGB space pins Cb = Cr
+    = 128, the only YCCK fixture that survives quantization exactly);
+    K = 2·((id//11) % 127)+1 in both. mean_pixel is the closed-form
+    ink average, so any APP14 / inversion / YCCK-transform / 4-comp
+    interleave bug breaks the oracle hash."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt = 8 * (1 + i % 3), 8 * (1 + (i // 3) % 3)
+                k = 2 * ((i // 11) % 127) + 1
+                ink = np.zeros((hgt, w, 4), np.uint8)
+                if i % 2 == 0:
+                    ink[..., 0] = 2 * (i % 127) + 1
+                    ink[..., 1] = 2 * ((i // 3) % 127) + 1
+                    ink[..., 2] = 2 * ((i // 7) % 127) + 1
+                    tr = 0
+                else:
+                    ink[..., 0] = ink[..., 1] = ink[..., 2] = \
+                        2 * (i % 127) + 1
+                    tr = 2
+                ink[..., 3] = k
+                blobs.append(encode_jpeg_cmyk(ink, transform=tr))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

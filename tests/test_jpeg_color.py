@@ -171,8 +171,11 @@ def test_progressive_now_decodes_truncated_fails():
         mm.decode_jpeg(b"\xff\xd8\xff\xc2\x00\x0b" + bytes(9) + b"\xff\xd9")
 
 
-def test_cmyk_component_count_raises():
-    # 4-component SOF: parses but decode refuses at the color transform
+def test_five_component_count_raises():
+    # 4-component CMYK decodes since r12 (tests/test_jpeg_cmyk.py); a
+    # 5-component SOF stays the documented plug point — parse succeeds,
+    # the color-model tail refuses (or the starved entropy stream trips
+    # the Huffman decoder first)
     y = np.full((16, 16), 150.0)
     blob = mm.encode_jpeg_ycbcr(y, y, y, (1, 1))
     segs = _segments(blob)
@@ -180,15 +183,16 @@ def test_cmyk_component_count_raises():
     for marker, payload, tail in segs:
         if marker == 0xC0:
             p = bytearray(payload)
-            p[5] = 4
-            p.extend([4, 0x11, 0])
+            p[5] = 5
+            p.extend([4, 0x11, 0, 5, 0x11, 0])
             out.append((marker, bytes(p), tail))
         elif marker == 0xDA:
             p = bytearray(payload)
-            p[0] = 4
-            p[1:1] = b""
+            p[0] = 5
             p.insert(7, 0x00)
             p.insert(7, 4)
+            p.insert(9, 0x00)
+            p.insert(9, 5)
             out.append((marker, bytes(p), tail))
         else:
             out.append((marker, payload, tail))
