@@ -415,6 +415,9 @@ class Compiler:
         rewritten = self._try_eager_aggregation(node)
         if rewritten is not None:
             node = rewritten
+        rewritten = self._try_left_fact_agg(node)
+        if rewritten is not None:
+            node = rewritten
         self._rewrite_low_ndv_count_distinct(node)
         if node.relations:
             df: DataFrame | None = None
@@ -1479,6 +1482,309 @@ class Compiler:
                 for k, w in node.windows.items()},
         )
         return merged
+
+    def _try_left_fact_agg(self, node: ast.SelectNode) -> "ast.SelectNode | None":
+        """LEFT-join fact aggregation pushdown (the q13 shape):
+
+            SELECT <dim keys>, count(f.x), sum(f.y) ...
+            FROM <dim tree> LEFT JOIN fact f
+              ON d.k = f.k [AND <fact-only conds>] [AND <dim-only conds>]
+            GROUP BY <dim keys>
+
+        pre-aggregates the fact by its join key (fact-only ON conjuncts
+        become the inner WHERE — for a preserved-side join they only
+        decide matching, which filtering before the aggregate reproduces
+        exactly), LEFT-joins the partial result instead of the raw fact,
+        and merges in the outer aggregate (count → coalesce(sum, 0),
+        sum → sum, min/max unchanged). Why: the stock plan shuffles
+        |fact| rows to meet the dims and again for the aggregate; the
+        rewrite shuffles |fact| once into |keys| partials and the join
+        moves only those. Soundness mirrors eager aggregation's
+        homomorphism argument — duplicated dim keys multiply the joined
+        partial exactly as they multiply raw fact rows, and an unmatched
+        preserved row contributes one NULL partial exactly as the
+        original contributes one NULL-extended row (which every
+        null-ignoring aggregate treats identically; COUNT(*) counts that
+        row, so star and dim-input aggregates bail).
+
+        Bails on: fact refs outside aggregate arguments, WHERE conjuncts
+        touching the fact (post-join null-extension semantics), grouping
+        extensions, windows, DISTINCT aggregates, non-decomposable
+        functions, more than one fact-dim equi edge.
+
+        Gate: fact footer rows ≥ SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN and
+        rows/NDV(key) ≥ SPARK_GRAFT_LEFT_FACT_AGG_MIN_REDUCTION (default
+        32, NDV required). The ratio matters more than it does for inner
+        eager aggregation because the stock LEFT plan's join exchange
+        already co-partitions with the downstream per-key aggregate
+        (one exchange total), so the rewrite only removes bytes, never a
+        shuffle — measured q13 at sf10 (ratio 10, narrow payload): stock
+        1.43 s vs rewrite 1.66 s, the map-side partial reduced only ~20%
+        before the exchange. SPARK_GRAFT_LEFT_FACT_AGG=0 disables, =1
+        forces."""
+        env = os.environ.get("SPARK_GRAFT_LEFT_FACT_AGG")
+        if env == "0":
+            return None
+        forced = env == "1"
+        if (not node.group_by or node.group_mode is not None
+                or node.group_by_all or node.distinct or node.distinct_on
+                or node.qualify or node.windows
+                or len(node.relations) != 1):
+            return None
+        rel = node.relations[0]
+        if not isinstance(rel, ast.Join) or rel.kind != "left" \
+                or not isinstance(rel.right, ast.TableRef) \
+                or rel.condition is None:
+            return None
+        fact_t = rel.right
+        fact_alias = (fact_t.alias or fact_t.name).lower()
+        fact_df = self._cte_frames.get(fact_t.name.lower())
+        fact_stats = None
+        if fact_df is None:
+            try:
+                entry = self.catalog.get(fact_t.name)
+            except Exception:
+                return None
+            fact_df, fact_stats = entry.df, entry.stats
+        fact_cols = {c.lower() for c in fact_df.columns}
+
+        dim_cols: set[str] = set()
+        dim_aliases: set[str] = set()
+        opaque = [False]  # non-TableRef dim leaves: bare names unknown
+
+        def walk_rel(r: ast.Relation) -> None:
+            if isinstance(r, ast.TableRef):
+                dim_aliases.add((r.alias or r.name).lower())
+                d2 = self._cte_frames.get(r.name.lower())
+                if d2 is None:
+                    try:
+                        d2 = self.catalog.get(r.name).df
+                    except Exception:
+                        opaque[0] = True
+                        return
+                dim_cols.update(c.lower() for c in d2.columns)
+            elif isinstance(r, ast.Join):
+                walk_rel(r.left)
+                walk_rel(r.right)
+            else:
+                opaque[0] = True
+                if isinstance(r, (ast.SubqueryRef, ast.UnnestRef)):
+                    dim_aliases.add(r.alias.lower())
+
+        walk_rel(rel.left)
+        if fact_alias in dim_aliases:
+            return None  # self-join alias shadowing — leave alone
+
+        def side_of(e: object) -> "str | None":
+            """'fact' | 'dim' | 'none' for expressions whose columns
+            classify cleanly; None for mixed/ambiguous/subquery."""
+            if self._contains_any_subquery(e) \
+                    or self._contains_nondeterministic(e):
+                return None
+            sides: set[str] = set()
+            for x in _walk_all(e):
+                if isinstance(x, (ast.WindowFunc, ast.Star,
+                                  ast.GroupTotalSubquery)):
+                    return None
+                if not isinstance(x, ast.ColumnRef):
+                    continue
+                t = x.table.lower() if x.table is not None else None
+                n = x.name.lower()
+                if t == fact_alias:
+                    if n not in fact_cols:
+                        return None
+                    sides.add("fact")
+                elif t is not None:
+                    sides.add("dim")
+                else:
+                    in_f = n in fact_cols
+                    in_d = n in dim_cols or opaque[0]
+                    if in_f and in_d:
+                        return None  # ambiguous bare name
+                    sides.add("fact" if in_f else "dim")
+            if not sides:
+                return "none"
+            if len(sides) > 1:
+                return None
+            return sides.pop()
+
+        # ---- split the ON condition ----
+        equi: "tuple[ast.ColumnRef, ast.ColumnRef] | None" = None  # (dim, fact)
+        fact_on: list[ast.Expr] = []
+        dim_on: list[ast.Expr] = []
+        for c in self._split_conjuncts(rel.condition):
+            if (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                sl, sr = side_of(c.left), side_of(c.right)
+                if {sl, sr} == {"fact", "dim"}:
+                    if equi is not None:
+                        return None  # composite key — not this rewrite
+                    equi = (c.left, c.right) if sl == "dim" \
+                        else (c.right, c.left)
+                    continue
+            s = side_of(c)
+            if s == "fact":
+                fact_on.append(c)
+            elif s in ("dim", "none"):
+                dim_on.append(c)
+            else:
+                return None
+        if equi is None:
+            return None
+        dim_key, fact_key = equi
+        try:
+            # true column name on the fact frame (case-insensitive)
+            fact_key_true = next(c for c in fact_df.columns
+                                 if c.lower() == fact_key.name.lower())
+        except StopIteration:
+            return None
+
+        # ---- collect decomposable fact aggregates ----
+        agg_map: dict[str, ast.FuncCall] = {}
+        ok = [True]
+
+        def scan(e: object, inside: bool = False) -> None:
+            if not ok[0]:
+                return
+            if isinstance(e, ast.FuncCall) and (
+                    self._is_agg_name(e.name) or e.is_star):
+                if inside or e.is_star or e.distinct \
+                        or e.filter_where is not None \
+                        or e.name in self.user_aggregates \
+                        or e.name not in self._EAGER_AGG_FNS \
+                        or not e.args:
+                    ok[0] = False
+                    return
+                if side_of(e.args[0]) != "fact":
+                    ok[0] = False
+                    return
+                agg_map[repr(e)] = e
+                for a in e.args:
+                    scan(a, True)
+                return
+            for c in _children(e):
+                scan(c, inside)
+
+        top_exprs = [i.expr for i in node.items]
+        if node.having is not None:
+            top_exprs.append(node.having)
+        top_exprs += [o.expr for o in node.order_by]
+        for e in top_exprs:
+            scan(e)
+        if not ok[0] or not agg_map:
+            return None
+
+        # residual (non-aggregate) references must avoid the fact
+        parent_aliases = {(i.alias or (i.expr.name if isinstance(
+            i.expr, ast.ColumnRef) else "")).lower() for i in node.items}
+
+        def residual_clean(e: object, allow_aliases: bool = False) -> bool:
+            if isinstance(e, ast.FuncCall) and repr(e) in agg_map:
+                return True  # replaced wholesale
+            if isinstance(e, ast.ColumnRef):
+                if allow_aliases and e.table is None \
+                        and e.name.lower() in parent_aliases:
+                    return True
+                return side_of(e) in ("dim", "none")
+            return all(residual_clean(c, allow_aliases)
+                       for c in _children(e))
+
+        for i_ in node.items:
+            if not residual_clean(i_.expr):
+                return None
+        for g in node.group_by:
+            if isinstance(g, ast.NumberLit) or side_of(g) != "dim":
+                return None
+        if node.having is not None and not residual_clean(node.having,
+                                                          True):
+            return None
+        for o in node.order_by:
+            if not residual_clean(o.expr, True):
+                return None
+        if node.where is not None:
+            for c in self._split_conjuncts(node.where):
+                if side_of(c) not in ("dim", "none"):
+                    return None
+
+        # ---- gates (stats pick the plan, never the answer) ----
+        if not forced:
+            min_rows = int(os.environ.get(
+                "SPARK_GRAFT_EAGER_AGG_FACT_ROWS_MIN", "200000"))
+            rows = fact_stats.rows if fact_stats is not None else 0
+            if not rows or rows < min_rows:
+                return None
+            ndv = (fact_stats.ndv or {}).get(fact_key_true.lower()) \
+                if getattr(fact_stats, "ndv", None) else None
+            min_red = float(os.environ.get(
+                "SPARK_GRAFT_LEFT_FACT_AGG_MIN_REDUCTION", "32"))
+            if not ndv or rows / ndv < min_red:
+                return None
+
+        # ---- build the pre-aggregated fact subquery ----
+        n_ = next(self._tmp_counter)
+        lf = f"__lf_{n_}"
+        key_out = f"__lf_k_{n_}"
+        fact_ref_t = fact_t.alias or fact_t.name
+        inner_items = [ast.SelectItem(
+            expr=ast.ColumnRef(name=fact_key_true, table=fact_ref_t),
+            alias=key_out)]
+        partial_alias: dict[str, str] = {}
+        for i2, (fp, agg) in enumerate(agg_map.items()):
+            alias = f"__lf_a{i2}_{n_}"
+            partial_alias[fp] = alias
+            inner_items.append(ast.SelectItem(expr=_copy_expr(agg),
+                                              alias=alias))
+        inner_where: ast.Expr | None = None
+        for c in fact_on:
+            c = _copy_expr(c)
+            inner_where = c if inner_where is None else ast.BinaryOp(
+                op="and", left=inner_where, right=c)
+        inner = ast.SelectNode(
+            items=inner_items,
+            relations=[ast.TableRef(name=fact_t.name, alias=fact_t.alias)],
+            where=inner_where,
+            group_by=[ast.ColumnRef(name=fact_key_true, table=fact_ref_t)])
+
+        new_on: ast.Expr = ast.BinaryOp(
+            op="=", left=_copy_expr(dim_key),
+            right=ast.ColumnRef(name=key_out, table=lf))
+        for c in dim_on:
+            new_on = ast.BinaryOp(op="and", left=new_on,
+                                  right=_copy_expr(c))
+        new_rel = ast.Join(left=rel.left,
+                           right=ast.SubqueryRef(query=inner, alias=lf),
+                           kind="left", condition=new_on)
+
+        def merge(agg: ast.FuncCall, ref: ast.ColumnRef) -> ast.Expr:
+            if agg.name == "count":
+                return ast.FuncCall(name="coalesce", args=[
+                    ast.FuncCall(name="sum", args=[ref]),
+                    ast.NumberLit(value=0)])
+            if agg.name == "sum":
+                return ast.FuncCall(name="sum", args=[ref])
+            return ast.FuncCall(name=agg.name, args=[ref])
+
+        def xf(e: ast.Expr) -> ast.Expr:
+            def rep(x: ast.Expr) -> ast.Expr:
+                if isinstance(x, ast.FuncCall) and repr(x) in partial_alias:
+                    return merge(x, ast.ColumnRef(
+                        name=partial_alias[repr(x)], table=lf))
+                return x
+            return _transform_expr(_copy_expr(e), rep)
+
+        return ast.SelectNode(
+            items=[ast.SelectItem(expr=xf(i.expr), alias=i.alias)
+                   for i in node.items],
+            relations=[new_rel],
+            where=(_copy_expr(node.where) if node.where is not None
+                   else None),
+            group_by=[_copy_expr(g) for g in node.group_by],
+            having=(xf(node.having) if node.having is not None else None),
+            order_by=[ast.OrderItem(expr=xf(o.expr), ascending=o.ascending,
+                                    nulls_first=o.nulls_first)
+                      for o in node.order_by],
+            limit=node.limit, offset=node.offset)
 
     @staticmethod
     def _eager_fold_in_candidate(c: object) -> bool:

@@ -60,6 +60,9 @@ def forced(spark):
     # r10: aggregated-IN key-set reduction (its static fact-size gate
     # never opens at test scale; the runtime cap still decides)
     os.environ["SPARK_GRAFT_IN_KEYSET_REDUCTION"] = "1"
+    # r12: LEFT-join fact aggregation pushdown (reduction-ratio gate
+    # never opens at test scale)
+    os.environ["SPARK_GRAFT_LEFT_FACT_AGG"] = "1"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     eng.analyze()
@@ -81,6 +84,7 @@ def forced(spark):
     os.environ.pop("SPARK_GRAFT_SINGLE_REL_MAGIC", None)
     os.environ.pop("SPARK_GRAFT_EAGER_AGG", None)
     os.environ.pop("SPARK_GRAFT_IN_KEYSET_REDUCTION", None)
+    os.environ.pop("SPARK_GRAFT_LEFT_FACT_AGG", None)
 
 
 def test_gate_families_selected():
