@@ -31,6 +31,9 @@ QUERIES = [
     "tpch_q21_suppliers_kept_waiting",
     "tpch_q18_large_volume_customer",
     "subquery_correlated_exists_q4",
+    # r12-cont: the window-decorrelated scalar (partitions by
+    # l_orderkey) — sorted buckets should make the window exchange-free
+    "subquery_correlated_scalar_q17",
 ]
 
 
