@@ -919,6 +919,21 @@ _PAIRS["subquery_quantified_all_correlated"] = (
 )
 # two-column statistical aggregates (r6): corr/covar/regr family — the
 # same statement runs on both engines; rounded for float stability
+# LEFT-join fact rollup (r12): the supplier→lineitem shape whose
+# reduction ratio (~600 rows/key) opens the LEFT-fact aggregation
+# pushdown gate at sf1+ — pre-aggregate lineitem by l_suppkey, LEFT-join
+# the partials, merge count as coalesce(sum, 0) so supplier rows with no
+# lines still count 0 (measured sf10: 2.80 → 1.01 s). At driver
+# correctness SF the gate stays shut and the stock plan answers; the
+# forced-gate sweeps pin the rewritten plan against the same oracle.
+_PAIRS["agg_left_fact_rollup"] = (
+    "SELECT s.s_name, count(l.l_orderkey) AS n_lines, "
+    "CAST(sum(CAST(l.l_quantity AS decimal(18,2))) AS double) AS qty, "
+    "CAST(max(l.l_extendedprice) AS double) AS max_price "
+    "FROM supplier s LEFT JOIN lineitem l ON s.s_suppkey = l.l_suppkey "
+    "AND l.l_returnflag <> 'R' "
+    "GROUP BY s.s_name ORDER BY s.s_name", None)
+
 _PAIRS["agg_corr_regr"] = (
     "SELECT l_returnflag, "
     "round(corr(l_quantity, l_extendedprice), 6) AS c, "
@@ -1005,6 +1020,8 @@ _PRIORITY: list[str] = [
     # entries (fixture pinned 25k → 5k, SF-invariant), q22
     # (keys-from-base)
     "pipeline_multimodal_decode_jpeg_cmyk",
+    "pipeline_multimodal_decode_jpeg_lossless",
+    "agg_left_fact_rollup",
     "tpch_q18_large_volume_customer",
     "subquery_from_nested", "subquery_join",
     "tpch_q14_promo_effect", "tpch_q10_returned_items",
@@ -1036,8 +1053,8 @@ _PRIORITY: list[str] = [
     "filter_compare", "filter_is_null",
     "filter_like", "group_by_all",
     "intersect", "intersect_all",
-    "join_anti_not_in_subquery", "join_comma_implicit_cross",
-    # (join_cross, join_full_outer, decode_stub, q12 rotate out this
+    # (join_anti_not_in_subquery, join_comma_implicit_cross,
+    # join_cross, join_full_outer, decode_stub, q12 rotate out this
     # round — latest records r09; the full local oracle sweep still
     # covers them every round)
 ]
@@ -1932,6 +1949,32 @@ def _add_pipeline_operators(out: dict) -> None:
                       (3 * (2 * (doc_id % 127) + 1)
                        + 2 * ((doc_id // 11) % 127) + 1) / 4.0
                     END AS double) AS mean_pixel
+        FROM documents WHERE doc_id < 5000
+    """
+
+    # lossless (SOF3) JPEG decode (r12): Annex H predictive coding is
+    # exact for ANY content, so a gradient fixture (which exercises
+    # every predictor and the first-line/first-sample rules) carries a
+    # closed-form mean — any prediction, extend, or SSSS bug breaks it
+    def decode_jpeg_lossless_entry(spark, sf_dir):
+        _engine_for(spark, sf_dir)
+        from pyspark.sql import functions as F
+
+        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        blobs = multimodal.synthesize_jpeg_lossless_blobs(docs)
+        return multimodal.decode_images(blobs)
+
+    out["pipeline_multimodal_decode_jpeg_lossless"] = \
+        decode_jpeg_lossless_entry
+    _PIPELINE_ORACLES["pipeline_multimodal_decode_jpeg_lossless"] = """
+        SELECT doc_id,
+               CAST(4 + doc_id % 16 AS int) AS width,
+               CAST(4 + (doc_id // 16) % 16 AS int) AS height,
+               1 AS channels,
+               CAST(doc_id % 200
+                    + (4 + doc_id % 16 - 1) / 2.0
+                    + (4 + (doc_id // 16) % 16 - 1) / 2.0
+                    AS double) AS mean_pixel
         FROM documents WHERE doc_id < 5000
     """
 

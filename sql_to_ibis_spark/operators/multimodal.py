@@ -148,7 +148,7 @@ def decode_images(
             try:
                 return decode_jpeg_gray(data)
             except (NotImplementedError, ValueError):
-                # arithmetic / lossless JPEG (NotImplementedError)
+                # arithmetic-coded JPEG (NotImplementedError)
                 # AND malformed/truncated streams (ValueError) — in stub
                 # mode BOTH fall to the deterministic fake, matching how
                 # undecodable non-JPEG formats behave; without the stub
@@ -1105,6 +1105,210 @@ def encode_jpeg_cmyk(ink: "np.ndarray", transform: int = 0) -> bytes:
 
 
 
+# Lossless JPEG (T.81 SOF3, Annex H): DC-class Huffman over per-sample
+# prediction differences, SSSS 0-16 (16 = +32768). The fixture table is
+# flat-canonical: all 17 size symbols at length 5 (last code 16 < 31).
+_LL_BITS = [0, 0, 0, 0, 17, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_LL_VALS = list(range(17))
+
+
+def encode_jpeg_lossless(pixels: "np.ndarray", predictor: int = 1,
+                         pt: int = 0) -> bytes:
+    """Lossless JPEG (SOF3) from a uint8 (h, w) or (h, w, ch≤4) array:
+    Annex H predictive coding — selected predictor 1-7 for interior
+    samples, left-prediction along the first line, above-prediction at
+    the start of other lines, 2^(P-Pt-1) for the very first sample —
+    with Huffman-coded differences. ``pt`` is the point transform
+    (inputs are shifted right by it). Bit-exact roundtrip by
+    construction: decode_jpeg(encode_jpeg_lossless(px)) recovers every
+    sample."""
+    px = np.asarray(pixels)
+    if px.ndim == 2:
+        px = px[..., None]
+    h, w, ch = px.shape
+    if not 1 <= predictor <= 7:
+        raise ValueError("lossless predictor must be 1-7")
+    if not 1 <= ch <= 4:
+        raise ValueError("1-4 components")
+    P = 8
+    samp = (px.astype(np.int64) >> pt)
+    codes = _huff_codes(_LL_BITS, _LL_VALS)
+    bw = _BitWriter()
+    default = 1 << (P - pt - 1)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ch):
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(samp[0, x - 1, ci])
+                elif x == 0:
+                    pred = int(samp[y - 1, 0, ci])
+                else:
+                    a = int(samp[y, x - 1, ci])
+                    b = int(samp[y - 1, x, ci])
+                    c = int(samp[y - 1, x - 1, ci])
+                    pred = (a, b, c, a + b - c, a + ((b - c) >> 1),
+                            b + ((a - c) >> 1), (a + b) >> 1)[predictor - 1]
+                d = (int(samp[y, x, ci]) - pred) & 0xFFFF
+                if d >= 32768:
+                    d -= 65536
+                if d == -32768:
+                    code, ln = codes[16]
+                    bw.write(code, ln)  # SSSS 16 carries no extra bits
+                    continue
+                size, amp = _jpeg_magnitude(d)
+                code, ln = codes[size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(amp, size)
+    bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") \
+            + payload
+
+    sof_comps = b"".join(bytes([i + 1, 0x11, 0]) for i in range(ch))
+    sof = seg(0xC3, bytes([P]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([ch]) + sof_comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(_LL_BITS) + bytes(_LL_VALS))
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ch))
+    sos = seg(0xDA, bytes([ch]) + sos_comps + bytes([predictor, 0, pt]))
+    return (b"\xff\xd8" + sof + dht + sos + bytes(bw.out) + b"\xff\xd9")
+
+
+def _decode_jpeg_lossless(data: bytes) -> tuple[int, int, int, float]:
+    """Lossless JPEG (T.81 SOF3, Huffman): per-sample Annex H prediction
+    (selected predictor for interior samples, Ra along the first line,
+    Rb at line starts, 2^(P-Pt-1) for the first sample and after RSTn),
+    differences decoded as DC-class SSSS + extend bits with the SSSS=16
+    = +32768 special case, reconstruction mod 2^16, samples shifted left
+    by the point transform. mean_pixel scales to the 0-255 range
+    (v · 255/(2^P − 1)) so precisions compare like PNG depths. Requires
+    1×1 sampling for every component (the only layout Annex H MCUs
+    interleave sample-by-sample)."""
+    pos = 2
+    w = h = None
+    P = 8
+    ncomp = 0
+    comp_ids: list[int] = []
+    lookups: dict[tuple[int, int], dict] = {}
+    sel: list[tuple[int, int]] = []
+    predictor = 1
+    pt = 0
+    dri = 0
+    scan_start = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            break
+        if 0xD0 <= marker <= 0xD7 or marker == 0x01:
+            pos += 2
+            continue
+        ln = int.from_bytes(data[pos + 2:pos + 4], "big")
+        payload = data[pos + 4:pos + 2 + ln]
+        if marker == 0xC3:
+            P = payload[0]
+            h = int.from_bytes(payload[1:3], "big")
+            w = int.from_bytes(payload[3:5], "big")
+            ncomp = payload[5]
+            for i in range(ncomp):
+                cid, hv, _tq = payload[6 + 3 * i:9 + 3 * i]
+                if hv != 0x11:
+                    raise NotImplementedError(
+                        "subsampled lossless JPEG is a plug point")
+                comp_ids.append(cid)
+        elif marker == 0xC4:
+            off = 0
+            while off < len(payload):
+                tc, th = payload[off] >> 4, payload[off] & 0x0F
+                bits = list(payload[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(payload[off + 17:off + 17 + nv])
+                lookups[(tc, th)] = {
+                    (c, l): s for s, (c, l) in
+                    _huff_codes(bits, vals).items()}
+                off += 17 + nv
+        elif marker == 0xDD:
+            dri = int.from_bytes(payload[0:2], "big")
+        elif marker == 0xDA:
+            ns = payload[0]
+            for i in range(ns):
+                cid, tda = payload[1 + 2 * i:3 + 2 * i]
+                sel.append((cid, tda >> 4))
+            predictor = payload[1 + 2 * ns]
+            pt = payload[3 + 2 * ns] & 0x0F
+            scan_start = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if w is None or scan_start is None or not comp_ids:
+        raise ValueError("truncated JPEG (lossless)")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"invalid lossless predictor {predictor}")
+    tables = []
+    for cid, td in sel:
+        t = lookups.get((0, td))
+        if t is None:
+            raise ValueError("missing Huffman table")
+        tables.append(t)
+    br = _BitReader(data[scan_start:])
+
+    def huff_read(table: dict) -> int:
+        code, length = 0, 0
+        while length <= 16:
+            code = (code << 1) | br.read(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman stream")
+
+    samp = np.zeros((h, w, ncomp), dtype=np.int64)
+    default = 1 << (P - pt - 1)
+    mcu_n = 0
+    rst_y = rst_x = 0  # where the current restart interval began
+    for y in range(h):
+        for x in range(w):
+            if dri and mcu_n and mcu_n % dri == 0:
+                # expect RSTn in the byte stream; _BitReader stopped at
+                # the marker — skip it and resync byte-aligned
+                br_pos = br.pos
+                raw = br.data
+                while br_pos + 1 < len(raw) and not (
+                        raw[br_pos] == 0xFF
+                        and 0xD0 <= raw[br_pos + 1] <= 0xD7):
+                    br_pos += 1
+                if br_pos + 1 >= len(raw):
+                    raise ValueError("missing lossless restart marker")
+                br = _BitReader(raw[br_pos + 2:])
+                rst_y, rst_x = y, x
+            for ci in range(ncomp):
+                ssss = huff_read(tables[ci])
+                if ssss == 16:
+                    d = 32768
+                else:
+                    d = _jpeg_extend(br.read(ssss), ssss) if ssss else 0
+                if y == rst_y and x == rst_x:
+                    pred = default
+                elif y == rst_y:  # first line of the interval: Ra
+                    pred = int(samp[y, x - 1, ci])
+                elif x == 0:
+                    pred = int(samp[y - 1, 0, ci])
+                else:
+                    a = int(samp[y, x - 1, ci])
+                    b = int(samp[y - 1, x, ci])
+                    c = int(samp[y - 1, x - 1, ci])
+                    pred = (a, b, c, a + b - c, a + ((b - c) >> 1),
+                            b + ((a - c) >> 1), (a + b) >> 1)[predictor - 1]
+                samp[y, x, ci] = (pred + d) & 0xFFFF
+            mcu_n += 1
+    out = (samp << pt).astype(np.float64)
+    scale = 255.0 / ((1 << P) - 1)
+    return w, h, ncomp, float(out.mean() * scale)
+
+
 class _BitReader:
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -1161,8 +1365,9 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
     grayscale plane (1 component), all RGB samples after JFIF YCbCr→RGB
     conversion and clipping (3 components), or the recovered CMYK ink
     planes (4 components, Adobe APP14 conventions — r12). Progressive
-    (SOF2) streams route to the dedicated multi-scan path.
-    Extended/lossless (SOF1/SOF3+) and arithmetic coding stay the
+    (SOF2) streams route to the dedicated multi-scan path and lossless
+    (SOF3) to the Annex H predictive path (both r12). Extended
+    sequential (SOF1), differential, and arithmetic coding stay the
     documented plug point (NotImplementedError)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
@@ -1231,12 +1436,18 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, float]:
                 return _decode_jpeg_progressive(data)
             except IndexError as exc:
                 raise ValueError("truncated JPEG (progressive)") from exc
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker == 0xC3:
+            # lossless predictive (r12; was the documented plug point)
+            try:
+                return _decode_jpeg_lossless(data)
+            except IndexError as exc:
+                raise ValueError("truncated JPEG (lossless)") from exc
+        elif marker in (0xC1, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "only baseline sequential (SOF0) and progressive (SOF2) "
-                "Huffman JPEG decode here; extended/lossless/arithmetic "
-                "is a documented plug point")
+                "only baseline (SOF0), progressive (SOF2), and lossless "
+                "(SOF3) Huffman JPEG decode here; extended/differential/"
+                "arithmetic coding is a documented plug point")
         elif marker == 0xDD:
             dri = int.from_bytes(payload[0:2], "big")
         elif marker == 0xEE and payload[:5] == b"Adobe" \
@@ -1876,6 +2087,37 @@ def synthesize_jpeg_cmyk_blobs(df: DataFrame,
                     tr = 2
                 ink[..., 3] = k
                 blobs.append(encode_jpeg_cmyk(ink, transform=tr))
+            yield pd.DataFrame({"doc_id": ids, "blob": blobs})
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("blob", T.BinaryType()),
+    ])
+    return df.select(F.col(id_col).cast("long").alias(id_col)) \
+        .mapInPandas(build, schema=schema)
+
+
+def synthesize_jpeg_lossless_blobs(df: DataFrame,
+                                   id_col: str = "doc_id") -> DataFrame:
+    """Deterministically synthesize a REAL lossless (SOF3) JPEG per row
+    from its id: width = 4 + id % 16, height = 4 + (id // 16) % 16,
+    gray plane px[y][x] = (id % 200) + x + y (never exceeds 236 — no
+    wrap), predictor = 1 + id % 7. Lossless decode is exact for ANY
+    content, so mean_pixel has the closed form v + (w−1)/2 + (h−1)/2
+    and the oracle hash covers every predictor, the diff Huffman path,
+    and the Annex H first-line/first-sample rules."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            blobs = []
+            for i in ids:
+                i = int(i)
+                w, hgt, v = 4 + i % 16, 4 + (i // 16) % 16, i % 200
+                grid = (v + np.arange(w)[None, :]
+                        + np.arange(hgt)[:, None]).astype(np.uint8)
+                blobs.append(encode_jpeg_lossless(grid,
+                                                  predictor=1 + i % 7))
             yield pd.DataFrame({"doc_id": ids, "blob": blobs})
 
     schema = T.StructType([

@@ -59,10 +59,10 @@ def test_missing_app14_defaults_to_inverted_cmyk():
     assert got == (24, 16, 4, 17.0)
 
 
-def test_progressive_relabel_of_cmyk_fails_fast():
+def test_arithmetic_relabel_of_cmyk_fails_fast():
     blob = bytearray(mm.encode_jpeg_cmyk(_solid(1, 1, 1, 1)))
     sof = bytes(blob).find(b"\xff\xc0")
-    blob[sof + 1] = 0xC3  # lossless stays the plug point
+    blob[sof + 1] = 0xC9  # arithmetic coding stays the plug point
     with pytest.raises(NotImplementedError):
         mm.decode_jpeg(bytes(blob))
 

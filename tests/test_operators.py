@@ -996,8 +996,13 @@ def test_jpeg_rejects_unsupported():
     blob[sof + 1] = 0xC2
     with pytest.raises(ValueError):
         multimodal.decode_jpeg_gray(bytes(blob))
-    # lossless SOF3 stays the documented plug point
+    # SOF3 decodes since r12 — a baseline stream relabeled lossless is
+    # malformed (its SOS carries Ss=0, an invalid predictor selector)
     blob[sof + 1] = 0xC3
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg_gray(bytes(blob))
+    # arithmetic-coded SOF9 stays the documented plug point
+    blob[sof + 1] = 0xC9
     with pytest.raises(NotImplementedError):
         multimodal.decode_jpeg_gray(bytes(blob))
 
