@@ -2005,11 +2005,14 @@ class Compiler:
             aggregate distributes over the CASE (p is constant per
             (group, dim-row) pair after the join), so the partial sums
             per branch push below the join and the outer re-evaluates
-            the CASE over partial refs. Neutral-literal rules: SUM
-            branches must be 0 or NULL (a row-count-dependent constant
-            would need COUNT(*) scaling), COUNT branches NULL only
-            (non-NULL constants count every row), MIN/MAX any literal
-            (constant per joined pair either way)."""
+            the CASE over partial refs. Literal branches: NULL and
+            (for SUM) 0 are neutral and stay literal; any other numeric
+            SUM literal c contributes c PER ROW, so it becomes
+            c × COUNT(*)-partial — the countif idiom
+            ``SUM(CASE WHEN p THEN 1 ELSE 0 END)`` decomposes as
+            conditional group sizes; COUNT of a non-NULL literal counts
+            every row (COUNT(*)-partial); MIN/MAX take any literal
+            as-is (constant per joined pair either way)."""
             if e.is_star or len(e.args) != 1 \
                     or not isinstance(e.args[0], ast.Case):
                 return None
@@ -2027,11 +2030,15 @@ class Compiler:
                 if lit is not None:
                     if fn == "sum" and not (
                             isinstance(lit, ast.NullLit)
-                            or (isinstance(lit, ast.NumberLit)
-                                and lit.value == 0)):
-                        return None
+                            or isinstance(lit, ast.NumberLit)):
+                        return None  # string/bool SUM literal — invalid
+                    if isinstance(lit, ast.NumberLit) and lit.value != 0 \
+                            and fn == "sum":
+                        parts.append(("litcount", res))
+                        continue
                     if fn == "count" and not isinstance(lit, ast.NullLit):
-                        return None
+                        parts.append(("litcount", res))
+                        continue
                     parts.append(("lit", res))
                     continue
                 ow = owners(res)
@@ -2039,7 +2046,7 @@ class Compiler:
                     return None
                 needed.update(ow)
                 parts.append(("expr", res))
-            if not any(k == "expr" for k, _ in parts):
+            if not any(k in ("expr", "litcount") for k, _ in parts):
                 return None
             for c in conds:
                 ow = owners(c)
@@ -2083,6 +2090,15 @@ class Compiler:
 
         for e in top_exprs:
             scan_aggs(e)
+        if not needed and case_cands and ok[0]:
+            # pure-literal CASE aggregates (the countif-only q12 shape)
+            # anchor nowhere by themselves — seed the retained side from
+            # the single-owner group keys so the COUNT(*) partials have
+            # a subtree to count
+            for g in node.group_by:
+                ow = owners(g)
+                if ow is not None and len(ow) == 1:
+                    needed.update(ow)
         if not ok[0] or not (agg_map or case_cands) or not needed:
             return None
 
@@ -2353,11 +2369,15 @@ class Compiler:
         for cand in decomp.values():
             refs: list[str | None] = []
             for kind, res in cand["parts"]:
-                if kind != "expr":
+                if kind == "lit":
                     refs.append(None)
                     continue
-                synth = ast.FuncCall(name=cand["fn"],
-                                     args=[_copy_expr(res)])
+                if kind == "litcount":
+                    synth = ast.FuncCall(name="count", args=[],
+                                         is_star=True)
+                else:
+                    synth = ast.FuncCall(name=cand["fn"],
+                                         args=[_copy_expr(res)])
                 sfp = efp(synth)
                 if sfp not in partial_alias:
                     alias = f"__ea_a{len(partial_alias)}_{n_}"
@@ -2558,6 +2578,14 @@ class Compiler:
                 kind, res = cand["parts"][idx]
                 if kind == "expr":
                     return ast.ColumnRef(name=refs[idx], table=ea_alias)
+                if kind == "litcount":
+                    cnt = ast.ColumnRef(name=refs[idx], table=ea_alias)
+                    if fn == "count":
+                        # a non-NULL literal counts every group row
+                        return cnt
+                    # SUM of constant c per row = c × group size
+                    return ast.BinaryOp(op="*", left=_copy_expr(res),
+                                        right=cnt)
                 if fn == "count":
                     # non-matching groups contribute 0 to a count
                     return ast.NumberLit(value=0)
@@ -2588,13 +2616,39 @@ class Compiler:
                 return x
             return _transform_expr(_copy_expr(e), rep)
 
+        def out_alias(i: ast.SelectItem) -> "str | None":
+            # an unaliased column item must keep its written output name
+            # when xf maps it to an __ea_* key reference (retained-side
+            # group key selected directly, e.g. the q12 countif shape);
+            # items xf leaves alone keep the normal naming rules
+            # (including duplicate-column renaming)
+            if i.alias is None and isinstance(i.expr, ast.ColumnRef) \
+                    and efp(i.expr) in key_alias:
+                return i.expr.name
+            return i.alias
+
+        # ORDER BY keys that name a SELECTED retained group key must
+        # resolve against the projection's output name, not the __ea_*
+        # internal reference (which the final projection drops)
+        item_out: dict[str, str] = {}
+        for i in node.items:
+            if isinstance(i.expr, ast.ColumnRef) \
+                    and efp(i.expr) in key_alias:
+                item_out[efp(i.expr)] = i.alias or i.expr.name
+
+        def xf_order(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ColumnRef) and efp(e) in item_out:
+                return ast.ColumnRef(name=item_out[efp(e)], table=None)
+            return xf(e)
+
         outer = ast.SelectNode(
-            items=[ast.SelectItem(expr=xf(i.expr), alias=i.alias)
+            items=[ast.SelectItem(expr=xf(i.expr), alias=out_alias(i))
                    for i in node.items],
             relations=[out_tree],
             group_by=outer_group,
             having=(None if node.having is None else xf(node.having)),
-            order_by=[ast.OrderItem(expr=xf(o.expr), ascending=o.ascending,
+            order_by=[ast.OrderItem(expr=xf_order(o.expr),
+                                    ascending=o.ascending,
                                     nulls_first=o.nulls_first)
                       for o in node.order_by],
             limit=node.limit, offset=node.offset,
@@ -2610,13 +2664,20 @@ class Compiler:
         # group key we failed to map — fall back to the original plan
         retained_names = {(tables[i].alias or tables[i].name).lower()
                           for i in retained}
-        survivors = [i.expr for i in outer.items] + outer_group \
-            + ([outer.having] if outer.having is not None else []) \
-            + [o.expr for o in outer.order_by]
+        out_names = {(i.alias or "").lower() for i in outer.items}
+        survivors = [(i.expr, False) for i in outer.items] \
+            + [(g, False) for g in outer_group] \
+            + ([(outer.having, True)] if outer.having is not None else []) \
+            + [(o.expr, True) for o in outer.order_by]
         deferred_scope = Scope([infos[i] for i in deferred])
-        for e in survivors:
+        for e, post_projection in survivors:
             for x in _walk_all(e):
                 if not isinstance(x, ast.ColumnRef):
+                    continue
+                if post_projection and x.table is None \
+                        and x.name.lower() in out_names:
+                    # HAVING/ORDER BY may name an output alias — that
+                    # resolves against the projection, never a table
                     continue
                 if x.table is not None and x.table.lower() == ea_alias:
                     continue

@@ -437,3 +437,49 @@ def test_case_mixed_condition_bails(engine, monkeypatch):
     eager = engine.query(sql)
     assert _n_aggregates(eager) == 1  # bailed
     compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_case_countif_literal_scaling(engine, ddb, monkeypatch):
+    # SUM(CASE WHEN dim-pred THEN 1 ELSE 0) — the countif idiom — maps
+    # literal branches to c × COUNT(*)-partial (q12 shape; needed-side
+    # seeding comes from the group keys when no branch carries a fact
+    # expression)
+    sql = """
+        SELECT l.l_returnflag,
+          CAST(sum(CASE WHEN o.o_orderpriority = '1-URGENT'
+               OR o.o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS BIGINT) AS high_cnt,
+          CAST(sum(CASE WHEN o.o_orderpriority <> '1-URGENT'
+               AND o.o_orderpriority <> '2-HIGH' THEN 3 ELSE 0 END)
+               AS BIGINT) AS low_x3
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    oracle = ddb.execute(sql).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "0")
+    stock = engine.query(sql).toPandas()
+    compare_frames(eager.toPandas(), stock, ordered=True)
+
+
+def test_case_count_nonnull_literal(engine, ddb, monkeypatch):
+    # COUNT(CASE WHEN p THEN 'hit' END): a non-NULL literal counts every
+    # matching-group row — COUNT(*)-partial, not a neutral-literal bail
+    sql = """
+        SELECT n.n_name,
+          count(CASE WHEN c.c_mktsegment = 'BUILDING'
+                THEN 'hit' END) AS building_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name ORDER BY n.n_name
+    """
+    monkeypatch.setenv("SPARK_GRAFT_EAGER_AGG", "1")
+    eager = engine.query(sql)
+    assert _n_aggregates(eager) == 2
+    oracle = ddb.execute(sql).fetchdf()
+    compare_frames(eager.toPandas(), oracle, ordered=True)

@@ -200,3 +200,31 @@ def test_random_left_fact_agg_matches_duckdb(engine, ddb, forced_rewrites,
     actual = engine.query(sql).toPandas()
     expected = ddb.execute(sql).fetchdf()
     compare_frames(actual, expected, ordered=True)
+
+
+@given(
+    seg=st.sampled_from(SEGMENTS),
+    c=st.integers(min_value=1, max_value=9),
+    flag=st.sampled_from(FLAGS),
+)
+@FUZZ
+def test_random_countif_literal_scaling_matches_duckdb(engine, ddb,
+                                                       forced_rewrites,
+                                                       seg, c, flag):
+    # SUM(CASE dim-pred THEN c ELSE 0) and COUNT of a non-NULL literal:
+    # the literal branches scale a COUNT(*) partial
+    sql = f"""
+        SELECT l.l_returnflag,
+          CAST(sum(CASE WHEN c.c_mktsegment = '{seg}'
+               THEN {c} ELSE 0 END) AS BIGINT) AS seg_weight,
+          count(CASE WHEN c.c_mktsegment <> '{seg}'
+                THEN 'x' END) AS other_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        WHERE l.l_returnflag <> '{flag}'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag
+    """
+    actual = engine.query(sql).toPandas()
+    expected = ddb.execute(sql).fetchdf()
+    compare_frames(actual, expected, ordered=True)
