@@ -5141,44 +5141,57 @@ class Compiler:
             # explosion + broadcast loses to the semi join.
             # explicit broadcast: opting in asserts the (filtered) outer
             # is small; static stats can't see that through the filter
-            if negated:
-                # NOT EXISTS two-phase: an outer row's verdict depends
-                # only on its correlation-key values, so (1) the
-                # DISTINCT outer key tuples — a subset of the certified-
-                # small outer — broadcast through the huge inner as a
-                # map-only inner join marking the matched key set, then
-                # (2) the outer anti-joins that set null-safely. Both
-                # joins broadcast the small side and the inner never
-                # shuffles. Replaces the r7/r8 ADVICE no-op (a broadcast
-                # hint on the PRESERVED side of a left join, which Spark
-                # ignores). No row id is computed — nothing
-                # nondeterministic exists to be recomputed.
-                key_cols: list[Column] | None = []
-                seen_keys: set[tuple[str, str]] = set()
-                key_owners: set[int] = set()
-                owner_info: RelationInfo | None = None
-                try:
-                    for conj in correlated:
-                        for ref in _walk_all(conj):
-                            if not isinstance(ref, ast.ColumnRef):
-                                continue
+            # Key-set two-phase: an outer row's verdict depends only
+            # on its correlation-key values, so (1) the DISTINCT outer
+            # key tuples — a subset of the certified-small outer —
+            # broadcast through the huge inner as a map-only inner
+            # join marking the matched key set, then (2) the outer
+            # semi/anti-joins that set null-safely. Both joins
+            # broadcast the small side and the inner never shuffles.
+            # For NOT EXISTS this replaces the r7/r8 ADVICE no-op (a
+            # broadcast hint on the PRESERVED side of a left join,
+            # which Spark ignores) and no row id is computed — nothing
+            # nondeterministic exists to be recomputed. For positive
+            # EXISTS the key set is an opt-in alternative (see the
+            # measured note below); the default stays the row-id
+            # dedup, whose carried width Catalyst prunes.
+            key_cols: list[Column] | None = []
+            seen_keys: set[tuple[str, str]] = set()
+            key_owners: set[int] = set()
+            owner_info: RelationInfo | None = None
+            # positive IN rides the same path: the operand's outer
+            # refs join the key set (the membership conjunct's verdict
+            # depends on them exactly like any correlation key). The
+            # operand compiles against the OUTER scope only, so no
+            # inner-resolve skip applies to its refs.
+            roots: list[tuple[ast.Expr, bool]] = \
+                [(conj, True) for conj in correlated]
+            if operand is not None:
+                roots.append((operand, False))
+            try:
+                for conj, check_inner in roots:
+                    for ref in _walk_all(conj):
+                        if not isinstance(ref, ast.ColumnRef):
+                            continue
+                        if check_inner:
                             try:
                                 inner_scope.resolve(ref.name, ref.table)
                                 continue        # inner-side ref
                             except (ColumnNotFoundError,
                                     AmbiguousColumnException):
                                 pass
-                            ident = ((ref.table or "").lower(),
-                                     ref.name.lower())
-                            if ident in seen_keys:
-                                continue
-                            seen_keys.add(ident)
-                            oinfo, _ = scope.resolve(ref.name, ref.table)
-                            key_owners.add(id(oinfo))
-                            owner_info = oinfo
-                            key_cols.append(self.compile_expr(ref, scope))
-                except (ColumnNotFoundError, AmbiguousColumnException):
-                    key_cols = None
+                        ident = ((ref.table or "").lower(),
+                                 ref.name.lower())
+                        if ident in seen_keys:
+                            continue
+                        seen_keys.add(ident)
+                        oinfo, _ = scope.resolve(ref.name, ref.table)
+                        key_owners.add(id(oinfo))
+                        owner_info = oinfo
+                        key_cols.append(self.compile_expr(ref, scope))
+            except (ColumnNotFoundError, AmbiguousColumnException):
+                key_cols = None
+            if negated:
                 if key_cols:
                     # The matched-key set is sound for any SUPERSET of the
                     # outer's key values (extra keys can only add matched
@@ -5212,11 +5225,43 @@ class Compiler:
                     return df.join(F.broadcast(mt), acond, "left_anti")
                 # defensive fall-back: un-collectable keys → plain anti
                 return df.join(inner_df, cond, "left_anti")
-            # positive EXISTS: inner join duplicates outer rows per
-            # match; a row id (assigned ONCE in this single-execution
-            # subtree — the nondeterministic id must never be computed
-            # twice, see the NOT EXISTS branch) dedups back to semi
-            # semantics
+            if key_cols and os.environ.get(
+                    "SPARK_GRAFT_EXISTS_POSITIVE", "rid") == "keyset":
+                # positive EXISTS/IN key-set semi (opt-in alternative,
+                # measured r13 and NOT adopted): distinct keys from the
+                # FILTERED outer broadcast through the inner, matched
+                # set broadcast back as a left-semi. Same-session A/B
+                # at sf10 (q4): keyset 1.68 s vs rid 1.15 s median, and
+                # even on a SELECT-* wide outer keyset 1.64 vs rid
+                # 1.25 — the extra stages (keys distinct + second outer
+                # scan + matched broadcast) cost more than the rid
+                # dedup, whose carried width Catalyst prunes to the
+                # columns the query actually consumes. Kept behind
+                # SPARK_GRAFT_EXISTS_POSITIVE=keyset for outers whose
+                # re-scan is cheap but whose width defeats pruning.
+                keys = df.select(key_cols).distinct()
+                matched = (F.broadcast(keys)
+                           .join(inner_df, cond, "inner")
+                           .select(keys["*"]).distinct())
+                n_ = next(self._tmp_counter)
+                knames = [f"__ek_{n_}_{i}" for i in range(len(key_cols))]
+                mt = matched.toDF(*knames)
+                scond = None
+                for c, k in zip(key_cols, knames):
+                    e = c.eqNullSafe(mt[k])
+                    scond = e if scond is None else (scond & e)
+                return df.join(F.broadcast(mt), scond, "left_semi")
+            # positive EXISTS/IN default: inner join duplicates outer
+            # rows per match; a row id (assigned ONCE in this
+            # single-execution subtree — the nondeterministic id must
+            # never be computed twice) dedups back to semi semantics.
+            # dropDuplicates lowers to Aggregate(keys=[rid],
+            # first(col)…), so Catalyst prunes the unused first()s:
+            # q4's dedup carries only (rid, o_orderpriority) through
+            # the exchange. Measured r13 same-session at sf10 against
+            # the key-set semi: rid 1.15 s vs keyset 1.68 s (and 1.25
+            # vs 1.64 on a SELECT-* outer) — fewer stages beat the
+            # narrower shuffle at every width tried.
             rid = f"__exists_rid_{next(self._tmp_counter)}"
             tagged = df.withColumn(rid, F.monotonically_increasing_id())
             return (F.broadcast(tagged).join(inner_df, cond, "inner")

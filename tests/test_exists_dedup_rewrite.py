@@ -117,20 +117,45 @@ def test_plain_filter_stays_below_the_rewrite_tag(engine, monkeypatch):
 def test_auto_gate_requires_small_certified_outer(engine, monkeypatch):
     # automatic mode: after analyze() the q4-shape outer (date-filtered
     # orders) is certified small → the rewrite fires without any env
-    # flag; a huge un-filtered outer keeps the semi join
+    # flag (signature: the broadcast inner join + rid dedup, never a
+    # fact-side shuffle join); a huge un-filtered outer keeps the
+    # stock semi join
     monkeypatch.delenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", raising=False)
     engine.analyze()
-    assert "LeftSemi" not in engine.explain(Q4_STYLE)
+    plan = engine.explain(Q4_STYLE)
+    assert "__exists_rid" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
     huge_outer = """
         SELECT count(*) AS n FROM lineitem l
         WHERE EXISTS (SELECT 1 FROM orders o
                       WHERE o.o_orderkey = l.l_orderkey
                         AND o.o_totalprice > 0)
     """
-    assert "LeftSemi" in engine.explain(huge_outer)
+    hplan = engine.explain(huge_outer)
+    assert "LeftSemi" in hplan and "__exists_rid" not in hplan, hplan
+
+
+def test_positive_exists_keyset_opt_in(engine, monkeypatch):
+    # the key-set semi alternative (SPARK_GRAFT_EXISTS_POSITIVE=keyset,
+    # measured slower than rid at sf10 but kept for width-defeats-
+    # pruning outers): matched-set broadcast semi, zero rid machinery
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "1")
+    monkeypatch.setenv("SPARK_GRAFT_EXISTS_POSITIVE", "keyset")
+    plan = engine.explain(Q4_STYLE)
+    assert "monotonically_increasing_id" not in plan, plan
+    assert "__exists_rid" not in plan, plan
+    assert "__ek_" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    # and it must agree with the rid default on values
+    keyset = engine.query(Q4_STYLE).toPandas()
+    monkeypatch.delenv("SPARK_GRAFT_EXISTS_POSITIVE", raising=False)
+    rid = engine.query(Q4_STYLE).toPandas()
+    compare_frames(rid, keyset, ordered=True)
 
 
 def test_force_off_keeps_semi_join(engine, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_EXISTS_DEDUP_REWRITE", "0")
     engine.analyze()
-    assert "LeftSemi" in engine.explain(Q4_STYLE)
+    plan = engine.explain(Q4_STYLE)
+    assert "LeftSemi" in plan and "__ek_" not in plan
