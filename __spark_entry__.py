@@ -18,8 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 _ENGINES: dict = {}
 
 
+def _engine_key(spark: SparkSession, sf_dir: str) -> tuple:
+    # the layout flag is part of the cache key so one session can hold
+    # BOTH a stock and a bucketed-facts engine (bench.py's dual-layout
+    # block interleaves them for a fair same-session A/B); scripts that
+    # inject a pre-built engine (check_oracle, forced-gate tests) use
+    # this helper so their key always matches _engine_for's lookup
+    bucketed = os.environ.get("SPARK_GRAFT_BUCKETED_FACTS") == "1"
+    return (id(spark), sf_dir, bucketed)
+
+
 def _engine_for(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = _engine_key(spark, sf_dir)
     if key not in _ENGINES:
         from sql_to_ibis_spark import SqlEngine
 

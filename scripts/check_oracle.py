@@ -76,7 +76,7 @@ def main() -> int:
                 continue
             st.rows = max(st.rows, 10_000_000)
             st.ndv = {c: min(v, 100.0) for c, v in st.ndv.items()}
-        entrymod._ENGINES[(id(spark), sf_dir)] = eng
+        entrymod._ENGINES[entrymod._engine_key(spark, sf_dir)] = eng
     con = duckdb.connect()
     for path in sorted(glob.glob(os.path.join(sf_dir, "*.parquet"))):
         name = os.path.splitext(os.path.basename(path))[0]

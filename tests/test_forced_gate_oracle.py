@@ -67,7 +67,7 @@ def forced(spark):
     eng.register_dir(SF_DIR)
     eng.analyze()
     force_gate_stats(eng)
-    key = (id(spark), SF_DIR)
+    key = entrymod._engine_key(spark, SF_DIR)
     old = entrymod._ENGINES.get(key)
     entrymod._ENGINES[key] = eng
     con = duckdb.connect()
