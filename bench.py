@@ -95,6 +95,9 @@ HEADLINE = [
     # round 12: progressive (SOF2) decode — multi-scan successive
     # approximation; fixed 5k-doc fixture like the other codec entries
     "pipeline_multimodal_decode_jpeg_progressive",
+    # round 13: build-side keyset reduction niche (large outer semi vs
+    # high-multiplicity inner key)
+    "subquery_exists_build_keyset",
 ]
 
 

@@ -60,6 +60,8 @@ def main() -> int:
         # (prod ndv 100 << rows/8) — env-force it open instead
         os.environ["SPARK_GRAFT_PREPART_AGG"] = "1"
         os.environ["SPARK_GRAFT_NEQ_EXISTS_AGG"] = "1"
+        # r13: build-side keyset reduction for correlated semi/anti
+        os.environ["SPARK_GRAFT_SEMI_BUILD_KEYSET"] = "1"
         # r12: stats inflation would auto-open the window self-rewrite,
         # which CONSUMES the q21 shape before the agg path sees it —
         # pin it closed here so this sweep exercises the forced AGG

@@ -5268,7 +5268,126 @@ class Compiler:
                     .select(tagged["*"])
                     .dropDuplicates([rid])
                     .drop(rid))
-        return df.join(inner_df, cond, "left_anti" if negated else "left_semi")
+        jtype = "left_anti" if negated else "left_semi"
+        reduced = self._maybe_reduce_semi_build(
+            sub, inner_df, inner_scope, correlated, operand)
+        if reduced is not None:
+            return df.join(F.broadcast(reduced), cond, jtype)
+        return df.join(inner_df, cond, jtype)
+
+    # build-side keyset reduction: certified distinct-key-set byte cap
+    # (broadcast is explicit, so stay comfortably under the 64MB AQE
+    # ceiling) and the per-key width assumed for the certification
+    _SEMI_BUILD_CAP = 32 << 20
+    _SEMI_BUILD_KEY_BYTES = 24.0
+    _SEMI_BUILD_MIN_ROWS = 4_000_000
+
+    def _maybe_reduce_semi_build(
+        self, sub: ast.SelectNode, inner_df: DataFrame,
+        inner_scope: Scope, correlated: list, operand: ast.Expr | None,
+    ) -> DataFrame | None:
+        """Build-side keyset reduction for correlated semi/anti joins
+        (r13, the q22 exchange audit): a semi/anti probe's verdict
+        depends only on the inner columns the join condition references,
+        so the build side can ALWAYS be projected to those columns and
+        distinct'd — semantically free for LeftSemi/LeftAnti. When the
+        footer-stats estimator certifies the distinct key set small
+        (Π ndv(ref'd cols) × 24B ≤ 32MB) and the inner big enough that
+        Spark wouldn't broadcast it as-is (rows ≥ 4M), the reduction
+        turns a two-sided SortMergeJoin into a broadcast hash anti/semi:
+        neither the probe nor the raw inner shuffles, only the small
+        distinct key set does (q22 at sf10: customer 1.5M + orders 15M
+        wide exchanges + sorts → one ~1M-key exchange + broadcast).
+        ``SPARK_GRAFT_SEMI_BUILD_KEYSET=0`` disables, ``=1`` forces
+        (skips the stats gate; the forced-gate oracle sweep runs it).
+        Returns the reduced build frame, or None to keep the stock join.
+        """
+        flag = os.environ.get("SPARK_GRAFT_SEMI_BUILD_KEYSET")
+        if flag == "0":
+            return None
+        # the inner columns cond references: correlation conjuncts'
+        # inner-side refs, plus (for IN) the selected item — all inner
+        roots: list[ast.Expr] = list(correlated)
+        if operand is not None and sub.items \
+                and not isinstance(sub.items[0].expr, ast.Star):
+            roots.append(sub.items[0].expr)
+        cols: list[Column] = []
+        owners: list[tuple[str, str]] = []   # (display.lower, col.lower)
+        seen: set[tuple[str, str]] = set()
+        for conj in roots:
+            for ref in _walk_all(conj):
+                if not isinstance(ref, ast.ColumnRef):
+                    continue
+                try:
+                    oinfo, true_name = inner_scope.resolve(
+                        ref.name, ref.table)
+                except (ColumnNotFoundError, AmbiguousColumnException):
+                    continue                 # outer-side ref
+                ident = ((ref.table or "").lower(), ref.name.lower())
+                if ident in seen:
+                    continue
+                seen.add(ident)
+                owners.append((oinfo.display.lower(), true_name.lower()))
+                cols.append(self.compile_expr(ref, inner_scope))
+        if not cols:
+            return None
+        if flag != "1":
+            if os.environ.get("SPARK_GRAFT_NO_STATS_BROADCAST"):
+                return None
+            # certification: every inner relation a stats-backed catalog
+            # table (no CTEs/derived), the raw inner ≥ 4M rows, and the
+            # key-set estimate under the cap
+            by_display: dict[str, str] = {}
+            for rel in sub.relations:
+                if not isinstance(rel, ast.TableRef) \
+                        or rel.name.lower() in self._cte_frames:
+                    return None
+                by_display[(rel.alias or rel.name).lower()] = rel.name
+            try:
+                inner_rows = 0.0
+                for rel in sub.relations:
+                    st = self.catalog.get(rel.name).stats
+                    if st is None:
+                        return None
+                    inner_rows = max(inner_rows, float(st.rows))
+                if inner_rows < self._SEMI_BUILD_MIN_ROWS:
+                    return None
+                prod = 1.0
+                for disp, cname in owners:
+                    tname = by_display.get(disp)
+                    if tname is None:
+                        return None
+                    st = self.catalog.get(tname).stats
+                    n = (st.ndv or {}).get(cname) if st is not None \
+                        else None
+                    if not n:
+                        return None
+                    prod *= float(n)
+                keyset = min(prod, inner_rows)
+                if keyset * self._SEMI_BUILD_KEY_BYTES \
+                        > self._SEMI_BUILD_CAP:
+                    return None
+                # multiplicity gate (measured r13 on q22): the distinct
+                # is an extra two-phase aggregate whose map side only
+                # pays off when each task sees many duplicate keys —
+                # per-task multiplicity ≈ rows/ndv/shufflePartitions.
+                # q22's orders⋉̸customer (multiplicity 15, 32 tasks →
+                # per-task < 1) measured WORSE reduced than the stock
+                # SortMergeJoin (1.73 vs 1.25 s at sf10): the partial
+                # distinct barely reduced the exchange while the 1M-key
+                # broadcast build added cost. Require per-task
+                # multiplicity ≥ 4 so the map-side distinct provably
+                # collapses the exchange before we pay the broadcast.
+                try:
+                    parts = int(self.spark.conf.get(
+                        "spark.sql.shuffle.partitions", "200"))
+                except Exception:
+                    parts = 200
+                if inner_rows < 4.0 * parts * keyset:
+                    return None
+            except Exception:
+                return None
+        return inner_df.select(cols).distinct()
 
     # outer-side byte cap for the automatic EXISTS dedup rewrite: the
     # rewrite broadcasts the tagged outer explicitly, so the certified

@@ -63,6 +63,9 @@ def forced(spark):
     # r12: LEFT-join fact aggregation pushdown (reduction-ratio gate
     # never opens at test scale)
     os.environ["SPARK_GRAFT_LEFT_FACT_AGG"] = "1"
+    # r13: build-side keyset reduction (multiplicity gate never opens at
+    # test scale; forcing proves the rewrite is semantics-free)
+    os.environ["SPARK_GRAFT_SEMI_BUILD_KEYSET"] = "1"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     eng.analyze()
@@ -85,6 +88,7 @@ def forced(spark):
     os.environ.pop("SPARK_GRAFT_EAGER_AGG", None)
     os.environ.pop("SPARK_GRAFT_IN_KEYSET_REDUCTION", None)
     os.environ.pop("SPARK_GRAFT_LEFT_FACT_AGG", None)
+    os.environ.pop("SPARK_GRAFT_SEMI_BUILD_KEYSET", None)
 
 
 def test_gate_families_selected():

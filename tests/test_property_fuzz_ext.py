@@ -174,7 +174,8 @@ def _forced_env(**pairs):
                 os.environ[k] = v
 
 
-GATE_VARS = ("SPARK_GRAFT_EXISTS_DEDUP_REWRITE",
+GATE_VARS = ("SPARK_GRAFT_SEMI_BUILD_KEYSET",
+             "SPARK_GRAFT_EXISTS_DEDUP_REWRITE",
              "SPARK_GRAFT_SINGLE_REL_MAGIC",
              "SPARK_GRAFT_EAGER_AGG",
              "SPARK_GRAFT_IN_KEYSET_REDUCTION",
