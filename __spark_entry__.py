@@ -1029,56 +1029,49 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # (dict order). ROTATION POLICY (r7+): each round the window leads with
 # entries whose PLANS changed since their last driver record, then the
 # longest-stale remainder (last-record round computed from
-# CORRECTNESS_r0*.json; after r10: 11×r05, 45×r06, 49×r09, 50×r10). The
-# full 155-entry local oracle run (scripts/check_oracle.py,
-# recorded per-round) is the safety net for everything past position 50.
+# CORRECTNESS_r0*.json). The full local oracle run over every entry
+# (162 at r13; scripts/check_oracle.py, recorded per-round) is the
+# safety net for everything past position 50.
 _PRIORITY: list[str] = [
-    # --- driver window (50), r12 rotation ---
-    # r12-plan-touched first: the NEW cmyk entry (needs its first driver
-    # record), q18 (IN-keyset fold into the eager partial), the view-
-    # merged derived-table family (q7/q8/q9, nested subqueries), q14
-    # (selectivity-aware eager gate), decode_images (odd ids now
-    # Adam7-interlaced), q21 (<>-EXISTS window self-rewrite), JPEG
-    # entries (fixture pinned 25k → 5k, SF-invariant), q22
-    # (keys-from-base)
-    "pipeline_multimodal_decode_jpeg_cmyk",
-    "pipeline_multimodal_decode_jpeg_lossless",
-    "agg_left_fact_rollup",
-    "tpch_q18_large_volume_customer",
-    "subquery_from_nested", "subquery_join",
-    "tpch_q14_promo_effect", "tpch_q10_returned_items",
-    "pipeline_multimodal_decode_images",
-    "tpch_q21_suppliers_kept_waiting",
-    "pipeline_multimodal_decode_jpeg",
-    "pipeline_multimodal_decode_jpeg_color",
-    "pipeline_multimodal_decode_jpeg_progressive",
-    "tpch_q22_global_sales_opportunity",
-    # the 12 stalest entries (latest driver record r06 — the only ones
-    # predating r07; VERDICT r11 mandate 5)
-    "subquery_quantified_all_correlated",
-    "subquery_quantified_any_grouped",
-    "tpch_q5_local_supplier_volume", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
-    "unpivot_order_measures", "window_named", "window_ntile",
-    "window_qualify_topn", "window_rank_dense_rank", "window_row_number",
-    # fill to 50 with the oldest remainder (latest record r09,
-    # alphabetical; recomputed from CORRECTNESS_r*.json)
-    "agg_count_star_distinct", "agg_expression_mix",
-    "agg_extended_stats", "agg_global",
-    "agg_group_by", "agg_group_key_dropped",
-    "agg_groupby_no_agg_distinct", "agg_having",
-    "agg_having_global", "agg_having_hidden_agg",
-    "agg_share_of_total", "arithmetic",
-    "case_when", "cast_types",
-    "coalesce_nullif", "except_all",
-    "except_distinct", "filter_between_in",
-    "filter_compare", "filter_is_null",
-    "filter_like", "group_by_all",
-    "intersect", "intersect_all",
-    # (join_anti_not_in_subquery, join_comma_implicit_cross,
-    # join_cross, join_full_outer, decode_stub, q12 rotate out this
-    # round — latest records r09; the full local oracle sweep still
-    # covers them every round)
+    # --- driver window (50), r13 rotation ---
+    # never-driver-sampled first: the NEW r13 build-keyset entry and the
+    # r12 decode-error-accounting entry (the one miss in the r12 union);
+    # then the 20 stalest entries (latest driver record r09 — nothing
+    # older remains), then the oldest r10 remainder alphabetically, with
+    # the q4 EXISTS pair swapped in as r13-plan-adjacent coverage (the
+    # r13 rid-vs-keyset work touched that compile path; the default plan
+    # is unchanged and the window proves it).
+    "subquery_exists_build_keyset",
+    "pipeline_multimodal_decode_error_accounting",
+    # latest record r09 (all 20)
+    "join_anti_not_in_subquery", "join_comma_implicit_cross",
+    "join_cross", "join_full_outer",
+    "pipeline_multimodal_decode_stub", "tpch_q12_shipmode_priority",
+    "tpch_q13_customer_distribution",
+    "tpch_q16_parts_supplier_relationship",
+    "tpch_q19_discounted_revenue", "tpch_q1_pricing_summary",
+    "tpch_q20_potential_part_promotion", "tpch_q3_shipping_priority",
+    "union_all", "union_distinct",
+    "window_cumulative_default_frame", "window_first_last_value",
+    "window_in_expression", "window_lag_lead",
+    "window_partition_only", "window_percent_cume",
+    # r13-plan-adjacent (r10-dated): the correlated-EXISTS pair
+    "subquery_correlated_exists_q4", "subquery_correlated_not_exists",
+    # fill to 50 with the oldest remainder (latest record r10,
+    # alphabetical; recomputed from CORRECTNESS_r*.json at r13)
+    "agg_percentile", "cte_chained",
+    "events_funnel_share", "events_json_extract",
+    "events_user_daily", "join_inner",
+    "join_left", "join_multiway",
+    "join_right", "join_semi_in_subquery",
+    "join_theta", "limit_offset",
+    "order_by_multi_key", "pipeline_ann_cosine_topk",
+    "pipeline_dedup_clusters", "pipeline_doc_fingerprint",
+    "pipeline_multimodal_audio_rms", "pipeline_multimodal_blob_dedup",
+    "pipeline_multimodal_blob_metadata", "pipeline_multimodal_decode_bmp",
+    "pipeline_sample_stratified", "pipeline_sample_top_n_per_key",
+    "pipeline_skew_salted_count", "pipeline_skew_salted_join",
+    "pipeline_split_train_eval", "pipeline_text_bm25",
 ]
 
 
