@@ -1826,7 +1826,13 @@ def _add_pipeline_operators(out: dict) -> None:
         # was half the sf0.1 corpus and 21% of the headline wall)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_blobs(docs)
         return multimodal.decode_images(blobs)
 
@@ -1850,7 +1856,13 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_progressive_blobs(docs)
         return multimodal.decode_images(blobs)
 
@@ -1876,7 +1888,13 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_blobs_with_corruption(docs)
         out = multimodal.decode_images(blobs, on_error="null")
         return out.select(
@@ -1913,7 +1931,13 @@ def _add_pipeline_operators(out: dict) -> None:
         # SF-invariant)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_color_blobs(docs)
         return multimodal.decode_images(blobs)
 
@@ -1945,7 +1969,13 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_cmyk_blobs(docs)
         return multimodal.decode_images(blobs)
 
@@ -1975,7 +2005,13 @@ def _add_pipeline_operators(out: dict) -> None:
         _engine_for(spark, sf_dir)
         from pyspark.sql import functions as F
 
-        docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+        # the 5k fixture reads as ONE file split, which would run the
+        # whole Python codec chain on a single core (r13 fix of the r12
+        # "per-doc cost grew" anomaly: the wall was a 1-core measurement)
+        # — repartition to the session's parallelism like any real blob
+        # corpus would naturally be
+        docs = (_docs(spark, sf_dir).filter(F.col("doc_id") < 5000)
+                .repartition(spark.sparkContext.defaultParallelism))
         blobs = multimodal.synthesize_jpeg_lossless_blobs(docs)
         return multimodal.decode_images(blobs)
 
