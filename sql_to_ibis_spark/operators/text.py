@@ -217,10 +217,10 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     scale-safe). No Python anywhere in the row path.
     """
     plan = plan or os.environ.get("SPARK_GRAFT_REPETITION_PLAN", "docpart")
-    if plan not in ("docpart", "split", "fused"):
+    if plan not in ("docpart", "nopart", "split", "fused"):
         raise ValueError(
-            f"SPARK_GRAFT_REPETITION_PLAN must be docpart|split|fused, "
-            f"got {plan!r}")
+            f"SPARK_GRAFT_REPETITION_PLAN must be docpart|nopart|split|"
+            f"fused, got {plan!r}")
     t = normalized_text(F.col(text_col))
     toks = F.split(t, " ")
 
@@ -235,6 +235,16 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         # aggs, and the recombining join all plan WITHOUT further
         # exchanges — the whole operator is one corpus-sized shuffle.
         df = df.repartition(F.col(id_col))
+    # plan == "nopart" (r13): identical to docpart but WITHOUT the
+    # explicit repartition — for inputs whose SCAN already reports
+    # HashPartitioning(doc), i.e. a documents snapshot bucketed on the
+    # id column. Then the operator plans with ZERO exchanges and the
+    # sf100 spill (141-152 GB on the corpus exchange, r12 memory
+    # profile) disappears entirely: pay the shuffle once at snapshot
+    # time, never per query. On a non-bucketed input this plan is still
+    # CORRECT (Spark inserts the exchanges the groupBys need) but
+    # shuffles n-gram rows instead of corpus bytes — only select it
+    # when the layout guarantees the partitioning.
 
     pre = df.select(F.col(id_col), F.length(t).alias("__nchars"),
                     toks.alias("__tk"))
@@ -281,7 +291,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     # partitioned on the same (doc, nchars) keys so the recombining
     # left join needs no further exchange. Tie-break matches the
     # oracle's ORDER BY cnt DESC, ngram DESC.
-    if plan in ("fused", "docpart"):
+    if plan in ("fused", "docpart", "nopart"):
         # single level-2 aggregate: no join; the max(struct) makes it a
         # SortAggregate over all level-1 rows. Under docpart this is
         # REQUIRED, not just preferred: the join-based split's two
