@@ -76,8 +76,12 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         # on the raw parquet the oracles read.
         if os.environ.get("SPARK_GRAFT_BUCKETED_FACTS") == "1":
             buckets = int(os.environ.get("SPARK_GRAFT_FACT_BUCKETS", "32"))
+            # documents joins the fact list in r13: bucketed on doc_id,
+            # the repetition/per-doc operators plan exchange-free
+            # (sf100 8GB-heap: wall −48%, shuffle 0 — BASELINE.md r13)
             for tname, bkey in (("lineitem", "l_orderkey"),
-                                ("orders", "o_orderkey")):
+                                ("orders", "o_orderkey"),
+                                ("documents", "doc_id")):
                 try:
                     # sorted buckets: one file per bucket (the sink
                     # repartitions first), so the scan REPORTS the
@@ -2486,7 +2490,14 @@ def _add_pipeline_operators(out: dict) -> None:
     # duplicate-3-gram fraction, recomputed exactly by DuckDB from the
     # published definitions (same truncation, same tie-break)
     def text_repetition(spark, sf_dir):
-        _engine_for(spark, sf_dir)
+        eng = _engine_for(spark, sf_dir)
+        if os.environ.get("SPARK_GRAFT_BUCKETED_FACTS") == "1":
+            # documents snapshot is bucketed on doc_id (engine layout
+            # branch): the scan reports the partitioning, so the
+            # nopart plan runs the whole operator exchange-free
+            # (sf100 8GB heap: −48% wall, 0 shuffle; BASELINE.md r13)
+            return text.repetition_signals(
+                eng.catalog.get("documents").df, plan="nopart")
         return text.repetition_signals(_docs(spark, sf_dir))
 
     out["pipeline_text_repetition_signals"] = text_repetition

@@ -150,7 +150,8 @@ def main() -> None:
     # Skipped for subset runs and via SPARK_GRAFT_SKIP_LAYOUTS=1.
     LAYOUT_ENTRIES = ["subquery_correlated_scalar_q17",
                       "tpch_q18_large_volume_customer",
-                      "tpch_q21_suppliers_kept_waiting"]
+                      "tpch_q21_suppliers_kept_waiting",
+                      "pipeline_text_repetition_signals"]
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):
