@@ -114,6 +114,11 @@ def main() -> None:
     headline = [q for q in HEADLINE if q in set(subset.split(","))] \
         if subset else HEADLINE
     sf = sf_dir.rstrip("/").split("sf")[-1]
+    # The unstamped "latest" record must be unambiguously STOCK: pop any
+    # ambient bucketed-facts flag before the headline loop (it is
+    # re-applied only inside the interleaved dual-layout block below) and
+    # stamp what was inherited into the record for provenance.
+    ambient_bucketed = os.environ.pop("SPARK_GRAFT_BUCKETED_FACTS", None)
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
@@ -143,7 +148,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
-    # Dual-layout block (r12 judge item 2): the three heavy entries whose
+    # Dual-layout block (r12 judge item 2): the four heavy entries whose
     # certified-best plans ride the bucketed-facts layout, measured BOTH
     # layouts interleaved in this same session so the driver record
     # carries the deployment recommendation alongside the stock default.
@@ -155,7 +160,7 @@ def main() -> None:
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):
-        saved = os.environ.get("SPARK_GRAFT_BUCKETED_FACTS")
+        saved = None        # ambient flag was popped before the headline
 
         def _set_layout(on: bool) -> None:
             if on:
@@ -208,7 +213,10 @@ def main() -> None:
               "value_engine": value_engine, "value_codec": value_codec,
               "unit": "sec", "queries": timings,
               "floor_sec": round(floor, 4), "sf": sf_val,
-              "codec_bound": codec_bound}
+              "codec_bound": codec_bound,
+              # provenance: what the caller's env carried; the headline
+              # loop itself always ran STOCK (flag popped at startup)
+              "ambient_bucketed_facts": ambient_bucketed}
     if layouts:
         record["layouts"] = layouts
     stamp = time.strftime("%Y%m%dT%H%M%S", time.gmtime())

@@ -5156,7 +5156,7 @@ class Compiler:
             # measured note below); the default stays the row-id
             # dedup, whose carried width Catalyst prunes.
             key_cols: list[Column] | None = []
-            seen_keys: set[tuple[str, str]] = set()
+            seen_keys: set[tuple[int, str]] = set()
             key_owners: set[int] = set()
             owner_info: RelationInfo | None = None
             # positive IN rides the same path: the operand's outer
@@ -5180,12 +5180,13 @@ class Compiler:
                             except (ColumnNotFoundError,
                                     AmbiguousColumnException):
                                 pass
-                        ident = ((ref.table or "").lower(),
-                                 ref.name.lower())
+                        oinfo, tn = scope.resolve(ref.name, ref.table)
+                        # dedup by resolved identity (qualified and bare
+                        # refs to the same attribute collapse to one key)
+                        ident = (id(oinfo), tn.lower())
                         if ident in seen_keys:
                             continue
                         seen_keys.add(ident)
-                        oinfo, _ = scope.resolve(ref.name, ref.table)
                         key_owners.add(id(oinfo))
                         owner_info = oinfo
                         key_cols.append(self.compile_expr(ref, scope))
@@ -5277,7 +5278,8 @@ class Compiler:
 
     # build-side keyset reduction: certified distinct-key-set byte cap
     # (broadcast is explicit, so stay comfortably under the 64MB AQE
-    # ceiling) and the per-key width assumed for the certification
+    # ceiling); the flat per-key width is only the FALLBACK when the
+    # parquet footer has no measured width for a key column
     _SEMI_BUILD_CAP = 32 << 20
     _SEMI_BUILD_KEY_BYTES = 24.0
     _SEMI_BUILD_MIN_ROWS = 4_000_000
@@ -5313,7 +5315,7 @@ class Compiler:
             roots.append(sub.items[0].expr)
         cols: list[Column] = []
         owners: list[tuple[str, str]] = []   # (display.lower, col.lower)
-        seen: set[tuple[str, str]] = set()
+        seen: set[tuple[int, str]] = set()
         for conj in roots:
             for ref in _walk_all(conj):
                 if not isinstance(ref, ast.ColumnRef):
@@ -5323,7 +5325,11 @@ class Compiler:
                         ref.name, ref.table)
                 except (ColumnNotFoundError, AmbiguousColumnException):
                     continue                 # outer-side ref
-                ident = ((ref.table or "").lower(), ref.name.lower())
+                # dedup by RESOLVED identity, not ref text: `l.l_suppkey`
+                # and bare `l_suppkey` are the same attribute and must
+                # project once (duplicate attributes in the reduced build
+                # frame trip ambiguous-reference resolution downstream)
+                ident = (id(oinfo), true_name.lower())
                 if ident in seen:
                     continue
                 seen.add(ident)
@@ -5353,6 +5359,7 @@ class Compiler:
                 if inner_rows < self._SEMI_BUILD_MIN_ROWS:
                     return None
                 prod = 1.0
+                row_width = 16.0        # per-row broadcast overhead
                 for disp, cname in owners:
                     tname = by_display.get(disp)
                     if tname is None:
@@ -5363,9 +5370,18 @@ class Compiler:
                     if not n:
                         return None
                     prod *= float(n)
+                    # honest per-column width from the parquet footer —
+                    # a flat constant undercounts wide string keys
+                    # (~200B URLs at 1.4M ndv would certify under the
+                    # cap while the materialized broadcast is 10x the
+                    # estimate); fall back to the constant only when
+                    # footer widths are unavailable (non-parquet source)
+                    w = (st.col_bytes or {}).get(cname) \
+                        if st is not None else None
+                    row_width += max(float(w), 8.0) if w \
+                        else self._SEMI_BUILD_KEY_BYTES
                 keyset = min(prod, inner_rows)
-                if keyset * self._SEMI_BUILD_KEY_BYTES \
-                        > self._SEMI_BUILD_CAP:
+                if keyset * row_width > self._SEMI_BUILD_CAP:
                     return None
                 # multiplicity gate (measured r13 on q22): the distinct
                 # is an extra two-phase aggregate whose map side only

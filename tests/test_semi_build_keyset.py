@@ -100,3 +100,58 @@ def test_auto_gate_closed_without_stats(engine, monkeypatch):
     # session (then the reduced signature is fine) or the join is the
     # stock semi — never an unguarded broadcast of a raw fact
     assert "LeftSemi" in plan, plan
+
+
+def test_duplicate_qualified_and_bare_refs_project_once(engine, monkeypatch):
+    # r13 ADVICE: the same inner attribute referenced both qualified
+    # (l.l_suppkey) and bare (l_suppkey) across correlation conjuncts
+    # must dedup by RESOLVED identity — a double projection makes the
+    # reduced build frame ambiguous for the join condition
+    sql = """
+        SELECT count(*) AS n FROM orders o
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_suppkey = o.o_custkey
+                        AND l_suppkey >= o.o_custkey)
+    """
+    monkeypatch.setenv("SPARK_GRAFT_SEMI_BUILD_KEYSET", "0")
+    stock = engine.query(sql).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_SEMI_BUILD_KEYSET", "1")
+    reduced = engine.query(sql).toPandas()
+    compare_frames(stock, reduced, ordered=True)
+
+
+def test_auto_gate_uses_measured_key_width(engine, monkeypatch):
+    # r13 ADVICE: certification must price the key column at its
+    # measured footer width, not a flat 24B — a wide string key whose
+    # keyset materializes >32MB must NOT certify. Fake the stats both
+    # ways on the same shape and assert the gate flips.
+    from sql_to_ibis_spark.sources.table_stats import TableStats
+
+    monkeypatch.delenv("SPARK_GRAFT_SEMI_BUILD_KEYSET", raising=False)
+    lentry = engine.catalog.get("lineitem")
+    oentry = engine.catalog.get("orders")
+    saved_l, saved_o = lentry.stats, oentry.stats
+
+    def fake(width: float) -> TableStats:
+        return TableStats(rows=20_000_000,
+                          ndv={"l_suppkey": 100_000.0},
+                          col_bytes={"l_suppkey": width})
+
+    def plan_is_reduced(plan: str) -> bool:
+        # reduced build = distinct aggregate keyed on l_suppkey below
+        # an explicit broadcast; stock semi has no such aggregate
+        return "BroadcastExchange" in plan and \
+            any("l_suppkey" in ln for ln in plan.splitlines()
+                if "Keys" in ln or "keys=" in ln)
+
+    try:
+        oentry.stats = TableStats(rows=20_000_000)
+        # narrow key (8B): 100k keys * ~24B ≈ 2.4MB → certifies
+        lentry.stats = fake(8.0)
+        assert plan_is_reduced(engine.explain(HIGH_MULT_SEMI))
+        # wide key (5kB, e.g. URL fingerprints): 100k * ~5kB ≈ 500MB
+        # → the flat-24B estimate would certify; measured width must not
+        lentry.stats = fake(5000.0)
+        assert not plan_is_reduced(engine.explain(HIGH_MULT_SEMI))
+    finally:
+        lentry.stats, oentry.stats = saved_l, saved_o
