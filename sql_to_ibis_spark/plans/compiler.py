@@ -2930,13 +2930,20 @@ class Compiler:
         group through one task, which forced a cardinality gate (numeric
         ID keys with ~2M groups cost more than the scan they saved:
         q11 at sf10 3.49 s vs 2.40 s). It is now an aggregate over the
-        grouped frame broadcast-cross-joined back: partials merge in
-        parallel and AQE's runtime exchange reuse dedupes the shared
-        groupBy shuffle (both consumers are the same DataFrame subtree,
-        unlike two independently compiled queries). That made the merge
-        strictly cheaper than the second scan at ANY group count
-        (measured q11-by-l_partkey at sf10: 2.1 s vs 5.0 s recomputing),
-        so the cardinality gate is gone.
+        grouped frame broadcast-cross-joined back — PINNED
+        (localCheckpoint) when the stats gate says the base is big
+        (_total_pin_wanted). The pin matters (r14): AQE's canonical-plan
+        stage matching does NOT unify two consumers of the same
+        DataFrame subtree on this Spark version (verified on a minimal
+        repro — the final adaptive plan carries two full scans, zero
+        ReusedExchange), so the unpinned crossJoin form re-executes the
+        whole base subtree. Locally the two executions overlap across
+        idle cores (sf10 q11: wall-neutral, but HALF the work executed
+        pinned — single lineitem scan in the final plan); on a loaded
+        cluster halving the work is the win. The grouped frame is
+        bounded by group count — always ≤ the base — so the pin beats
+        the second execution at any group cardinality, and the r9
+        cardinality gate stays gone.
 
         ``SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE=1`` disables the rewrite."""
         if os.environ.get("SPARK_GRAFT_NO_GROUP_TOTAL_REWRITE"):
@@ -5753,6 +5760,42 @@ class Compiler:
                 return df
         return df.repartition(*[k["col"] for k in keys])
 
+    # total-over-groups pin gate: pin (localCheckpoint) the grouped frame
+    # when the base FROM tree is at least this many rows — below it, the
+    # checkpoint's stage barrier + write costs more wall than the second
+    # (parallel) execution of a cheap subtree saves (measured sf0.1 q11:
+    # pin +0.05 s; sf10: wall-neutral with HALF the work executed)
+    _TOTAL_PIN_MIN_ROWS = 4_000_000
+
+    def _total_pin_wanted(self, node: ast.SelectNode) -> bool:
+        """Whether to pin the grouped frame before attaching a
+        total-over-groups scalar. ``SPARK_GRAFT_TOTAL_PIN=1`` forces,
+        ``=0`` disables; unset → stats gate: pin when any base catalog
+        table of the outer FROM reaches _TOTAL_PIN_MIN_ROWS (then the
+        re-executed subtree is provably the bigger cost — at cluster
+        scale the unpinned form runs the whole scan+join+shuffle twice,
+        since AQE canonical-stage matching does not unify the two
+        consumers on this Spark version)."""
+        flag = os.environ.get("SPARK_GRAFT_TOTAL_PIN")
+        if flag is not None:
+            return flag not in ("", "0")
+        stack: list = list(node.relations)
+        while stack:
+            rel = stack.pop()
+            if isinstance(rel, ast.Join):
+                stack.extend((rel.left, rel.right))
+                continue
+            if not isinstance(rel, ast.TableRef) \
+                    or rel.name.lower() in self._cte_frames:
+                continue
+            try:
+                st = self.catalog.get(rel.name).stats
+            except Exception:
+                continue
+            if st is not None and st.rows >= self._TOTAL_PIN_MIN_ROWS:
+                return True
+        return False
+
     def _compile_aggregation(
         self, df: DataFrame, node: ast.SelectNode, scope: Scope
     ) -> DataFrame:
@@ -5852,9 +5895,10 @@ class Compiler:
         # the grouped frame — an Exchange SinglePartition that funnels
         # EVERY group through one task (2M groups on the q11 shape at
         # sf10; unbounded at 100 TB). The aggregate form merges partials
-        # in parallel, and Spark's ReuseExchange dedupes the groupBy
-        # shuffle feeding both consumers, so the base data is still
-        # scanned and shuffled exactly once.
+        # in parallel; single-execution of the base subtree comes from
+        # the stats-gated pin below (NOT from ReuseExchange — AQE does
+        # not unify the two consumers on this Spark version, see
+        # _try_total_over_groups).
         post_total_aggs: list[tuple[str, Column]] = []
 
         def lower_group_total(marker: ast.GroupTotalSubquery) -> Column:
@@ -5997,6 +6041,8 @@ class Compiler:
             else:
                 agged = df.agg(*jvm_exprs).crossJoin(df.agg(*pd_exprs))
             if post_total_aggs:
+                if not agged.isStreaming and self._total_pin_wanted(node):
+                    agged = self._pin(agged)
                 totals = agged.agg(*[c.alias(t) for t, c in post_total_aggs])
                 agged = agged.crossJoin(F.broadcast(totals))
             if having_col is not None:
@@ -6055,7 +6101,26 @@ class Compiler:
             agged = df.agg(*agg_exprs)
         if post_total_aggs:
             # staged pre-HAVING: the scalar total is over ALL groups,
-            # independent of the HAVING filter
+            # independent of the HAVING filter.
+            #
+            # The grouped frame is PINNED before the total re-aggregation
+            # (r14): on this Spark version AQE's canonical-plan stage
+            # matching does NOT unify the two consumers of the same
+            # DataFrame subtree (verified on a minimal groupBy→{self,
+            # agg-total} repro: final adaptive plan carries two full
+            # scans, zero ReusedExchange), so without the pin the whole
+            # base scan+join+shuffle executed twice. localCheckpoint
+            # truncates lineage at the grouped frame — bounded by group
+            # count, always ≤ the base data, partition-local write, no
+            # shuffle — and both consumers read the one materialization.
+            # The pin is stats-gated (_total_pin_wanted): at small scale
+            # the two subtree executions overlap across idle cores and
+            # the checkpoint barrier costs more wall than it saves
+            # (sf0.1 q11 +0.05 s); from ~4M base rows up the second
+            # execution is the bigger cost at equal wall (sf10: neutral
+            # wall, half the work), and at cluster scale it only grows.
+            if not agged.isStreaming and self._total_pin_wanted(node):
+                agged = self._pin(agged)
             totals = agged.agg(*[c.alias(t) for t, c in post_total_aggs])
             agged = agged.crossJoin(F.broadcast(totals))
         if having_col is not None:

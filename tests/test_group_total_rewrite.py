@@ -14,6 +14,12 @@ scanned/shuffled once. Independently compiled outer+subquery pairs
 never reuse (canonical matching fails across DeduplicateRelations —
 BASELINE.md round-7 investigation), which is what the negative pins
 assert.
+
+r14 amendment: that reuse holds only at tiny scale — at sf1+ the final
+adaptive plan carries TWO full scans and zero ReusedExchange (AQE's
+canonical-stage matching does not unify the consumers), so the merge
+now pins the grouped frame (stats-gated localCheckpoint); the pin tests
+at the bottom assert the single-materialization plan.
 """
 
 from __future__ import annotations
@@ -191,3 +197,40 @@ def test_subquery_in_where_not_total_rewritten(oracle):
         WHERE l_extendedprice > (SELECT avg(l_extendedprice) FROM lineitem)
         GROUP BY l_returnflag ORDER BY l_returnflag
     """)
+
+
+def test_total_pin_forced_single_scan_and_matches(engine, monkeypatch):
+    # r14: AQE canonical-stage matching does NOT unify the two consumers
+    # of the grouped frame on this Spark version (sf1+ final plans carry
+    # two full scans, zero ReusedExchange), so the merge pins the
+    # grouped frame (localCheckpoint) when the stats gate fires. Forced
+    # pin: the final plan reads the checkpoint RDD — ZERO parquet scans
+    # of the base — and values are identical to the unpinned form.
+    unpinned = engine.query(Q11_STRING_KEY).toPandas()
+    monkeypatch.setenv("SPARK_GRAFT_TOTAL_PIN", "1")
+    df = engine.query(Q11_STRING_KEY)
+    pinned = df.toPandas()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
+    compare_frames(unpinned, pinned, ordered=True)
+
+
+def test_total_pin_stats_gate(engine, monkeypatch):
+    # unset flag → gate keys off base-table row stats: tiny tables don't
+    # pin (barrier costs more than the overlapped second execution
+    # saves); big tables do (half the work at equal wall)
+    from sql_to_ibis_spark.sources.table_stats import TableStats
+
+    monkeypatch.delenv("SPARK_GRAFT_TOTAL_PIN", raising=False)
+    entry = engine.catalog.get("lineitem")
+    saved = entry.stats
+    try:
+        plan = engine.explain(Q11_STRING_KEY)
+        assert "Scan parquet" in plan        # sf0.001: unpinned
+        entry.stats = TableStats(rows=50_000_000)
+        df = engine.query(Q11_STRING_KEY)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    finally:
+        entry.stats = saved
