@@ -10,7 +10,7 @@ leakage problem (``tests/utils.py:76-114`` exists purely to guard it).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame
 
@@ -25,6 +25,17 @@ class CatalogEntry:
     # parquet-footer stats (exact rows, per-column min/max) — None for
     # temp tables / non-parquet sources; consumers treat None as unknown
     stats: "TableStats | None" = None
+    # informational constraints (warehouse RELY-style): declared by the
+    # user, TRUSTED by the planner for join elimination, never enforced
+    # at write time (SqlEngine.validate_constraints() runs the real
+    # checks on demand). primary_key = lowercase column names that are
+    # jointly UNIQUE and NON-NULL. Each foreign key (cols, ref_table,
+    # ref_cols) declares: cols are NON-NULL and every row matches
+    # EXACTLY ONE ref_table row on ref_cols (stricter than SQL's FK,
+    # which permits NULLs — the planner needs row preservation).
+    primary_key: "tuple[str, ...] | None" = None
+    foreign_keys: "list[tuple[tuple[str, ...], str, tuple[str, ...]]]" \
+        = field(default_factory=list)
 
 
 class Catalog:

@@ -18,6 +18,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from sql_to_ibis_spark.catalog import Catalog
+from sql_to_ibis_spark.errors import (ColumnNotFoundError,
+                                      InvalidQueryException)
 from sql_to_ibis_spark.plans.compiler import Compiler
 from sql_to_ibis_spark.plans.parser import parse
 
@@ -303,6 +305,121 @@ class SqlEngine:
                     st.col_min[c.lower()] = row[f"lo{i}"]
                     st.col_max[c.lower()] = row[f"hi{i}"]
             entry.stats = st
+
+    # -- informational constraints (RELY-style) ------------------------------
+
+    def add_primary_key(self, table: str, *cols: str) -> None:
+        """Declare ``cols`` jointly UNIQUE and NON-NULL on ``table``.
+
+        Informational, warehouse RELY-style: the planner TRUSTS it for
+        join rewrites (a join on a full primary key matches at most one
+        build row) and nothing enforces it at write time — declare only
+        keys that hold, or run :meth:`validate_constraints` to check.
+        """
+        entry = self.catalog.get(table)
+        names = {f.name.lower() for f in entry.df.schema.fields}
+        key = tuple(c.lower() for c in cols)
+        missing = [c for c in key if c not in names]
+        if not key or missing:
+            raise ColumnNotFoundError(
+                f"primary key columns {missing or list(cols)} not in "
+                f"'{table}'")
+        entry.primary_key = key
+
+    def add_foreign_key(self, table: str, cols, ref_table: str,
+                        ref_cols=None) -> None:
+        """Declare that every ``table`` row's ``cols`` are NON-NULL and
+        match EXACTLY ONE ``ref_table`` row on ``ref_cols`` (default: the
+        ref table's declared primary key).
+
+        Stricter than SQL's FOREIGN KEY (which permits NULLs): the
+        planner uses it as a row-preservation guarantee — an inner join
+        from ``table`` to ``ref_table`` on exactly these columns keeps
+        every ``table`` row exactly once — enabling join elimination.
+        Informational only; :meth:`validate_constraints` runs the real
+        checks on demand.
+        """
+        if isinstance(cols, str):
+            cols = (cols,)
+        entry = self.catalog.get(table)
+        ref = self.catalog.get(ref_table)
+        if ref_cols is None:
+            if ref.primary_key is None:
+                raise InvalidQueryException(
+                    f"'{ref_table}' has no declared primary key; pass "
+                    f"ref_cols or declare one with add_primary_key")
+            ref_cols = ref.primary_key
+        elif isinstance(ref_cols, str):
+            ref_cols = (ref_cols,)
+        names = {f.name.lower() for f in entry.df.schema.fields}
+        rnames = {f.name.lower() for f in ref.df.schema.fields}
+        key = tuple(c.lower() for c in cols)
+        rkey = tuple(c.lower() for c in ref_cols)
+        if len(key) != len(rkey) or not key:
+            raise InvalidQueryException(
+                "foreign key and referenced columns must pair 1:1")
+        missing = [c for c in key if c not in names] \
+            + [c for c in rkey if c not in rnames]
+        if missing:
+            raise ColumnNotFoundError(
+                f"foreign key columns {missing} not found")
+        fk = (key, ref.name.lower(), rkey)
+        if fk not in entry.foreign_keys:
+            entry.foreign_keys.append(fk)
+
+    def validate_constraints(self, table: str | None = None) -> dict:
+        """Run the REAL checks behind the declared constraints; returns
+        ``{table: [violation message, ...]}`` (empty dict = all hold).
+        One aggregation job per primary key, one anti-join count per
+        foreign key — distributed, no driver-side data."""
+        from pyspark.sql import functions as F
+
+        out: dict[str, list[str]] = {}
+        names = [table] if table else self.catalog.names()
+        for name in names:
+            entry = self.catalog.get(name)
+            probs: list[str] = []
+            if entry.primary_key:
+                pk = list(entry.primary_key)
+                row = entry.df.agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(*[F.col(c) for c in pk]).alias("d"),
+                    *[F.sum(F.col(c).isNull().cast("long")).alias(f"z{i}")
+                      for i, c in enumerate(pk)]).collect()[0]
+                if any(row[f"z{i}"] for i in range(len(pk))):
+                    probs.append(f"primary key {pk} has NULLs")
+                if row["n"] != row["d"]:
+                    probs.append(
+                        f"primary key {pk} not unique "
+                        f"({row['n']} rows, {row['d']} distinct)")
+            for cols, ref_name, ref_cols in entry.foreign_keys:
+                ref = self.catalog.get(ref_name)
+                cond = None
+                for c in cols:
+                    piece = F.col(c).isNull()
+                    cond = piece if cond is None else (cond | piece)
+                n_null = entry.df.where(cond).count()
+                if n_null:
+                    probs.append(f"foreign key {list(cols)} has "
+                                 f"{n_null} NULL rows")
+                probe = entry.df.select(
+                    *[F.col(c).alias(f"__f{i}")
+                      for i, c in enumerate(cols)])
+                build = ref.df.select(
+                    *[F.col(c).alias(f"__r{i}")
+                      for i, c in enumerate(ref_cols)])
+                jc = None
+                for i in range(len(cols)):
+                    piece = F.col(f"__f{i}") == F.col(f"__r{i}")
+                    jc = piece if jc is None else (jc & piece)
+                orphans = probe.join(build, jc, "left_anti").count()
+                if orphans:
+                    probs.append(
+                        f"foreign key {list(cols)} -> {ref_name}"
+                        f"{list(ref_cols)}: {orphans} unmatched rows")
+            if probs:
+                out[entry.name] = probs
+        return out
 
     def register_dir(self, sf_dir: str, tables: list[str] | None = None) -> None:
         """Register every ``<name>.parquet`` in a directory (the layout of

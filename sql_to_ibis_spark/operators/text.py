@@ -291,7 +291,55 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
     # partitioned on the same (doc, nchars) keys so the recombining
     # left join needs no further exchange. Tie-break matches the
     # oracle's ORDER BY cnt DESC, ngram DESC.
-    if plan in ("fused", "docpart", "nopart"):
+    argmax = os.environ.get("SPARK_GRAFT_REPETITION_ARGMAX", "sort")
+    if plan in ("fused", "docpart", "nopart") and argmax == "joinback":
+        # r14 joinback argmax: the fused level-2's max(struct(cnt,
+        # ngram)) is NOT hash-aggregable (struct/string buffers don't
+        # fit HashAggregate's fixed-width slots) → SortAggregate, whose
+        # sort buffers EVERY level-1 n-gram string — the one remaining
+        # sf100 spill (167 GB memory / 25 GB disk, BASELINE.md §r13).
+        # Joinback replaces the sort with fixed-width work: PIN the
+        # level-1 counts (localCheckpoint — sequential write, no sort;
+        # partitioning survives, so docpart/nopart stay exchange-free
+        # downstream), take max(cnt)/tri-sums per doc in a pure
+        # fixed-width HashAggregate over a string-free projection,
+        # re-probe the pinned counts for the max-count rows with a
+        # shuffle_hash join (per-partition build of the doc→maxcnt map,
+        # no sort on the streamed side), and tie-break max(ngram) over
+        # just those rows (~1 row/doc — the only string aggregate
+        # left). The pin is what makes the two consumers of counts read
+        # ONE materialization (AQE canonical-stage matching does not
+        # unify them on this Spark version — same finding as the
+        # total-over-groups pin).
+        pinned = counts.localCheckpoint(eager=False)
+        slim = pinned.select(
+            F.col(id_col), F.col("__nchars"), F.col("__n"), F.col("cnt"),
+            F.col("ngram").isNotNull().alias("__has"))
+        agg1 = slim.groupBy(id_col, "__nchars").agg(
+            F.max(F.when((F.col("__n") == 2) & F.col("__has"),
+                         F.col("cnt"))).alias("__maxcnt"),
+            F.sum(F.when(F.col("__n") == 3, F.col("cnt")))
+            .alias("__tri_total"),
+            F.count(F.when(F.col("__n") == 3, F.lit(1)))
+            .alias("__tri_distinct"),
+        )
+        bi = pinned.filter((F.col("__n") == 2) & F.col("ngram").isNotNull()
+                           ).select(F.col(id_col), F.col("ngram"),
+                                    F.col("cnt"))
+        mx = agg1.select(F.col(id_col).alias("__mid"),
+                         F.col("__maxcnt").alias("__mc"))
+        ties = bi.join(mx.hint("shuffle_hash"),
+                       (bi[id_col] == F.col("__mid"))
+                       & (F.col("cnt") == F.col("__mc")), "inner")
+        top = ties.groupBy(id_col).agg(F.max("ngram").alias("__tng"))
+        joined = (agg1.join(top, [id_col], "left")
+                  .select(F.col(id_col), F.col("__nchars"),
+                          F.when(F.col("__tng").isNotNull(),
+                                 F.struct(F.col("__maxcnt").alias("cnt"),
+                                          F.col("__tng").alias("ngram")))
+                          .alias("__top"),
+                          F.col("__tri_total"), F.col("__tri_distinct")))
+    elif plan in ("fused", "docpart", "nopart"):
         # single level-2 aggregate: no join; the max(struct) makes it a
         # SortAggregate over all level-1 rows. Under docpart this is
         # REQUIRED, not just preferred: the join-based split's two

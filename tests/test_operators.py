@@ -1017,3 +1017,36 @@ def test_jpeg_decode_distributed(spark, docs):
         assert r["height"] == 8 * (1 + (i // 4) % 4)
         assert r["channels"] == 1
         assert r["mean_pixel"] == float(2 * (i % 64) + 128)
+
+
+def test_repetition_signals_joinback_matches_sort(spark, docs, monkeypatch):
+    # r14 joinback argmax (SPARK_GRAFT_REPETITION_ARGMAX=joinback):
+    # level-1 counts pinned, max-count via fixed-width HashAggregate,
+    # tie rows re-probed with a shuffle_hash join, max(ngram) over ties
+    # only — must be value-identical to the fused sort aggregate,
+    # including the DESC tie-break and short-doc markers
+    rows = [
+        (1, "buy now buy now buy now buy now buy now"),
+        (2, "alpha beta gamma delta epsilon zeta"),
+        (3, "a b c a b c"),
+        (4, "one"),
+        (5, ""),                       # empty doc
+        (6, "x y x y p q p q"),        # tie: 'x y' and 'p q' both 2 ×
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.delenv("SPARK_GRAFT_REPETITION_ARGMAX", raising=False)
+    base = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_REPETITION_ARGMAX", "joinback")
+    jb = {r["doc_id"]: r for r in text.repetition_signals(df).collect()}
+    assert set(base) == set(jb)
+    for k in base:
+        assert tuple(base[k]) == tuple(jb[k]), (k, base[k], jb[k])
+    assert jb[6]["top_bigram"] == "x y"     # DESC tie-break preserved
+
+
+def test_repetition_signals_joinback_on_corpus(docs, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_REPETITION_ARGMAX", raising=False)
+    base = sorted(tuple(r) for r in text.repetition_signals(docs).collect())
+    monkeypatch.setenv("SPARK_GRAFT_REPETITION_ARGMAX", "joinback")
+    jb = sorted(tuple(r) for r in text.repetition_signals(docs).collect())
+    assert base == jb
