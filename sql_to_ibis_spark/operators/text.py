@@ -311,7 +311,13 @@ def repetition_signals(df: DataFrame, text_col: str = "text",
         # ONE materialization (AQE canonical-stage matching does not
         # unify them on this Spark version — same finding as the
         # total-over-groups pin).
-        pinned = counts.localCheckpoint(eager=False)
+        # DISK_ONLY: the pinned level-1 frame is ~4-5x corpus bytes of
+        # n-gram strings — deserialized in-memory blocks OOM a
+        # constrained heap at sf10+, and the whole point here is
+        # replacing the sort SPILL with a sequential spill-by-design
+        from pyspark import StorageLevel
+        pinned = counts.localCheckpoint(eager=False,
+                                        storageLevel=StorageLevel.DISK_ONLY)
         slim = pinned.select(
             F.col(id_col), F.col("__nchars"), F.col("__n"), F.col("cnt"),
             F.col("ngram").isNotNull().alias("__has"))

@@ -409,6 +409,12 @@ class Compiler:
             if rewritten is None:
                 break
             node = rewritten
+        # shared-window decorrelation must see the ORIGINAL join chains
+        # (the constraint rewrite below replaces dims with flag joins,
+        # which would break the inner↔outer tree match)
+        rewritten = self._try_shared_window_decorrelate(node)
+        if rewritten is not None:
+            node = rewritten
         rewritten = self._try_constraint_join_rewrites(node)
         if rewritten is not None:
             node = rewritten
@@ -1485,6 +1491,549 @@ class Compiler:
                 for k, w in node.windows.items()},
         )
         return merged
+
+    # --------------------------- shared-tree correlated window decorrelation
+
+    def _try_shared_window_decorrelate(
+        self, node: ast.SelectNode
+    ) -> "ast.SelectNode | None":
+        """TPC-H q2-shape decorrelation: a WHERE comparison against a
+        correlated MIN/MAX scalar whose FROM tree is (alias-renamed) a
+        SUBSET of the outer's own FROM tree.
+
+            ... FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+                JOIN supplier s ... JOIN region r ...
+            WHERE r.r_name = 'EUROPE' AND p.p_size = 15
+              AND l.l_extendedprice = (SELECT min(l2.l_extendedprice)
+                    FROM lineitem l2 JOIN supplier s2 ... JOIN region r2 ...
+                    WHERE l2.l_partkey = p.p_partkey AND r2.r_name='EUROPE')
+
+        The stock plan re-executes the whole shared join tree for the
+        subquery (the repo's only SortMergeJoin). Rewritten, the shared
+        relations move into ONE derived table computing
+        ``agg(x) OVER (PARTITION BY key)`` — SQL evaluates window
+        functions after WHERE, so the derived WHERE (the shared
+        conjuncts) restricts the window input exactly like the inner
+        tree did — and the outer keeps only its EXTRA relations joined
+        to the derived table, with the scalar comparison now a plain
+        column comparison. Measured q2 at sf10: 1.95 s → the hand-built
+        equivalent runs 0.83 s (DuckDB 0.39).
+
+        Soundness gates (each bail keeps the stock decorrelation):
+        - aggregate is MIN/MAX only — multiplicity-insensitive, so extra
+          outer relations may duplicate shared rows freely;
+        - inner tables map 1:1 by name onto a subset of outer tables
+          (no self-joins on either side among the mapped set);
+        - every inner JOIN conjunct matches an outer conjunct under the
+          alias mapping (same canonical form) — the shared frame is
+          structurally identical;
+        - matched inner WHERE conjuncts go INSIDE the derived WHERE
+          (the outer's own copies, remapped, stay above — redundant but
+          harmless); unmatched inner-local conjuncts become agg
+          FILTER (WHERE ...) so they restrict accumulation only;
+        - every correlation conjunct is inner.col = outer.col equality,
+          and the outer side sits in the same outer equality class as
+          the mapped inner column — so each outer row's partition IS its
+          correlation group (and no surviving outer row has a NULL key:
+          the class equality already holds as TRUE on every frame row);
+        - all outer references to shared aliases are plain qualified
+          column refs outside subquery bodies (remapped to the derived
+          alias; bare names that could belong to a shared table bail);
+        - magic-set restriction: an extra relation joined to the key
+          class by one equality and carrying alias-pure deterministic
+          filters contributes ``key IN (SELECT rc FROM R WHERE filters)``
+          to the derived WHERE — whole partitions drop (partition-key
+          semi), shrinking the window input by the extra relation's
+          selectivity (q2: part p_size=15 → 1/50 of partitions).
+
+        ``SPARK_GRAFT_NO_SHARED_WINDOW_DECORRELATE=1`` disables.
+        """
+        if os.environ.get("SPARK_GRAFT_NO_SHARED_WINDOW_DECORRELATE"):
+            return None
+        if node.where is None or len(node.relations) != 1 \
+                or not isinstance(node.relations[0], ast.Join):
+            return None
+        conjuncts = self._split_conjuncts(node.where)
+        target = None
+        for c in conjuncts:
+            if isinstance(c, ast.BinaryOp) \
+                    and c.op in ("=", "<", ">", "<=", ">=", "!=", "<>"):
+                for side in (c.left, c.right):
+                    if isinstance(side, ast.ScalarSubquery) \
+                            and isinstance(side.subquery, ast.SelectNode):
+                        if target is not None:
+                            return None      # one scalar at a time
+                        target = (c, side)
+        if target is None:
+            return None
+        comp, scalar = target
+        sub = scalar.subquery
+        # inner shape: single MIN/MAX item, no grouping machinery
+        if (len(sub.items) != 1 or sub.group_by or sub.group_by_all
+                or sub.group_mode or sub.having is not None or sub.distinct
+                or sub.distinct_on or sub.limit is not None
+                or sub.offset is not None or sub.qualify is not None
+                or sub.windows or sub.order_by):
+            return None
+        item = sub.items[0].expr
+        if not (isinstance(item, ast.FuncCall)
+                and item.name in ("min", "minimum", "max", "maximum")
+                and not item.distinct and not item.is_star
+                and item.filter_where is None and len(item.args) == 1):
+            return None
+        # no other subqueries anywhere in either tree
+        import copy as _copy
+
+        def any_subquery(e) -> bool:
+            return any(getattr(x, "subquery", None) is not None
+                       and not isinstance(getattr(x, "subquery"), ast.Expr)
+                       for x in _walk_all(e))
+
+        for c in conjuncts:
+            if c is not comp and any_subquery(c):
+                return None
+        for it in node.items:
+            if isinstance(it.expr, ast.Star) or any_subquery(it.expr):
+                return None
+        if node.having is not None or node.qualify is not None:
+            return None
+        if any_subquery(comp.left is scalar and comp.right or comp.left):
+            return None
+
+        def flatten(r, chain, joined) -> bool:
+            if isinstance(r, ast.TableRef):
+                chain.append(r)
+                return True
+            if isinstance(r, ast.Join) and r.kind == "inner" \
+                    and r.condition is not None:
+                if not flatten(r.left, chain, joined):
+                    return False
+                if not isinstance(r.right, ast.TableRef):
+                    return False
+                chain.append(r.right)
+                joined.extend(self._split_conjuncts(r.condition))
+                return True
+            return False
+
+        ochain: list[ast.TableRef] = []
+        ojoin: list[ast.Expr] = []
+        if not flatten(node.relations[0], ochain, ojoin):
+            return None
+        ichain: list[ast.TableRef] = []
+        ijoin: list[ast.Expr] = []
+        if len(sub.relations) != 1 \
+                or not flatten(sub.relations[0], ichain, ijoin) \
+                or len(ichain) < 1:
+            return None
+        for t in ochain + ichain:
+            if t.name.lower() in self._cte_frames \
+                    or t.name.lower() not in self.catalog:
+                return None
+        # alias mapping by table name, unique on both sides
+        oby: dict[str, str] = {}
+        for t in ochain:
+            nm = t.name.lower()
+            if nm in oby:
+                return None
+            oby[nm] = (t.alias or t.name).lower()
+        imap: dict[str, str] = {}       # inner alias -> outer alias
+        seen_inner: set[str] = set()
+        for t in ichain:
+            nm = t.name.lower()
+            if nm in seen_inner or nm not in oby:
+                return None
+            seen_inner.add(nm)
+            imap[(t.alias or t.name).lower()] = oby[nm]
+        shared_aliases = set(imap.values())
+        extra_tables = [t for t in ochain
+                        if (t.alias or t.name).lower() not in shared_aliases]
+        if not extra_tables:
+            return None      # fully-shared trees ride the q17 machinery
+
+        # canonical conjunct rendering under an alias substitution
+        def canon(e, amap) -> str | None:
+            if isinstance(e, ast.ColumnRef):
+                if e.table is None:
+                    return None
+                t = e.table.lower()
+                return f"C:{amap.get(t, t)}.{e.name.lower()}"
+            if isinstance(e, ast.NumberLit):
+                return f"N:{e.value}"
+            if isinstance(e, ast.StringLit):
+                return f"S:{e.value!r}"
+            if isinstance(e, ast.BoolLit):
+                return f"B:{e.value}"
+            if isinstance(e, ast.NullLit):
+                return "NULL"
+            if isinstance(e, ast.BinaryOp):
+                l, r = canon(e.left, amap), canon(e.right, amap)
+                if l is None or r is None:
+                    return None
+                if e.op in ("=", "!=", "<>", "and", "or", "+", "*"):
+                    l, r = sorted((l, r))   # commutative normalization
+                return f"({l}{e.op}{r})"
+            if isinstance(e, ast.UnaryOp):
+                v = canon(e.operand, amap)
+                return None if v is None else f"({e.op} {v})"
+            if isinstance(e, ast.IsNull):
+                v = canon(e.operand, amap)
+                return None if v is None else f"isnull{e.negated}({v})"
+            if isinstance(e, ast.Between):
+                p = [canon(x, amap) for x in (e.operand, e.low, e.high)]
+                return None if None in p else f"btw{e.negated}({p})"
+            if isinstance(e, ast.InList):
+                p = [canon(e.operand, amap)] \
+                    + sorted(str(canon(i, amap)) for i in e.items)
+                return None if p[0] is None else f"in{e.negated}({p})"
+            if isinstance(e, ast.Like):
+                p = [canon(e.operand, amap), canon(e.pattern, amap)]
+                return None if None in p else \
+                    f"like{e.negated}{e.case_insensitive}{e.regexp}({p})"
+            if isinstance(e, ast.Cast):
+                v = canon(e.operand, amap)
+                return None if v is None else f"cast({v}:{e.type_name})"
+            if isinstance(e, ast.FuncCall):
+                if (e.is_star or e.distinct or e.filter_where is not None
+                        or e.name in self._NONDETERMINISTIC_FNS
+                        or e.name in self.user_functions
+                        or self._is_agg_name(e.name)):
+                    return None
+                p = [canon(a, amap) for a in e.args]
+                return None if None in p else f"{e.name}({','.join(p)})"
+            return None
+
+        def alias_set(e) -> set[str]:
+            return {(x.table or "").lower() for x in _walk_all(e)
+                    if isinstance(x, ast.ColumnRef)}
+
+        # inner WHERE: correlated vs local
+        inner_aliases = set(imap.keys())
+        iwhere = self._split_conjuncts(sub.where) \
+            if sub.where is not None else []
+        corr: list[tuple[ast.ColumnRef, ast.ColumnRef]] = []
+        ilocal: list[ast.Expr] = []
+        for c in iwhere:
+            tabs = alias_set(c)
+            if "" in tabs:
+                return None               # bare names — can't attribute
+            if tabs <= inner_aliases:
+                ilocal.append(c)
+                continue
+            # correlated: inner.col = outer.col, both plain refs
+            if not (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                return None
+            lt = (c.left.table or "").lower()
+            if lt in inner_aliases:
+                corr.append((c.left, c.right))
+            elif (c.right.table or "").lower() in inner_aliases:
+                corr.append((c.right, c.left))
+            else:
+                return None
+        if not corr:
+            return None
+        for c in ijoin:
+            tabs = alias_set(c)
+            if "" in tabs or not tabs <= inner_aliases:
+                return None
+
+        ocanon = {}
+        for c in ojoin + [x for x in conjuncts if x is not comp]:
+            k = canon(c, {})
+            if k is not None:
+                ocanon.setdefault(k, c)
+        # every inner JOIN conjunct must match an outer conjunct
+        for c in ijoin:
+            k = canon(c, imap)
+            if k is None or k not in ocanon:
+                return None
+        matched_local: list[ast.Expr] = []
+        filter_local: list[ast.Expr] = []
+        for c in ilocal:
+            k = canon(c, imap)
+            if k is not None and k in ocanon:
+                matched_local.append(c)
+            else:
+                filter_local.append(c)
+        # FILTER conjuncts must be deterministic + canonicalizable
+        for c in filter_local:
+            if canon(c, imap) is None:
+                return None
+
+        # outer equality classes (over ALL outer conjuncts)
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a: str, b: str) -> None:
+            parent[find(a)] = find(b)
+
+        def colkey(e) -> str | None:
+            if isinstance(e, ast.ColumnRef) and e.table is not None:
+                return f"{e.table.lower()}.{e.name.lower()}"
+            return None
+
+        for c in ojoin + [x for x in conjuncts if x is not comp]:
+            if isinstance(c, ast.BinaryOp) and c.op == "=":
+                a, b = colkey(c.left), colkey(c.right)
+                if a and b:
+                    union(a, b)
+        part_keys: list[ast.ColumnRef] = []
+        for inner_ref, outer_ref in corr:
+            mapped = ast.ColumnRef(name=inner_ref.name,
+                                   table=imap[inner_ref.table.lower()])
+            ok_ = colkey(outer_ref)
+            mk = colkey(mapped)
+            if ok_ is None or mk is None:
+                return None
+            if (outer_ref.table or "").lower() in shared_aliases:
+                # outer side inside the shared set: must be the same col
+                if ok_ != mk:
+                    return None
+            elif find(ok_) != find(mk):
+                return None
+            part_keys.append(mapped)
+
+        # collect every outer reference to a shared alias; bail on bare
+        # names owned by shared tables and refs in positions we can't
+        # remap (none exist: items/where/group/order/windows all remap)
+        shared_cols: dict[str, set[str]] = {a: set() for a in shared_aliases}
+        shared_schemas: dict[str, set[str]] = {}
+        for t in ochain:
+            a = (t.alias or t.name).lower()
+            if a in shared_aliases:
+                shared_schemas[a] = {
+                    c.lower() for c in self.catalog.get(t.name).df.columns}
+        all_shared_colnames: set[str] = set()
+        for s in shared_schemas.values():
+            all_shared_colnames |= s
+
+        def collect_refs(e) -> bool:
+            for x in _walk_all(e):
+                if not isinstance(x, ast.ColumnRef):
+                    continue
+                if x.table is None:
+                    if x.name.lower() in all_shared_colnames:
+                        return False
+                    continue
+                a = x.table.lower()
+                if a in shared_aliases:
+                    shared_cols[a].add(x.name.lower())
+            return True
+
+        regions: list[ast.Expr] = [it.expr for it in node.items]
+        regions += [c for c in conjuncts if c is not comp]
+        regions += [comp.left if comp.right is scalar else comp.right]
+        regions += list(node.group_by) + [o.expr for o in node.order_by]
+        regions += list(node.distinct_on)
+        for gs in node.grouping_sets:
+            regions += gs
+        for w in (node.windows or {}).values():
+            regions += list(w.partition_by) + [o.expr for o in w.order_by]
+        for c in ojoin:
+            # fully-shared join conjuncts move INSIDE the derived table —
+            # their columns need no slot in its output
+            if not alias_set(c) <= shared_aliases:
+                regions.append(c)
+        for e in regions:
+            if not collect_refs(e):
+                return None
+        # column name collisions across shared relations break the flat
+        # derived output — bail
+        needed: list[tuple[str, str]] = []
+        seen_names: set[str] = set()
+        for a in sorted(shared_aliases):
+            for col in sorted(shared_cols[a]
+                              | {k.name.lower() for k in part_keys
+                                 if k.table.lower() == a}):
+                if col in seen_names:
+                    return None
+                seen_names.add(col)
+                needed.append((a, col))
+        # the window's input column
+        argref_ok = collect_refs(item.args[0])
+        if not argref_ok:
+            return None
+
+        # ---- build the derived node
+        dalias = "__corrw"
+        win_name = "__corrwin0"
+
+        def retarget_inner(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ColumnRef) and e.table is not None:
+                t = e.table.lower()
+                if t in imap:
+                    return ast.ColumnRef(name=e.name, table=imap[t])
+            return e
+
+        fw = None
+        for c in filter_local:
+            rc = _transform_expr(_copy_expr(c), retarget_inner)
+            fw = rc if fw is None else ast.BinaryOp(op="and", left=fw,
+                                                    right=rc)
+        agg = ast.FuncCall(name=item.name,
+                           args=[_transform_expr(_copy_expr(item.args[0]),
+                                                 retarget_inner)],
+                           filter_where=fw)
+        winfunc = ast.WindowFunc(
+            func=agg,
+            window=ast.WindowSpec(partition_by=[
+                _copy_expr(k) for k in part_keys]))
+        ditems = [ast.SelectItem(expr=ast.ColumnRef(name=c, table=a),
+                                 alias=c) for a, c in needed]
+        ditems.append(ast.SelectItem(expr=winfunc, alias=win_name))
+        # derived FROM: the shared subtree rebuilt from the outer chain
+        shared_chain = [t for t in ochain
+                        if (t.alias or t.name).lower() in shared_aliases]
+        shared_conjs = []
+        extra_conjs = []
+        for c in ojoin:
+            (shared_conjs if alias_set(c) <= shared_aliases
+             else extra_conjs).append(c)
+        dwhere = None
+        for c in matched_local:
+            rc = _transform_expr(_copy_expr(c), retarget_inner)
+            dwhere = rc if dwhere is None else ast.BinaryOp(
+                op="and", left=dwhere, right=rc)
+        # magic-set restriction from filtered extra relations
+        key_class = {find(colkey(k)) for k in part_keys}
+        outer_where = [c for c in conjuncts if c is not comp]
+        for t in extra_tables:
+            a = (t.alias or t.name).lower()
+            links = [c for c in extra_conjs
+                     if isinstance(c, ast.BinaryOp) and c.op == "="
+                     and colkey(c.left) and colkey(c.right)
+                     and {(c.left.table or "").lower(),
+                          (c.right.table or "").lower()} >= {a}]
+            pure = [c for c in outer_where
+                    if alias_set(c) == {a} and canon(c, {}) is not None]
+            if len(links) != 1 or not pure:
+                continue
+            lc = links[0]
+            mine_side = lc.left if (lc.left.table or "").lower() == a \
+                else lc.right
+            other_side = lc.right if mine_side is lc.left else lc.left
+            if (other_side.table or "").lower() == a:
+                continue
+            if find(colkey(mine_side)) not in key_class \
+                    or find(colkey(other_side)) not in key_class:
+                continue
+            pw = None
+            for c in pure:
+                cc = _copy_expr(c)
+                pw = cc if pw is None else ast.BinaryOp(op="and", left=pw,
+                                                        right=cc)
+            semi = ast.InSubquery(
+                operand=_copy_expr(part_keys[0]) if len(part_keys) == 1
+                else None,
+                subquery=ast.SelectNode(
+                    items=[ast.SelectItem(
+                        expr=ast.ColumnRef(name=mine_side.name,
+                                           table=t.alias or t.name))],
+                    relations=[ast.TableRef(name=t.name, alias=t.alias)],
+                    where=pw))
+            if len(part_keys) != 1 or semi.operand is None:
+                continue
+            dwhere = semi if dwhere is None else ast.BinaryOp(
+                op="and", left=dwhere, right=semi)
+
+        # rebuild the derived FROM as a left-deep chain
+        drel: ast.Relation = shared_chain[0]
+        placed: set[int] = set()
+        avail = {(shared_chain[0].alias or shared_chain[0].name).lower()}
+        for t in shared_chain[1:]:
+            avail.add((t.alias or t.name).lower())
+            cond = None
+            for c in shared_conjs:
+                if id(c) in placed or not alias_set(c) <= avail:
+                    continue
+                placed.add(id(c))
+                cc = _copy_expr(c)
+                cond = cc if cond is None else ast.BinaryOp(
+                    op="and", left=cond, right=cc)
+            if cond is None:
+                return None
+            drel = ast.Join(left=drel, right=t, kind="inner",
+                            condition=cond)
+        if any(id(c) not in placed for c in shared_conjs):
+            return None
+        derived = ast.SubqueryRef(
+            query=ast.SelectNode(items=ditems, relations=[drel],
+                                 where=dwhere),
+            alias=dalias)
+
+        # ---- rebuild the outer on a deep copy
+        work = _copy.deepcopy(node)
+        wconjs = self._split_conjuncts(work.where)
+        # (deepcopy preserves order/structure; recompute targets)
+        new_where = None
+
+        def remap_outer(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.ColumnRef) and e.table is not None \
+                    and e.table.lower() in shared_aliases:
+                return ast.ColumnRef(name=e.name, table=dalias)
+            if isinstance(e, ast.ScalarSubquery):
+                return ast.ColumnRef(name=win_name, table=dalias)
+            return e
+
+        for c in wconjs:
+            rc = _transform_expr(c, remap_outer)
+            new_where = rc if new_where is None else ast.BinaryOp(
+                op="and", left=new_where, right=rc)
+        work.where = new_where
+        for it in work.items:
+            it.expr = _transform_expr(it.expr, remap_outer)
+        work.group_by = [_transform_expr(g, remap_outer)
+                         for g in work.group_by]
+        work.grouping_sets = [[_transform_expr(g, remap_outer) for g in gs]
+                              for gs in work.grouping_sets]
+        for o in work.order_by:
+            o.expr = _transform_expr(o.expr, remap_outer)
+        work.distinct_on = [_transform_expr(g, remap_outer)
+                            for g in work.distinct_on]
+        for w in (work.windows or {}).values():
+            w.partition_by = [_transform_expr(p, remap_outer)
+                              for p in w.partition_by]
+            for o in w.order_by:
+                o.expr = _transform_expr(o.expr, remap_outer)
+        # FROM: derived + extra tables, conjuncts remapped
+        wchain: list = []
+        wjoin: list[ast.Expr] = []
+        flatten(work.relations[0], wchain, wjoin)
+        extras = [t for t in wchain
+                  if (t.alias or t.name).lower() not in shared_aliases]
+        rel: ast.Relation = derived
+        avail = {dalias} | shared_aliases     # shared cols now live on dalias
+        placed = set()
+        rext = [_transform_expr(c, remap_outer)
+                for c in wjoin
+                if not alias_set(c) <= shared_aliases]
+
+        def ext_aliases(c) -> set[str]:
+            return {(x.table or "").lower() for x in _walk_all(c)
+                    if isinstance(x, ast.ColumnRef)}
+
+        for t in extras:
+            avail.add((t.alias or t.name).lower())
+            cond = None
+            for c in rext:
+                if id(c) in placed or not ext_aliases(c) <= avail:
+                    continue
+                placed.add(id(c))
+                cond = c if cond is None else ast.BinaryOp(
+                    op="and", left=cond, right=c)
+            if cond is None:
+                return None
+            rel = ast.Join(left=rel, right=t, kind="inner", condition=cond)
+        if any(id(c) not in placed for c in rext):
+            return None
+        work.relations = [rel]
+        return work
 
     # ------------------------------------ constraint-based join rewrites
 

@@ -340,7 +340,19 @@ class TestSingleRelationMagicSet:
     def _semi_count(self, eng, sql):
         return plan_of(eng.query(sql), "simple").count("LeftSemi")
 
+    def test_default_path_is_shared_window(self, big_engine, ddb):
+        # r14: the shared-tree window decorrelation now claims this shape
+        # (inner lineitem ⊂ outer tree, MIN aggregate) ahead of the
+        # magic-set join path — derived window, no second lineitem tree
+        plan = plan_of(big_engine.query(self.Q2ISH), "simple")
+        assert "__corrwin0" in plan, plan
+        compare_frames(big_engine.query(self.Q2ISH).toPandas(),
+                       ddb.execute(self.Q2ISH).fetchdf())
+
     def test_fires_and_matches_oracle(self, big_engine, ddb, monkeypatch):
+        # the join-path magic set is still the fallback when the window
+        # rewrite is off — pin it behind that switch
+        monkeypatch.setenv("SPARK_GRAFT_NO_SHARED_WINDOW_DECORRELATE", "1")
         on = self._semi_count(big_engine, self.Q2ISH)
         monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
         off = self._semi_count(big_engine, self.Q2ISH)
@@ -351,6 +363,7 @@ class TestSingleRelationMagicSet:
 
     def test_small_inner_bails(self, engine, monkeypatch):
         # session engine keeps the REAL (tiny) footer stats → scale gate
+        monkeypatch.setenv("SPARK_GRAFT_NO_SHARED_WINDOW_DECORRELATE", "1")
         on = self._semi_count(engine, self.Q2ISH)
         monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
         off = self._semi_count(engine, self.Q2ISH)
@@ -358,6 +371,7 @@ class TestSingleRelationMagicSet:
 
     def test_weak_conjunct_bails(self, big_engine, monkeypatch):
         # <> keeps ~everything: not shape-selective, restriction skipped
+        monkeypatch.setenv("SPARK_GRAFT_NO_SHARED_WINDOW_DECORRELATE", "1")
         q = self.Q2ISH.replace("p.p_size = 15", "p.p_size <> 15")
         on = self._semi_count(big_engine, q)
         monkeypatch.setenv("SPARK_GRAFT_NO_SINGLE_REL_MAGIC", "1")
