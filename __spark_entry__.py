@@ -1069,45 +1069,65 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # (162 at r13; scripts/check_oracle.py, recorded per-round) is the
 # safety net for everything past position 50.
 _PRIORITY: list[str] = [
-    # --- driver window (50), r13 rotation ---
-    # never-driver-sampled first: the NEW r13 build-keyset entry and the
-    # r12 decode-error-accounting entry (the one miss in the r12 union);
-    # then the 20 stalest entries (latest driver record r09 — nothing
-    # older remains), then the oldest r10 remainder alphabetically, with
-    # the q4 EXISTS pair swapped in as r13-plan-adjacent coverage (the
-    # r13 rid-vs-keyset work touched that compile path; the default plan
-    # is unchanged and the window proves it).
-    "subquery_exists_build_keyset",
-    "pipeline_multimodal_decode_error_accounting",
-    # latest record r09 (all 20)
-    "join_anti_not_in_subquery", "join_comma_implicit_cross",
-    "join_cross", "join_full_outer",
-    "pipeline_multimodal_decode_stub", "tpch_q12_shipmode_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q16_parts_supplier_relationship",
-    "tpch_q19_discounted_revenue", "tpch_q1_pricing_summary",
-    "tpch_q20_potential_part_promotion", "tpch_q3_shipping_priority",
-    "union_all", "union_distinct",
-    "window_cumulative_default_frame", "window_first_last_value",
-    "window_in_expression", "window_lag_lead",
-    "window_partition_only", "window_percent_cume",
-    # r13-plan-adjacent (r10-dated): the correlated-EXISTS pair
-    "subquery_correlated_exists_q4", "subquery_correlated_not_exists",
-    # fill to 50 with the oldest remainder (latest record r10,
-    # alphabetical; recomputed from CORRECTNESS_r*.json at r13)
-    "agg_percentile", "cte_chained",
-    "events_funnel_share", "events_json_extract",
-    "events_user_daily", "join_inner",
-    "join_left", "join_multiway",
-    "join_right", "join_semi_in_subquery",
-    "join_theta", "limit_offset",
-    "order_by_multi_key", "pipeline_ann_cosine_topk",
-    "pipeline_dedup_clusters", "pipeline_doc_fingerprint",
-    "pipeline_multimodal_audio_rms", "pipeline_multimodal_blob_dedup",
-    "pipeline_multimodal_blob_metadata", "pipeline_multimodal_decode_bmp",
-    "pipeline_sample_stratified", "pipeline_sample_top_n_per_key",
-    "pipeline_skew_salted_count", "pipeline_skew_salted_join",
-    "pipeline_split_train_eval", "pipeline_text_bm25",
+    # --- driver window (50), r14 rotation ---
+    # plans r14 TOUCHED first (constraint flag rewrites: q3/q5/q8/q12/
+    # q14/q21/q11; shared-window decorrelation: q2; total-over-groups
+    # pin: q11/agg_share_of_total; repetition joinback variant), then
+    # the 15 remaining r10-stale entries, then the oldest r11 remainder
+    # alphabetically (recomputed from CORRECTNESS_r*.json at r14) —
+    # after this window no entry's latest driver record predates r11.
+    "tpch_q2_minimum_cost_supplier",
+    "tpch_q11_important_stock",
+    "tpch_q14_promo_effect",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q8_market_share",
+    "tpch_q12_shipmode_priority",
+    "tpch_q21_suppliers_kept_waiting",
+    "agg_share_of_total",
+    "pipeline_text_repetition_signals",
+    # latest record r10 (remaining 15)
+    "pipeline_text_chunk_documents",
+    "pipeline_text_language_id",
+    "pipeline_text_redact_pii",
+    "pipeline_text_term_frequencies",
+    "select_alias_expr",
+    "select_distinct",
+    "select_project",
+    "select_star",
+    "subquery_correlated_scalar_q17",
+    "subquery_scalar",
+    "top_k",
+    "tpch_q6_forecast_revenue",
+    "window_range_frame",
+    "window_range_interval",
+    "window_rows_frame",
+    # fill to 50 with the oldest remainder (latest record r11, alphabetical)
+    "agg_approx_count_distinct",
+    "agg_corr_regr",
+    "agg_group_by_ordinal",
+    "date_extract",
+    "date_functions",
+    "distinct_on_latest_event",
+    "embeddings_unnest_dims",
+    "events_tumbling_window",
+    "group_cube_grouping",
+    "group_grouping_sets",
+    "group_rollup",
+    "join_asof_sql",
+    "pipeline_ann_ivf",
+    "pipeline_ann_ivf_nprobe",
+    "pipeline_ann_lsh_bucketed",
+    "pipeline_containment",
+    "pipeline_curate_documents",
+    "pipeline_decontaminate",
+    "pipeline_dedup_exact",
+    "pipeline_dedup_lines",
+    "pipeline_dedup_minhash_lsh",
+    "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_simhash",
+    "pipeline_embedding_near_dup",
+    "pipeline_pack_sequences",
 ]
 
 
@@ -1692,6 +1712,35 @@ def _add_pipeline_operators(out: dict) -> None:
     out["pipeline_dedup_ngram_jaccard"] = ngram_jaccard
     _PIPELINE_ORACLES["pipeline_dedup_ngram_jaccard"] = (
         "WITH " + _SHINGLE_PAIRS_CTE
+        + " SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs "
+          "WHERE round(jaccard, 4) >= 0.5"
+    )
+
+    # incremental / cross-corpus dedup (r14): a NEW shard (doc_id % 7 = 0)
+    # deduped AGAINST the frozen remainder via the banded index —
+    # production pipelines dedup each incoming shard against the existing
+    # corpus, not the corpus against itself. Candidates come from ONE
+    # (band, bh) equi join (index side shuffle-free when snapshot-bucketed
+    # on the band key — tests/test_against_index.py pins that plan), then
+    # exact shingle-Jaccard verification on candidates only. Oracle: the
+    # exhaustive cross-subset Jaccard in SQL.
+    def dedup_against_index(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        _engine_for(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        new = docs.filter(F.col("doc_id") % 7 == 0)
+        frozen = docs.filter(F.col("doc_id") % 7 != 0)
+        index = dedup.build_minhash_index(frozen)
+        cands = dedup.against_index(new, index).select("id_a", "id_b")
+        return dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
+
+    out["pipeline_dedup_against_index"] = dedup_against_index
+    _PIPELINE_ORACLES["pipeline_dedup_against_index"] = (
+        "WITH " + _SHINGLE_PAIRS_TEMPLATE.format(src="documents").replace(
+            "ON a.sg = b.sg AND a.doc_id < b.doc_id",
+            "ON a.sg = b.sg AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 "
+            "AND a.doc_id <> b.doc_id")
         + " SELECT id_a, id_b, round(jaccard, 4) AS jaccard FROM pairs "
           "WHERE round(jaccard, 4) >= 0.5"
     )

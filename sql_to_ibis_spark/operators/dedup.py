@@ -455,6 +455,85 @@ def simhash_buckets(
 
 # ------------------------------------------------------- Jaccard verification
 
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Frozen-corpus MinHash-LSH index (r14): the banded bucket table
+    ``(id, band, bh)`` for a corpus that new shards will be deduped
+    AGAINST — production pipelines dedup each incoming shard against the
+    existing corpus, not the corpus against itself.
+
+    Deployment shape: materialize this once per corpus version with
+    ``SqlEngine.snapshot_bucketed(<index table>, ["band", "bh"])`` — the
+    probe join in :func:`against_index` is keyed on exactly (band, bh),
+    so a bucketed index scan reports its partitioning and the join plans
+    with ZERO index-side shuffle at any corpus size; only the (small)
+    incoming shard exchanges. Parameters must match the probe call
+    (``num_hashes``/``bands``/``shingle_size`` are part of the index's
+    identity — store them with the table name)."""
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        _minhash_sig_udf(num_hashes, shingle_size)(
+            _token_hashes(F.col(text_col))).alias("sig"),
+    )
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.xxhash64(
+            F.lit(b), *[F.col("sig")[b * rows_per_band + r]
+                        for r in range(rows_per_band)]
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sig.filter(F.col("sig").isNotNull()).select("id", *band_cols)
+    return banded.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.col(f"band_{b}").alias("bh"))
+            for b in range(bands)
+        ])).alias("e"),
+    ).select("id", "e.band", "e.bh")
+
+
+def against_index(
+    new_df: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """Incremental near-dup candidates: band the NEW shard exactly like
+    :func:`build_minhash_index` did the frozen corpus, join on
+    (band, bh), and return ``(id_a, id_b, n_matching_bands)`` where
+    ``id_a`` is the new-shard id and ``id_b`` the matched index id.
+
+    Scale shape: ONE equi join on the bucket key. The index side never
+    shuffles when it was snapshot-bucketed on ("band", "bh"); the shard
+    side exchanges only its own banded rows (bands × shard rows). No
+    all-pairs anywhere — cost is per-bucket, exactly like the
+    self-dedup path. Verify candidates exactly with
+    :func:`ngram_jaccard_verify` over the union of both corpora."""
+    probe = build_minhash_index(new_df, text_col=text_col, id_col=id_col,
+                                num_hashes=num_hashes, bands=bands,
+                                shingle_size=shingle_size)
+    return (
+        probe.alias("l")
+        .join(index.alias("r"),
+              (F.col("l.band") == F.col("r.band"))
+              & (F.col("l.bh") == F.col("r.bh"))
+              & (F.col("l.id") != F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_matching_bands"))
+    )
+
+
 def ngram_jaccard_verify(
     df: DataFrame,
     candidates: DataFrame,

@@ -2052,8 +2052,9 @@ class Compiler:
         - if nothing else references D, the join is dead — drop it
           entirely (one fewer build + probe per fact row);
         - if every other reference to D sits inside alias-pure boolean
-          predicates in null-insensitive positions (WHERE/HAVING
-          conjuncts, CASE WHEN conditions, aggregate FILTER), each
+          predicates in FLAG positions (CASE WHEN conditions, aggregate
+          FILTER — NULL-as-FALSE slots where the engine previously had
+          no alternative to joining the whole dim), each
           distinct predicate P becomes a LEFT join against the keyset
           ``SELECT pk FROM D WHERE P`` and the predicate subtree becomes
           ``key IS NOT NULL``. The build side shrinks from all of D to
@@ -2068,9 +2069,10 @@ class Compiler:
         Conservative bails: FROM must be one flat inner-join chain of
         catalog TableRefs; ``SELECT *`` / D-qualified stars, bare column
         names that could belong to D, D references inside subquery
-        bodies, >2 distinct flag predicates, or any non-equality join
-        conjunct touching D (beyond alias-pure booleans, which fold into
-        WHERE first) all keep the stock plan.
+        bodies, >2 distinct flag predicates, any non-equality join
+        conjunct touching D, or a small dim (flag builds only pay from
+        SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS, default 1M rows) all keep
+        the stock plan.
         ``SPARK_GRAFT_NO_CONSTRAINT_REWRITE=1`` disables.
 
         The rewrite is deterministic per node shape (flag names number
@@ -2143,6 +2145,36 @@ class Compiler:
 
         avail = {(chain[0].alias or chain[0].name).lower()}
         rel: ast.Relation = chain[0]
+        pending = list(flag_joins)
+
+        def attach_ready(rel: ast.Relation) -> ast.Relation:
+            # flag joins attach at the EARLIEST point their probe columns
+            # exist: a selective flag keyset (q8's p_type part filter,
+            # 1/150 of keys) must prune the fact BEFORE the other joins
+            # fan it out — attached at the chain's end it measured q8
+            # 2.25 → 5.5 s at sf10; attached first, the LEFT probe +
+            # IS-NOT-NULL filter behaves exactly like the semi reduction
+            # it replaces
+            for fj in list(pending):
+                flagsel, falias, probe_refs, keynames = fj
+                if not all((pr.table or "").lower() in avail
+                           for pr in probe_refs):
+                    continue
+                cond = None
+                for pr, kn in zip(probe_refs, keynames):
+                    piece = ast.BinaryOp(
+                        op="=", left=_copy.deepcopy(pr),
+                        right=ast.ColumnRef(name=kn, table=falias))
+                    cond = piece if cond is None else ast.BinaryOp(
+                        op="and", left=cond, right=piece)
+                rel = ast.Join(left=rel,
+                               right=ast.SubqueryRef(query=flagsel,
+                                                     alias=falias),
+                               kind="left", condition=cond)
+                pending.remove(fj)
+            return rel
+
+        rel = attach_ready(rel)
         for t in chain[1:]:
             avail.add((t.alias or t.name).lower())
             cond = None
@@ -2156,21 +2188,10 @@ class Compiler:
                 return None         # would go cartesian — keep stock
             rel = ast.Join(left=rel, right=t, kind="inner",
                            condition=cond)
-        if any(id(c) not in placed for c in conjs):
+            rel = attach_ready(rel)
+        if any(id(c) not in placed for c in conjs) or pending:
             return None
             # (unreachable when candidates were leaves, but stay safe)
-        for flagsel, alias, probe_refs, keynames in flag_joins:
-            cond = None
-            for pr, kn in zip(probe_refs, keynames):
-                piece = ast.BinaryOp(
-                    op="=", left=_copy.deepcopy(pr),
-                    right=ast.ColumnRef(name=kn, table=alias))
-                cond = piece if cond is None else ast.BinaryOp(
-                    op="and", left=cond, right=piece)
-            rel = ast.Join(left=rel,
-                           right=ast.SubqueryRef(query=flagsel,
-                                                 alias=alias),
-                           kind="left", condition=cond)
         work.relations = [rel]
         return work
 
@@ -2306,11 +2327,7 @@ class Compiler:
             return False
         pairs: dict[str, ast.ColumnRef] = {}
         probe_alias: str | None = None
-        pure_on: list[ast.Expr] = []
         for c in mine:
-            if is_bool(c) and is_pure(c):
-                pure_on.append(c)
-                continue
             if not (isinstance(c, ast.BinaryOp) and c.op == "="
                     and isinstance(c.left, ast.ColumnRef) and c.left.table
                     and isinstance(c.right, ast.ColumnRef)
@@ -2362,40 +2379,45 @@ class Compiler:
             if bare_hits(e):
                 return False
         total_refs = [r for e, _ in regions for r in cand_refs(e)]
-        total_refs += [r for c in pure_on for r in cand_refs(c)]
 
-        # dry scan: find maximal alias-pure boolean subtrees in
-        # null-insensitive positions
+        # dry scan: find maximal alias-pure boolean subtrees in FLAG
+        # positions only — CASE WHEN conditions and aggregate FILTER
+        # clauses, where the engine previously had no alternative to
+        # joining the whole dim. WHERE/HAVING-conjunct predicates stay
+        # with the stock join: the stats-broadcast + semi-join-reduction
+        # machinery already plans those well, and flag-rewriting them
+        # measured large losses (sf10 q8 2.1 -> 2.7-5.5 s, q3 1.2 -> 2.0
+        # in the same sessions that kept q14's CASE-flag -54% win).
         repl: list[ast.Expr] = []
 
-        def scan(e, ni) -> None:
+        def scan(e, pos) -> None:
             if e is None or not cand_refs(e):
                 return
-            if ni and is_bool(e) and is_pure(e):
+            if pos == "flag" and is_bool(e) and is_pure(e):
                 repl.append(e)
                 return
             if isinstance(e, ast.BinaryOp) and e.op in ("and", "or"):
-                scan(e.left, ni)
-                scan(e.right, ni)
+                scan(e.left, pos)
+                scan(e.right, pos)
                 return
             if isinstance(e, ast.Case):
+                # CASE WHEN evaluates its condition NULL-as-FALSE in any
+                # position, so whens are flag slots; values are not
                 for c, v in e.whens:
-                    scan(c, True)
-                    scan(v, False)
-                scan(e.else_, False)
+                    scan(c, "flag")
+                    scan(v, None)
+                scan(e.else_, None)
                 return
             if isinstance(e, ast.FuncCall):
                 for a in e.args:
-                    scan(a, False)
-                scan(e.filter_where, True)
+                    scan(a, None)
+                scan(e.filter_where, "flag")
                 return
             for c in _children(e):
-                scan(c, False)
+                scan(c, None)
 
-        for e, ni in regions:
-            scan(e, ni)
-        for c in pure_on:
-            scan(c, True)
+        for e, _ni in regions:
+            scan(e, "filter" if _ni else None)
         covered = {id(r) for s in repl for r in cand_refs(s)}
         if any(id(r) not in covered for r in total_refs):
             return False
@@ -2404,6 +2426,25 @@ class Compiler:
             distinct.setdefault(repr(s), s)
         if len(distinct) > self._CONSTRAINT_FLAG_MAX:
             return False
+        if distinct:
+            # flag rewrites only pay when the dim's hash build is the
+            # cost (per-ROW broadcast build: 2M-row part ≈ 1.0 s at
+            # sf10). Flagging a TINY dim buys nothing and actively
+            # hurts: the predicate moves out of the dim's scan filter,
+            # so the transitive-filtered-dim-chain recognition behind
+            # the fact semi-join reduction stops firing (measured sf10:
+            # q5 2.25 → 7.27 s, q8 1.79 → 4.40 s with nation/region
+            # flagged; part/orders-sized dims win: q14 −48%, q3 −17%,
+            # q12 −13%). Pure elimination (no predicates) stays
+            # ungated — it removes a semantically-dead join.
+            try:
+                min_rows = int(os.environ.get(
+                    "SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS", "1000000"))
+            except ValueError:
+                min_rows = 1_000_000
+            st = entry.stats
+            if st is None or st.rows < min_rows:
+                return False
 
         # ---- commit: build flag selects, replace subtrees, drop the join
         flags: dict[str, tuple[str, list[str]]] = {}
@@ -2477,10 +2518,6 @@ class Compiler:
             w.partition_by = [apply(p, False) for p in w.partition_by]
             for o in w.order_by:
                 o.expr = apply(o.expr, False)
-        for c in pure_on:
-            rewritten = apply(c, True)
-            work.where = rewritten if work.where is None else \
-                ast.BinaryOp(op="and", left=work.where, right=rewritten)
         chain.remove(cand)
         conjs[:] = [c for c in conjs if c not in mine]
         return True

@@ -53,7 +53,13 @@ WHERE_PRED = """
 @pytest.fixture(scope="module")
 def ceng(spark) -> SqlEngine:
     """A constrained engine over the same testdata (separate instance so
-    the shared session fixture's plans stay stock)."""
+    the shared session fixture's plans stay stock). The flag-size gate
+    opens via env — at sf0.001 every dim is tiny, and these tests pin
+    the rewrite mechanics, not the profitability gate (which
+    test_flag_size_gate covers)."""
+    import os
+
+    os.environ["SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS"] = "0"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     for t, c in (("part", "p_partkey"), ("supplier", "s_suppkey"),
@@ -68,7 +74,8 @@ def ceng(spark) -> SqlEngine:
                     ("nation", "n_regionkey", "region"),
                     ("orders", "o_custkey", "customer")):
         eng.add_foreign_key(t, c, r)
-    return eng
+    yield eng
+    os.environ.pop("SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS", None)
 
 
 def _plan(eng, sql: str) -> str:
@@ -105,14 +112,15 @@ def test_dead_dim_join_is_eliminated(ceng, monkeypatch):
     assert "part.parquet" not in _plan(ceng, DEAD_JOIN)
 
 
-def test_where_predicate_chain_rewrites(ceng, monkeypatch):
-    # nation's only reference is a WHERE conjunct → filtered keyset;
-    # supplier stays (its s_nationkey feeds the flag join)
+def test_where_predicate_keeps_join(ceng, monkeypatch):
+    # WHERE-conjunct dim predicates deliberately do NOT flag-rewrite:
+    # the stats-broadcast + semi-join-reduction machinery owns selective
+    # dim filters (flag-rewriting them measured q8 +28%..164%, q5 +224%
+    # at sf10); values unchanged either way
     stock = _stock(ceng, WHERE_PRED, monkeypatch)
     rewritten = ceng.query(WHERE_PRED).toPandas()
     compare_frames(stock, rewritten, ordered=True)
-    plan = _plan(ceng, WHERE_PRED)
-    assert "__cf0_k0" in plan
+    assert "__cf0_k0" not in _plan(ceng, WHERE_PRED)
 
 
 def test_projection_position_boolean_keeps_join(ceng):
@@ -137,12 +145,13 @@ def test_dim_column_in_group_by_keeps_join(ceng):
 
 
 def test_not_wrapped_predicate_rewrites_whole_subtree(ceng, monkeypatch):
-    # NOT(P) is itself alias-pure boolean → replaced as a whole, so the
-    # NULL→FALSE mapping happens above the NOT, not under it
+    # NOT(P) is itself alias-pure boolean → replaced as a whole (in a
+    # flag position), so the NULL→FALSE mapping happens above the NOT
     sql = """
-        SELECT count(*) AS n
+        SELECT CAST(sum(CASE WHEN NOT (p.p_type = 'PROMO')
+                        THEN l.l_extendedprice ELSE 0.0 END) AS double)
+               AS nonpromo
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-        WHERE NOT (p.p_type = 'PROMO')
     """
     stock = _stock(ceng, sql, monkeypatch)
     rewritten = ceng.query(sql).toPandas()
@@ -220,3 +229,33 @@ def test_total_over_groups_fingerprint_survives_rewrite(ceng, monkeypatch):
     # a broadcast cross join of the re-aggregated grouped frame, not an
     # independently compiled second join tree
     assert plan.count("lineitem.parquet") <= 1 or "Cross" in plan
+
+
+def test_flag_size_gate(spark, monkeypatch):
+    # default gate: flag rewrites need a BIG dim (the hash build is the
+    # cost); tiny dims keep their scan-filter form so the transitive
+    # filtered-dim-chain fact reduction keeps firing (measured sf10:
+    # flagging nation/region cost q5 +224%, q8 +147%)
+    monkeypatch.delenv("SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS",
+                       raising=False)
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    eng.add_primary_key("part", "p_partkey")
+    eng.add_foreign_key("lineitem", "l_partkey", "part")
+    sql = """
+        SELECT CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice ELSE 0.0 END) AS double)
+               AS promo
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    """
+    # tiny part (sf0.001): no flag
+    assert "__cf0_k0" not in _plan(eng, sql)
+    # big part (faked stats): flag fires
+    from sql_to_ibis_spark.sources.table_stats import TableStats
+    entry = eng.catalog.get("part")
+    saved = entry.stats
+    try:
+        entry.stats = TableStats(rows=5_000_000)
+        assert "__cf0_k0" in _plan(eng, sql)
+    finally:
+        entry.stats = saved

@@ -66,9 +66,24 @@ def forced(spark):
     # r13: build-side keyset reduction (multiplicity gate never opens at
     # test scale; forcing proves the rewrite is semantics-free)
     os.environ["SPARK_GRAFT_SEMI_BUILD_KEYSET"] = "1"
+    # r14: constraint join rewrites — declare the real keys and open the
+    # flag-size gate so every eligible dim gets eliminated/flagged
+    os.environ["SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS"] = "0"
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
     eng.analyze()
+    for t, c in (("part", "p_partkey"), ("supplier", "s_suppkey"),
+                 ("nation", "n_nationkey"), ("region", "r_regionkey"),
+                 ("customer", "c_custkey"), ("orders", "o_orderkey")):
+        eng.add_primary_key(t, c)
+    for t, c, r in (("lineitem", "l_partkey", "part"),
+                    ("lineitem", "l_suppkey", "supplier"),
+                    ("lineitem", "l_orderkey", "orders"),
+                    ("supplier", "s_nationkey", "nation"),
+                    ("customer", "c_nationkey", "nation"),
+                    ("nation", "n_regionkey", "region"),
+                    ("orders", "o_custkey", "customer")):
+        eng.add_foreign_key(t, c, r)
     force_gate_stats(eng)
     key = entrymod._engine_key(spark, SF_DIR)
     old = entrymod._ENGINES.get(key)
@@ -89,6 +104,7 @@ def forced(spark):
     os.environ.pop("SPARK_GRAFT_IN_KEYSET_REDUCTION", None)
     os.environ.pop("SPARK_GRAFT_LEFT_FACT_AGG", None)
     os.environ.pop("SPARK_GRAFT_SEMI_BUILD_KEYSET", None)
+    os.environ.pop("SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS", None)
 
 
 def test_gate_families_selected():
