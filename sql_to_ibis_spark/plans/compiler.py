@@ -2445,6 +2445,52 @@ class Compiler:
             st = entry.stats
             if st is None or st.rows < min_rows:
                 return False
+            # UPPER gate (r14, measured at sf100): the flag keyset is
+            # broadcast, and broadcast builds cost per-ROW — q14's
+            # 333k-key flag wins −46% at sf10, but at sf100 the same
+            # predicate selects 3.3M keys and measured +14% vs the
+            # stock shuffle join. Estimate each predicate's keyset via
+            # NDV selectivity (equality → 1/ndv, IN → k/ndv, AND →
+            # product, OR → sum, NOT → complement; unknown shapes → 1.0)
+            # and require ≤ _CONSTRAINT_FLAG_MAX_KEYS.
+            ndv = st.ndv or {}
+
+            def sel(e) -> float:
+                if isinstance(e, ast.BinaryOp):
+                    if e.op == "and":
+                        return sel(e.left) * sel(e.right)
+                    if e.op == "or":
+                        return min(1.0, sel(e.left) + sel(e.right))
+                    if e.op == "=":
+                        for side in (e.left, e.right):
+                            if isinstance(side, ast.ColumnRef):
+                                n = ndv.get(side.name.lower())
+                                if n:
+                                    return 1.0 / float(n)
+                        return 1.0
+                    if e.op in ("<", ">", "<=", ">="):
+                        return 0.5           # range: assume half
+                    return 1.0
+                if isinstance(e, ast.UnaryOp) and e.op == "not":
+                    return max(0.0, 1.0 - sel(e.operand))
+                if isinstance(e, ast.InList):
+                    op = e.operand
+                    if isinstance(op, ast.ColumnRef):
+                        n = ndv.get(op.name.lower())
+                        if n:
+                            s = min(1.0, len(e.items) / float(n))
+                            return 1.0 - s if e.negated else s
+                    return 1.0
+                return 1.0
+
+            try:
+                max_keys = float(os.environ.get(
+                    "SPARK_GRAFT_CONSTRAINT_FLAG_MAX_KEYS", "1000000"))
+            except ValueError:
+                max_keys = 1e6
+            for s_ in distinct.values():
+                if st.rows * sel(s_) > max_keys:
+                    return False
 
         # ---- commit: build flag selects, replace subtrees, drop the join
         flags: dict[str, tuple[str, list[str]]] = {}

@@ -250,12 +250,18 @@ def test_flag_size_gate(spark, monkeypatch):
     """
     # tiny part (sf0.001): no flag
     assert "__cf0_k0" not in _plan(eng, sql)
-    # big part (faked stats): flag fires
+    # big part with a selective predicate (faked stats): flag fires
     from sql_to_ibis_spark.sources.table_stats import TableStats
     entry = eng.catalog.get("part")
     saved = entry.stats
     try:
-        entry.stats = TableStats(rows=5_000_000)
+        entry.stats = TableStats(rows=5_000_000,
+                                 ndv={"p_type": 10.0})   # 500k keys
         assert "__cf0_k0" in _plan(eng, sql)
+        # upper gate: an unselective predicate (no NDV → selectivity 1)
+        # would materialize a 5M-key broadcast — must NOT flag (measured
+        # sf100: the 3.3M-key flag ran +14% vs the stock shuffle join)
+        entry.stats = TableStats(rows=5_000_000)
+        assert "__cf0_k0" not in _plan(eng, sql)
     finally:
         entry.stats = saved
