@@ -62,6 +62,11 @@ def main() -> int:
         os.environ["SPARK_GRAFT_NEQ_EXISTS_AGG"] = "1"
         # r13: build-side keyset reduction for correlated semi/anti
         os.environ["SPARK_GRAFT_SEMI_BUILD_KEYSET"] = "1"
+        # r14: constraint flag rewrites (open both size gates) and the
+        # total-over-groups pin
+        os.environ["SPARK_GRAFT_CONSTRAINT_FLAG_MIN_ROWS"] = "0"
+        os.environ["SPARK_GRAFT_CONSTRAINT_FLAG_MAX_KEYS"] = "1e18"
+        os.environ["SPARK_GRAFT_TOTAL_PIN"] = "1"
         # r12: stats inflation would auto-open the window self-rewrite,
         # which CONSUMES the q21 shape before the agg path sees it —
         # pin it closed here so this sweep exercises the forced AGG
@@ -72,6 +77,20 @@ def main() -> int:
         eng = SqlEngine(spark)
         eng.register_dir(sf_dir)
         eng.analyze()
+        # r14: declare the testdata's real keys so the constraint join
+        # rewrites participate in the forced differential
+        for t, c in (("part", "p_partkey"), ("supplier", "s_suppkey"),
+                     ("nation", "n_nationkey"), ("region", "r_regionkey"),
+                     ("customer", "c_custkey"), ("orders", "o_orderkey")):
+            eng.add_primary_key(t, c)
+        for t, c, r in (("lineitem", "l_partkey", "part"),
+                        ("lineitem", "l_suppkey", "supplier"),
+                        ("lineitem", "l_orderkey", "orders"),
+                        ("supplier", "s_nationkey", "nation"),
+                        ("customer", "c_nationkey", "nation"),
+                        ("nation", "n_regionkey", "region"),
+                        ("orders", "o_custkey", "customer")):
+            eng.add_foreign_key(t, c, r)
         for name in eng.catalog.names():
             st = eng.catalog.get(name).stats
             if st is None:
