@@ -2452,36 +2452,32 @@ class Compiler:
             # stock shuffle join. Estimate each predicate's keyset via
             # NDV selectivity (equality → 1/ndv, IN → k/ndv, AND →
             # product, OR → sum, NOT → complement; unknown shapes → 1.0)
-            # and require ≤ _CONSTRAINT_FLAG_MAX_KEYS.
-            ndv = st.ndv or {}
+            # and require ≤ _CONSTRAINT_FLAG_MAX_KEYS. Leaf predicates
+            # price through the SAME footer-stats machinery as the
+            # broadcast planner (estimator._conjunct_sel: equality →
+            # 1/NDV, ranges interpolate against exact footer min/max,
+            # IN/BETWEEN/LIKE consistently); only the boolean
+            # composition (AND/OR/NOT) is recursed here.
+            from sql_to_ibis_spark.plans.estimator import (
+                CardinalityEstimator, _Rel)
+            est_ = CardinalityEstimator(self.catalog,
+                                        set(self._cte_frames))
+            rel_ = _Rel(alias=alias, columns=sorted(schema),
+                        rows=st.rows, col_min=st.col_min or {},
+                        col_max=st.col_max or {}, ndv=st.ndv or {},
+                        col_bytes=st.col_bytes or {})
 
             def sel(e) -> float:
-                if isinstance(e, ast.BinaryOp):
-                    if e.op == "and":
-                        return sel(e.left) * sel(e.right)
-                    if e.op == "or":
-                        return min(1.0, sel(e.left) + sel(e.right))
-                    if e.op == "=":
-                        for side in (e.left, e.right):
-                            if isinstance(side, ast.ColumnRef):
-                                n = ndv.get(side.name.lower())
-                                if n:
-                                    return 1.0 / float(n)
-                        return 1.0
-                    if e.op in ("<", ">", "<=", ">="):
-                        return 0.5           # range: assume half
-                    return 1.0
+                if isinstance(e, ast.BinaryOp) and e.op == "and":
+                    return sel(e.left) * sel(e.right)
+                if isinstance(e, ast.BinaryOp) and e.op == "or":
+                    return min(1.0, sel(e.left) + sel(e.right))
                 if isinstance(e, ast.UnaryOp) and e.op == "not":
                     return max(0.0, 1.0 - sel(e.operand))
-                if isinstance(e, ast.InList):
-                    op = e.operand
-                    if isinstance(op, ast.ColumnRef):
-                        n = ndv.get(op.name.lower())
-                        if n:
-                            s = min(1.0, len(e.items) / float(n))
-                            return 1.0 - s if e.negated else s
+                try:
+                    return float(est_._conjunct_sel(e, rel_))
+                except Exception:
                     return 1.0
-                return 1.0
 
             try:
                 max_keys = float(os.environ.get(
