@@ -122,7 +122,11 @@ def _engine_for(spark: SparkSession, sf_dir: str):
                     extra_keys=[("documents", "doc_id"),
                                 ("documents", "doc_id")],
                 )
-                eng.apply_layout(advice)
+                # this flag means BUCKETED facts: drop the advisor's
+                # cluster (zorder) recommendations — those are the
+                # cold-scan layout, measured wall-neutral warm (r10)
+                eng.apply_layout([a for a in advice
+                                  if a["kind"] == "bucket"])
             except Exception:
                 pass
         _ENGINES[key] = eng

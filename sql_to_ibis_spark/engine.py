@@ -204,6 +204,11 @@ class SqlEngine:
                 stats = parquet_stats(loc[len("file:"):])
         except Exception:
             stats = None
+        if stats is not None and entry.stats is not None:
+            # the snapshot holds the SAME row set — analyzed NDV (which
+            # footers can't provide) carries over, so layout advice and
+            # the NDV-priced gates keep working after apply_layout
+            stats.ndv = dict(entry.stats.ndv)
         self.catalog.register(table_name, df, stats=stats or entry.stats)
 
     def snapshot_zordered(
@@ -247,8 +252,11 @@ class SqlEngine:
                                   target_files=target_files,
                                   bits_per_col=bits_per_col)
         df = read_parquet(self.spark, path)
-        self.catalog.register(table_name, df,
-                              stats=parquet_stats(path) or entry.stats)
+        stats = parquet_stats(path)
+        if stats is not None and entry.stats is not None:
+            # same row set: analyzed NDV survives the layout swap
+            stats.ndv = dict(entry.stats.ndv)
+        self.catalog.register(table_name, df, stats=stats or entry.stats)
 
     def analyze(self, table_name: str | None = None) -> None:
         """Collect per-column NDV statistics (the warehouse ``ANALYZE``
@@ -340,14 +348,31 @@ class SqlEngine:
         dedup family groups on documents.doc_id), each counted as one
         usage.
 
+        Besides bucket advice (``kind: "bucket"``), the advisor counts
+        literal-bounded RANGE predicates (``< <= > >= BETWEEN``) per
+        (table, column) and emits ``kind: "cluster"`` advice for the
+        most-range-filtered orderable column of each fact table —
+        the scan-side layout (:meth:`snapshot_zordered`): clustered
+        files carry tight footer min/max, so selective scans admit
+        ~the predicate's fraction of files/row groups instead of all
+        of them (measured at sf10: one-month probe footer admission
+        1.00 → 0.02, BASELINE.md §r10 — the dominant cost at cold
+        100 TB even though warm local decode hides it). Cluster advice
+        carries ``best_admission``: the smallest footer-estimated
+        admitted fraction among the workload's predicates on that
+        column — the upper bound on what clustering can skip.
+
         Returns a list of advice dicts, strongest first:
-        ``{table, bucket_cols, sort_cols, num_buckets, rows, uses,
-        queries}`` where ``uses`` maps column → usage count and
-        ``queries`` names the workload entries that hit the chosen key.
-        Feed it to :meth:`apply_layout` to materialize; unparseable
-        workload entries are skipped (they contribute no counts).
+        ``{kind, table, bucket_cols|cluster_cols, sort_cols,
+        num_buckets|target_files, rows, bytes, uses, queries}`` where
+        ``uses`` maps column → usage count and ``queries`` names the
+        workload entries that hit the chosen key. Feed it to
+        :meth:`apply_layout` to materialize; unparseable workload
+        entries are skipped (they contribute no counts).
         """
         from sql_to_ibis_spark.plans import ast as _ast
+        from sql_to_ibis_spark.plans.estimator import (_as_number,
+                                                       _literal_value)
         from sql_to_ibis_spark.plans.parser import parse as _parse
 
         if isinstance(workload, dict):
@@ -356,12 +381,27 @@ class SqlEngine:
             items = [(f"q{i}", q) for i, q in enumerate(workload)]
         # (table, col) -> {"count": n, "queries": set}
         usage: dict[tuple, dict] = {}
+        # (table, col) -> {"count", "queries", "admission": best (lowest)
+        # footer-estimated admitted fraction among the predicates seen}
+        range_usage: dict[tuple, dict] = {}
 
         def bump(table: str, col: str, qname: str) -> None:
             rec = usage.setdefault((table.lower(), col.lower()),
                                    {"count": 0, "queries": set()})
             rec["count"] += 1
             rec["queries"].add(qname)
+
+        def bump_range(table: str, col: str, qname: str,
+                       admission: float | None) -> None:
+            rec = range_usage.setdefault(
+                (table.lower(), col.lower()),
+                {"count": 0, "queries": set(), "admission": None})
+            rec["count"] += 1
+            rec["queries"].add(qname)
+            if admission is not None:
+                cur = rec["admission"]
+                rec["admission"] = (admission if cur is None
+                                    else min(cur, admission))
 
         def walk_node(q, qname: str) -> None:
             if isinstance(q, _ast.SetOpNode):
@@ -414,10 +454,76 @@ class SqlEngine:
                         if a and b and a[0] != b[0]:
                             bump(*a, qname)
                             bump(*b, qname)
+
+            def frac_below(table: str, col: str, lit) -> float | None:
+                # position of ``lit`` inside the column's footer
+                # min/max domain — the same zonemap math the estimator
+                # prices ranges with, over the catalog's stats
+                if table not in self.catalog:
+                    return None
+                st = self.catalog.get(table).stats
+                if st is None:
+                    return None
+                lo = _as_number(st.col_min.get(col))
+                hi = _as_number(st.col_max.get(col))
+                v = _as_number(lit)
+                if lo is None or hi is None or v is None or hi <= lo:
+                    return None
+                return min(max((v - lo) / (hi - lo), 0.0), 1.0)
+
+            _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<="}
+            # (table, col) -> [count, glb_frac, lub_frac] for THIS query:
+            # AND-conjuncts on the same column form one interval (a
+            # one-month window is `>= lo AND < hi` — its admission is
+            # below(hi) − below(lo), not either bound's alone)
+            local: dict[tuple, list] = {}
+
+            def note(a: tuple, op: str, lit, w: int = 1) -> None:
+                rec = local.setdefault(a, [0, 0.0, 1.0])
+                rec[0] += w
+                b = frac_below(a[0], a[1], lit)
+                if b is None:
+                    return
+                if op in ("<", "<="):
+                    rec[2] = min(rec[2], b)
+                else:
+                    rec[1] = max(rec[1], b)
+
+            def rngs(e) -> None:
+                # AND-conjunct walk for literal-bounded range predicates:
+                # each is one scan a clustered layout can footer-prune
+                if isinstance(e, _ast.BinaryOp):
+                    if e.op == "and":
+                        rngs(e.left)
+                        rngs(e.right)
+                        return
+                    if e.op in _FLIP:
+                        a, lit, op = attribute(e.left), \
+                            _literal_value(e.right), e.op
+                        if a is None:
+                            a, lit = attribute(e.right), \
+                                _literal_value(e.left)
+                            op = _FLIP[op]
+                        if a and lit is not None:
+                            note(a, op, lit)
+                elif isinstance(e, _ast.Between) and not e.negated:
+                    a = attribute(e.operand)
+                    lo, hi = _literal_value(e.low), _literal_value(e.high)
+                    if a and lo is not None and hi is not None:
+                        # one predicate, two bounds: a single vote
+                        note(a, ">=", lo)
+                        note(a, "<=", hi, w=0)
             for c in conds:
                 eqs(c)
+                rngs(c)
             if q.where is not None:
                 eqs(q.where)
+                rngs(q.where)
+            for a, (n, glb, lub) in local.items():
+                adm = max(lub - glb, 0.0) if (glb, lub) != (0.0, 1.0) \
+                    else None
+                for _ in range(n):
+                    bump_range(*a, qname, adm)
                 # subqueries inside WHERE (IN/EXISTS/scalar)
                 for x in _walk_where_subqueries(q.where):
                     walk_node(x, qname)
@@ -487,6 +593,7 @@ class SqlEngine:
             if cols[best]["count"] < min_uses:
                 continue
             out.append({
+                "kind": "bucket",
                 "table": tname,
                 "bucket_cols": [best],
                 "sort_cols": [best],
@@ -496,20 +603,72 @@ class SqlEngine:
                 "uses": {c: rec["count"] for c, rec in sorted(cols.items())},
                 "queries": sorted(cols[best]["queries"]),
             })
-        out.sort(key=lambda a: (-a["uses"][a["bucket_cols"][0]],
-                                a["table"]))
+        # cluster advice: per fact table, the most-range-filtered
+        # ORDERABLE column (clustering a string column is unsafe —
+        # parquet truncates string bounds, and the zorder path itself
+        # requires orderable quantiles)
+        import pyspark.sql.types as _T
+        orderable = (_T.NumericType, _T.DateType, _T.TimestampType,
+                     _T.TimestampNTZType)
+        for tname, (tbytes, rows) in size_by_table.items():
+            if rows < min_rows or tbytes < fact_fraction * biggest:
+                continue
+            fields = {f.name.lower(): f.dataType
+                      for f in self.catalog.get(tname).df.schema.fields}
+            cols = {c: rec for (t, c), rec in range_usage.items()
+                    if t == tname
+                    and isinstance(fields.get(c), orderable)}
+            if not cols:
+                continue
+            best = max(sorted(cols), key=lambda c: cols[c]["count"])
+            if cols[best]["count"] < min_uses:
+                continue
+            out.append({
+                "kind": "cluster",
+                "table": tname,
+                "cluster_cols": [best],
+                "target_files": 64,
+                "rows": rows,
+                "bytes": tbytes,
+                "uses": {c: rec["count"] for c, rec in sorted(cols.items())},
+                "best_admission": cols[best]["admission"],
+                "queries": sorted(cols[best]["queries"]),
+            })
+
+        def _key_col(a: dict) -> str:
+            return (a.get("bucket_cols") or a["cluster_cols"])[0]
+
+        # bucket before cluster on usage ties: exchange elision is the
+        # measured warm-wall win, clustering pays off on cold scans
+        out.sort(key=lambda a: (-a["uses"][_key_col(a)],
+                                a["kind"] != "bucket", a["table"]))
         return out
 
     def apply_layout(self, advice, refresh: bool = False) -> None:
-        """Materialize :meth:`advise_layout` recommendations: one
-        bucketed+sorted snapshot per advice entry (see
-        :meth:`snapshot_bucketed` — stats preserved, registration
-        swapped)."""
+        """Materialize :meth:`advise_layout` recommendations:
+        ``kind: "bucket"`` → :meth:`snapshot_bucketed`,
+        ``kind: "cluster"`` → :meth:`snapshot_zordered` (stats
+        preserved, registration swapped either way).
+
+        A table has ONE physical layout: when the advice lists several
+        entries for the same table (e.g. a bucket key and a cluster
+        key), the first — strongest, per the advisor's ranking — wins
+        and the rest are skipped. Pass a filtered list to choose
+        otherwise."""
+        done: set[str] = set()
         for a in advice:
-            self.snapshot_bucketed(a["table"], list(a["bucket_cols"]),
-                                   num_buckets=int(a["num_buckets"]),
-                                   sort_cols=list(a["sort_cols"]),
-                                   refresh=refresh)
+            if a["table"] in done:
+                continue
+            done.add(a["table"])
+            if a.get("kind", "bucket") == "cluster":
+                self.snapshot_zordered(a["table"], list(a["cluster_cols"]),
+                                       target_files=int(a["target_files"]),
+                                       refresh=refresh)
+            else:
+                self.snapshot_bucketed(a["table"], list(a["bucket_cols"]),
+                                       num_buckets=int(a["num_buckets"]),
+                                       sort_cols=list(a["sort_cols"]),
+                                       refresh=refresh)
 
     # -- informational constraints (RELY-style) ------------------------------
 

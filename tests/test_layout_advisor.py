@@ -77,6 +77,87 @@ def test_min_uses_gate(aeng):
     assert advice == []
 
 
+RANGE_WORKLOAD = {
+    "monthA": """SELECT sum(l_extendedprice) AS v FROM lineitem
+                 WHERE l_shipdate >= '1996-01-01'
+                   AND l_shipdate < '1996-02-01'""",
+    "year": """SELECT count(*) AS n FROM lineitem
+               WHERE l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'""",
+    "flag": """SELECT count(*) AS n FROM lineitem
+               WHERE l_returnflag < 'R'""",
+}
+
+
+def test_advises_cluster_on_range_predicates(aeng):
+    advice = aeng.advise_layout(RANGE_WORKLOAD, min_rows=100)
+    clustered = [a for a in advice if a["kind"] == "cluster"]
+    assert len(clustered) == 1
+    a = clustered[0]
+    assert a["table"] == "lineitem"
+    # l_shipdate: 3 range votes (2 from monthA, 1 BETWEEN); the string
+    # column l_returnflag is range-filtered but NOT orderable-clusterable
+    assert a["cluster_cols"] == ["l_shipdate"]
+    assert a["uses"]["l_shipdate"] == 3
+    assert "l_returnflag" not in a["uses"]
+    assert set(a["queries"]) == {"monthA", "year"}
+    # footer-estimated admission of the best (one-month) predicate is
+    # a small fraction of the ~7-year shipdate domain
+    assert a["best_admission"] is not None
+    assert a["best_admission"] < 0.10
+
+
+def test_apply_layout_routes_cluster_to_zorder(spark, tmp_path):
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    advice = eng.advise_layout(RANGE_WORKLOAD, min_rows=100)
+    target = [a for a in advice if a["kind"] == "cluster"]
+    assert target and target[0]["table"] == "lineitem"
+    before = eng.query(
+        "SELECT count(*) AS n, sum(l_quantity) AS q FROM lineitem"
+    ).collect()[0]
+    eng.apply_layout(target, refresh=True)
+    after = eng.query(
+        "SELECT count(*) AS n, sum(l_quantity) AS q FROM lineitem"
+    ).collect()[0]
+    assert tuple(before) == tuple(after)
+
+
+def test_one_layout_per_table(spark):
+    # bucket advice outranks cluster advice for the same table →
+    # apply_layout materializes the bucketed snapshot, not the zorder
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    eng.analyze()
+    wl = dict(WORKLOAD)
+    wl.update(RANGE_WORKLOAD)
+    advice = eng.advise_layout(wl, min_rows=100)
+    lineitem = [a for a in advice if a["table"] == "lineitem"]
+    assert [a["kind"] for a in lineitem] == ["bucket", "cluster"]
+    eng.apply_layout(lineitem, refresh=True)
+    plan = (eng.query("SELECT l_orderkey, sum(l_quantity) AS q "
+                      "FROM lineitem GROUP BY l_orderkey")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+
+
+def test_ndv_survives_layout_swap(spark):
+    # snapshot stats come from the new files' footers, which cannot
+    # carry NDV — analyze()'d NDV must survive the registration swap
+    # or post-layout advice loses its low-cardinality gate
+    eng = SqlEngine(spark)
+    eng.register_dir(SF_DIR)
+    eng.analyze()
+    before = dict(eng.catalog.get("lineitem").stats.ndv)
+    assert before
+    eng.apply_layout(eng.advise_layout(WORKLOAD, min_rows=100),
+                     refresh=True)
+    assert eng.catalog.get("lineitem").stats.ndv == before
+    # and the advice itself is unchanged post-swap
+    advice = eng.advise_layout(WORKLOAD, min_rows=100)
+    by_table = {a["table"]: a for a in advice if a["kind"] == "bucket"}
+    assert by_table["lineitem"]["bucket_cols"] == ["l_orderkey"]
+
+
 def test_apply_layout_roundtrip(spark):
     eng = SqlEngine(spark)
     eng.register_dir(SF_DIR)
@@ -107,7 +188,13 @@ def test_entry_harness_advises_the_proven_set(spark):
         {n: s for n, (s, _) in em._PAIRS.items()},
         extra_keys=[("documents", "doc_id"), ("documents", "doc_id")],
         min_rows=100)
-    got = {a["table"]: a["bucket_cols"] for a in advice}
+    got = {a["table"]: a["bucket_cols"] for a in advice
+           if a["kind"] == "bucket"}
     assert got.get("lineitem") == ["l_orderkey"]
     assert got.get("orders") == ["o_orderkey"]
     assert got.get("documents") == ["doc_id"]
+    # the date-windowed TPC-H entries (q1/q3/q6/q14/q15/q20…) vote
+    # l_shipdate as lineitem's cluster column
+    clustered = {a["table"]: a["cluster_cols"] for a in advice
+                 if a["kind"] == "cluster"}
+    assert clustered.get("lineitem") == ["l_shipdate"]
