@@ -1,5 +1,6 @@
 from sql_to_ibis_spark.streaming.ops import (
     dedup_within_watermark,
+    ingest_dedup_stream,
     interval_join,
     sessionize,
     sliding_counts,
@@ -11,6 +12,7 @@ from sql_to_ibis_spark.streaming.ops import (
 
 __all__ = [
     "dedup_within_watermark",
+    "ingest_dedup_stream",
     "interval_join",
     "sessionize",
     "sliding_counts",

@@ -310,3 +310,64 @@ def dedup_within_watermark(
         return (events.withWatermark(ts_col, watermark)
                 .dropDuplicatesWithinWatermark(keys))
     return events.dropDuplicates(keys)
+
+
+def ingest_dedup_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    min_matching_bands: int = 1,
+    available_now: bool = True,
+):
+    """Streaming ingestion near-dup filter against a FROZEN corpus index
+    (the streaming face of ``dedup.against_index``): every micro-batch is
+    an incoming shard — MinHash-banded exactly like the index was by
+    ``dedup.build_minhash_index`` (num_hashes/bands/shingle_size must
+    match), matched docs dropped, survivors appended to the parquet sink.
+    Returns the started ``StreamingQuery``.
+
+    ``foreachBatch`` is the right primitive here, not a stream-static join
+    chain: the per-doc verdict is "NO band of this doc hit the index",
+    which over exploded band rows needs an aggregation + anti join that
+    append-mode streaming cannot express without event-time state the
+    documents don't have — while per micro-batch it is precisely the
+    existing batch operator: same code, same plan, ZERO streaming state
+    (the index is frozen). Scale shape per micro-batch is the batch one:
+    one (band, bh) equi join, zero index-side shuffle when the index was
+    ``snapshot_bucketed`` on ("band", "bh"); only the shard's own banded
+    rows exchange.
+
+    Delivery: the checkpoint's batch-id commit log gives exactly-once
+    BATCH tracking; the inner parquet append is idempotent only per
+    Spark's file-sink semantics for foreachBatch (a batch retried after a
+    mid-write crash can duplicate files). For strict exactly-once, land
+    into a batch-id-keyed subdirectory and reconcile — the operator keeps
+    the simple append because ingestion dedup itself is idempotent
+    downstream (a re-deduped shard re-dedups to the same survivors).
+    """
+    from sql_to_ibis_spark.operators import dedup as _dedup
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        matched = (
+            _dedup.against_index(
+                batch_df, index, text_col=text_col, id_col=id_col,
+                num_hashes=num_hashes, bands=bands,
+                shingle_size=shingle_size)
+            .filter(F.col("n_matching_bands") >= min_matching_bands)
+            .select(F.col("id_a").alias(id_col))
+            .distinct())
+        (batch_df.join(matched, on=id_col, how="left_anti")
+         .write.mode("append").parquet(path))
+
+    w = (docs.writeStream.foreachBatch(_one_batch)
+         .option("checkpointLocation", checkpoint_dir)
+         .queryName("ingest_dedup"))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

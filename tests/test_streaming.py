@@ -317,3 +317,40 @@ def test_dedup_within_watermark_batch_fallback(events):
         events.select("event_id", "ts"))
     out = dedup_within_watermark(doubled, ["event_id"])
     assert out.count() == events.count()
+
+
+def test_ingest_dedup_stream_equals_batch(spark, engine, tmp_path):
+    """Streaming ingestion dedup against a frozen index == the batch
+    operator replayed over the same rows: survivors are exactly the
+    shard docs with no qualifying index candidate, and planted copies
+    of frozen docs are dropped."""
+    from sql_to_ibis_spark.operators import dedup as _dedup
+    from sql_to_ibis_spark.streaming import ingest_dedup_stream
+
+    docs = engine.catalog.get("documents").df.select(
+        "doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 7 != 0)
+    shard = docs.filter(F.col("doc_id") % 7 == 0).unionByName(
+        # exact copies of frozen docs under fresh ids: guaranteed hits
+        frozen.limit(5).select(
+            (F.col("doc_id") + F.lit(100000)).alias("doc_id"), "text"))
+    index = _dedup.build_minhash_index(frozen).localCheckpoint()
+
+    matched = (_dedup.against_index(shard, index)
+               .select("id_a").distinct())
+    expected = sorted(r["doc_id"] for r in
+                      shard.join(matched,
+                                 shard["doc_id"] == matched["id_a"],
+                                 "left_anti").collect())
+    # the planted copies must actually exercise the drop path
+    n_shard = shard.count()
+    assert len(expected) <= n_shard - 5
+
+    out = str(tmp_path / "survivors")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_dedup_stream(
+        stream_from_table(spark, shard.repartition(3)), index, out, ckpt)
+    q.awaitTermination()
+    got = sorted(r["doc_id"]
+                 for r in spark.read.parquet(out).collect())
+    assert got == expected
