@@ -1749,6 +1749,39 @@ def _add_pipeline_operators(out: dict) -> None:
           "WHERE round(jaccard, 4) >= 0.5"
     )
 
+    # ingestion filter (r14): the batch face of
+    # streaming.ingest_dedup_stream's per-micro-batch verified-drop mode —
+    # shard docs SURVIVE unless an exact-Jaccard-verified near-dup exists
+    # in the frozen corpus (candidates from the banded index, verify on
+    # candidates only, then one left-anti join). Oracle: NOT IN over the
+    # exhaustive cross-subset Jaccard. The streaming parity
+    # (stream survivors == this batch composition) is pinned by
+    # tests/test_streaming.py::test_ingest_dedup_stream_equals_batch.
+    def dedup_ingest_filter(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        _engine_for(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        new = docs.filter(F.col("doc_id") % 7 == 0)
+        frozen = docs.filter(F.col("doc_id") % 7 != 0)
+        index = dedup.build_minhash_index(frozen)
+        cands = dedup.against_index(new, index).select("id_a", "id_b")
+        matched = (dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
+                   .select(F.col("id_a").alias("doc_id")).distinct())
+        return (new.join(matched, on="doc_id", how="left_anti")
+                .select("doc_id"))
+
+    out["pipeline_dedup_ingest_filter"] = dedup_ingest_filter
+    _PIPELINE_ORACLES["pipeline_dedup_ingest_filter"] = (
+        "WITH " + _SHINGLE_PAIRS_TEMPLATE.format(src="documents").replace(
+            "ON a.sg = b.sg AND a.doc_id < b.doc_id",
+            "ON a.sg = b.sg AND a.doc_id % 7 = 0 AND b.doc_id % 7 <> 0 "
+            "AND a.doc_id <> b.doc_id")
+        + " SELECT d.doc_id FROM documents d WHERE d.doc_id % 7 = 0 "
+          "AND d.doc_id NOT IN (SELECT id_a FROM pairs "
+          "WHERE round(jaccard, 4) >= 0.5)"
+    )
+
     # Planted identical-twin vectors make the ANN/near-dup ground truth
     # closed-form: a copy of every 50th vector is injected as vec_id+1000000000.
     # An identical vector is guaranteed its twin's LSH bucket (identical

@@ -323,6 +323,8 @@ def ingest_dedup_stream(
     bands: int = 16,
     shingle_size: int = 5,
     min_matching_bands: int = 1,
+    verify_threshold: float | None = None,
+    index_docs: DataFrame | None = None,
     available_now: bool = True,
 ):
     """Streaming ingestion near-dup filter against a FROZEN corpus index
@@ -331,6 +333,13 @@ def ingest_dedup_stream(
     ``dedup.build_minhash_index`` (num_hashes/bands/shingle_size must
     match), matched docs dropped, survivors appended to the parquet sink.
     Returns the started ``StreamingQuery``.
+
+    By default a doc is dropped on LSH candidacy alone
+    (``min_matching_bands`` shared band buckets). Pass
+    ``verify_threshold`` (+ ``index_docs``, the frozen corpus texts) to
+    drop only candidates whose exact shingle-Jaccard reaches the
+    threshold — no false-positive drops, at the cost of the
+    candidates-only verify join per micro-batch.
 
     ``foreachBatch`` is the right primitive here, not a stream-static join
     chain: the per-doc verdict is "NO band of this doc hit the index",
@@ -353,15 +362,30 @@ def ingest_dedup_stream(
     """
     from sql_to_ibis_spark.operators import dedup as _dedup
 
+    if verify_threshold is not None and index_docs is None:
+        raise ValueError(
+            "verify_threshold needs index_docs: the index table holds "
+            "only (id, band, bh); exact Jaccard needs the frozen texts")
+
     def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
-        matched = (
+        cands = (
             _dedup.against_index(
                 batch_df, index, text_col=text_col, id_col=id_col,
                 num_hashes=num_hashes, bands=bands,
                 shingle_size=shingle_size)
             .filter(F.col("n_matching_bands") >= min_matching_bands)
-            .select(F.col("id_a").alias(id_col))
-            .distinct())
+            .select("id_a", "id_b"))
+        if verify_threshold is not None:
+            # drop only VERIFIED near-dups: exact shingle-Jaccard on the
+            # candidate pairs (never all-pairs), texts from batch ∪ index
+            corpus = batch_df.select(
+                F.col(id_col), F.col(text_col)).unionByName(
+                index_docs.select(F.col(id_col), F.col(text_col)))
+            cands = _dedup.ngram_jaccard_verify(
+                corpus, cands, text_col=text_col, id_col=id_col,
+                shingle_size=shingle_size,
+                threshold=verify_threshold).select("id_a", "id_b")
+        matched = cands.select(F.col("id_a").alias(id_col)).distinct()
         (batch_df.join(matched, on=id_col, how="left_anti")
          .write.mode("append").parquet(path))
 

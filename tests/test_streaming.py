@@ -354,3 +354,41 @@ def test_ingest_dedup_stream_equals_batch(spark, engine, tmp_path):
     got = sorted(r["doc_id"]
                  for r in spark.read.parquet(out).collect())
     assert got == expected
+
+
+def test_ingest_dedup_stream_verified_mode(spark, engine, tmp_path):
+    """verify_threshold mode drops only exact-Jaccard-verified near-dups:
+    survivors equal the batch composition the pipeline_dedup_ingest_filter
+    oracle entry pins (candidates -> verify -> anti join)."""
+    from sql_to_ibis_spark.operators import dedup as _dedup
+    from sql_to_ibis_spark.streaming import ingest_dedup_stream
+
+    docs = engine.catalog.get("documents").df.select("doc_id", "text")
+    frozen = docs.filter(F.col("doc_id") % 7 != 0)
+    shard = docs.filter(F.col("doc_id") % 7 == 0)
+    index = _dedup.build_minhash_index(frozen).localCheckpoint()
+
+    cands = _dedup.against_index(shard, index).select("id_a", "id_b")
+    matched = (_dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
+               .select(F.col("id_a").alias("doc_id")).distinct())
+    expected = sorted(
+        r["doc_id"]
+        for r in shard.join(matched, on="doc_id", how="left_anti").collect())
+
+    out = str(tmp_path / "survivors")
+    q = ingest_dedup_stream(
+        stream_from_table(spark, shard.repartition(2)), index, out,
+        str(tmp_path / "ckpt"), verify_threshold=0.5, index_docs=frozen)
+    q.awaitTermination()
+    got = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert got == expected
+
+
+def test_ingest_dedup_stream_verify_needs_texts(spark, engine, tmp_path):
+    from sql_to_ibis_spark.streaming import ingest_dedup_stream
+
+    docs = engine.catalog.get("documents").df.select("doc_id", "text")
+    with pytest.raises(ValueError, match="index_docs"):
+        ingest_dedup_stream(
+            stream_from_table(spark, docs), docs.limit(0), str(tmp_path),
+            str(tmp_path / "ck"), verify_threshold=0.5)
