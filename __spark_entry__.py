@@ -1080,6 +1080,9 @@ _PRIORITY: list[str] = [
     # the 15 remaining r10-stale entries, then the oldest r11 remainder
     # alphabetically (recomputed from CORRECTNESS_r*.json at r14) —
     # after this window no entry's latest driver record predates r11.
+    # Brand-new r14 entries first (no driver record exists yet):
+    "pipeline_dedup_against_index",
+    "pipeline_dedup_ingest_filter",
     "tpch_q2_minimum_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q14_promo_effect",
@@ -1130,8 +1133,9 @@ _PRIORITY: list[str] = [
     "pipeline_dedup_minhash_lsh",
     "pipeline_dedup_ngram_jaccard",
     "pipeline_dedup_simhash",
-    "pipeline_embedding_near_dup",
-    "pipeline_pack_sequences",
+    # (pipeline_embedding_near_dup / pipeline_pack_sequences displaced
+    # to make room for the two new r14 entries — their latest record
+    # is r11, which the rotation invariant still covers)
 ]
 
 
