@@ -469,14 +469,23 @@ def build_minhash_index(
     existing corpus, not the corpus against itself.
 
     Deployment shape: materialize this once per corpus version with
-    ``SqlEngine.snapshot_bucketed(<index table>, ["band", "bh"])`` — the
+    ``SqlEngine.snapshot_bucketed(<index table>, ["band", "bh"],
+    sort_cols=["band", "bh"])`` — sorted buckets report their ordering,
+    so the probe's merge join skips re-sorting the whole index — the
     probe join in :func:`against_index` is keyed on exactly (band, bh),
     so a bucketed index scan reports its partitioning and the join plans
     with ZERO index-side shuffle at any corpus size; only the (small)
     incoming shard exchanges. Parameters must match the probe call
     (``num_hashes``/``bands``/``shingle_size`` are part of the index's
     identity — store them with the table name)."""
-    sig = df.select(
+    # null-text rows are dropped BEFORE the signature UDF: sig is null
+    # exactly when text is null (split(NULL) is NULL through the whole
+    # token pipeline), and a post-hoc sig-isNotNull filter gets pushed
+    # below the projection by Catalyst, DUPLICATING the ArrowEvalPython
+    # stage — the whole shingle/minhash pipeline ran twice per row
+    # (caught by the r14 sf10 probe measurement; _lsh_pairs_from_sig is
+    # immune because its sig frame is persisted)
+    sig = df.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         _minhash_sig_udf(num_hashes, shingle_size)(
             _token_hashes(F.col(text_col))).alias("sig"),
@@ -489,7 +498,7 @@ def build_minhash_index(
         ).alias(f"band_{b}")
         for b in range(bands)
     ]
-    banded = sig.filter(F.col("sig").isNotNull()).select("id", *band_cols)
+    banded = sig.select("id", *band_cols)
     return banded.select(
         "id",
         F.explode(F.array(*[
