@@ -1083,6 +1083,8 @@ _PRIORITY: list[str] = [
     # Brand-new r14 entries first (no driver record exists yet):
     "pipeline_dedup_against_index",
     "pipeline_dedup_ingest_filter",
+    "pipeline_bpe_word_histogram",
+    "pipeline_bpe_token_count",
     "tpch_q2_minimum_cost_supplier",
     "tpch_q11_important_stock",
     "tpch_q14_promo_effect",
@@ -1131,10 +1133,9 @@ _PRIORITY: list[str] = [
     "pipeline_dedup_exact",
     "pipeline_dedup_lines",
     "pipeline_dedup_minhash_lsh",
-    "pipeline_dedup_ngram_jaccard",
-    "pipeline_dedup_simhash",
-    # (pipeline_embedding_near_dup / pipeline_pack_sequences displaced
-    # to make room for the two new r14 entries — their latest record
+    # (pipeline_dedup_ngram_jaccard / pipeline_dedup_simhash /
+    # pipeline_embedding_near_dup / pipeline_pack_sequences displaced
+    # to make room for the four new r14 entries — their latest record
     # is r11, which the rotation invariant still covers)
 ]
 
@@ -1331,6 +1332,38 @@ def _add_pipeline_operators(out: dict) -> None:
         WHERE term != ''
         GROUP BY term ORDER BY n DESC, term LIMIT 50
     """
+
+    # real BPE (r14): the word-histogram pass (BPE training's only
+    # distributed step) is SQL-expressible — hash-exact oracle; the
+    # trained-merges token count is NOT (merge selection is inherently
+    # iterative), so that entry is rows-only and exactness is pinned by
+    # tests/test_tokenize.py's hand-computed fixtures.
+    def bpe_histogram(spark, sf_dir):
+        from sql_to_ibis_spark.operators import tokenize
+
+        _engine_for(spark, sf_dir)
+        return tokenize.word_histogram(_docs(spark, sf_dir))
+
+    out["pipeline_bpe_word_histogram"] = bpe_histogram
+    _PIPELINE_ORACLES["pipeline_bpe_word_histogram"] = r"""
+        SELECT word, count(*) AS cnt FROM (
+          SELECT unnest(regexp_extract_all(
+            lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS word
+          FROM documents WHERE text IS NOT NULL) t
+        GROUP BY word
+    """
+
+    def bpe_count(spark, sf_dir):
+        from sql_to_ibis_spark.operators import tokenize
+
+        _engine_for(spark, sf_dir)
+        docs = _docs(spark, sf_dir)
+        merges = tokenize.train_bpe_merges(docs, num_merges=50,
+                                           max_words=5000)
+        return tokenize.bpe_token_count(docs, merges)
+
+    out["pipeline_bpe_token_count"] = bpe_count
+    # no oracle entry: rows-only by design (see comment above)
 
     def doc_fingerprint(spark, sf_dir):
         _engine_for(spark, sf_dir)

@@ -7,6 +7,7 @@ all-pairs cross joins, JVM-side expressions wherever the semantics allow and
 Arrow-batched pandas UDFs where they don't.
 """
 
-from sql_to_ibis_spark.operators import dedup, multimodal, similarity, text
+from sql_to_ibis_spark.operators import (dedup, multimodal, similarity,
+                                          text, tokenize)
 
-__all__ = ["dedup", "multimodal", "similarity", "text"]
+__all__ = ["dedup", "multimodal", "similarity", "text", "tokenize"]

@@ -1,0 +1,94 @@
+"""Real-BPE trainer + encoder: hand-computed merge fixtures (BPE has no
+SQL oracle — merge order is inherently iterative — so exactness is
+pinned here and the driver entry is rows-only)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sql_to_ibis_spark.operators import tokenize
+from sql_to_ibis_spark.operators.tokenize import (
+    _encode_word,
+    _train_from_histogram,
+    bpe_encode,
+    bpe_token_count,
+    train_bpe_merges,
+    word_histogram,
+)
+
+
+def test_train_hand_computed():
+    # histogram: "low" x5, "lower" x2, "newest" x6, "widest" x3
+    # pair counts round 1: es 9, st 9, we 8(2 lower + 6 newest), ...
+    # tie es/st at 9 -> lexicographic picks ("e","s"); then ("es","t") 9.
+    hist = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = _train_from_histogram(hist, 2)
+    assert merges == [("e", "s"), ("es", "t")]
+    # third merge: lo 7 (low 5 + lower 2) beats ne/ew/west variants (6)
+    merges = _train_from_histogram(hist, 3)
+    assert merges[2] == ("l", "o")
+
+
+def test_encode_word_rank_order():
+    # ranks: (e,s) then (es,t) then (l,o) then (lo,w)
+    ranks = {("e", "s"): 0, ("es", "t"): 1, ("l", "o"): 2, ("lo", "w"): 3}
+    cache = {}
+    assert _encode_word("newest", ranks, cache) == ["n", "e", "w", "est"]
+    assert _encode_word("lowest", ranks, cache) == ["low", "est"]
+    assert _encode_word("low", ranks, cache) == ["low"]
+    assert _encode_word("xyz", ranks, cache) == ["x", "y", "z"]
+    # memo: same object returned for a repeated word
+    assert _encode_word("lowest", ranks, cache) is cache["lowest"]
+
+
+def test_encode_merges_all_occurrences():
+    # one merge (a,b): every non-overlapping occurrence merges in one pass
+    assert _encode_word("ababab", {("a", "b"): 0}, {}) == ["ab"] * 3
+    assert _encode_word("aaab", {("a", "a"): 0}, {}) == ["aa", "a", "b"]
+
+
+def test_spark_encode_and_count(spark):
+    df = spark.createDataFrame(
+        [(1, "newest lowest"), (2, "the newest!"), (3, None)],
+        ["doc_id", "text"])
+    merges = [("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"),
+              ("t", "h"), ("th", "e")]
+    rows = {r["doc_id"]: r["tokens"]
+            for r in bpe_encode(df, merges).collect()}
+    assert rows[1] == ["n", "e", "w", "est", "low", "est"]
+    # punctuation is its own pre-token
+    assert rows[2] == ["the", "n", "e", "w", "est", "!"]
+    assert rows[3] is None
+    counts = {r["doc_id"]: r["n_bpe_tokens"]
+              for r in bpe_token_count(df, merges).collect()}
+    assert counts == {1: 6, 2: 6, 3: None}
+
+
+def test_histogram_and_train_on_corpus(spark):
+    df = spark.createDataFrame(
+        [(i, "aaa bbb aaa") for i in range(10)], ["doc_id", "text"])
+    hist = {r["word"]: r["cnt"] for r in word_histogram(df).collect()}
+    assert hist == {"aaa": 20, "bbb": 10}
+    merges = train_bpe_merges(df, num_merges=2)
+    # aa beats bb 20 vs 10; then aa+a (20) beats b pairs (10)
+    assert merges == [("a", "a"), ("aa", "a")]
+
+
+def test_fewer_tokens_than_chars_on_real_corpus(spark, engine):
+    docs = (engine.catalog.get("documents").df
+            .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+            .select("doc_id", "text"))
+    merges = train_bpe_merges(docs.limit(200), num_merges=50,
+                              max_words=5000)
+    assert len(merges) == 50
+    out = (bpe_token_count(docs.limit(50), merges)
+           .join(docs.select("doc_id",
+                             F.length("text").alias("n_chars")),
+                 "doc_id"))
+    bad = out.filter(F.col("n_bpe_tokens") >= F.col("n_chars")).count()
+    assert bad == 0  # merges genuinely compress vs character count
+    # encode is deterministic: same merges, same result hash
+    a = sorted(map(tuple, bpe_encode(docs.limit(50), merges).collect()))
+    b = sorted(map(tuple, bpe_encode(docs.limit(50), merges).collect()))
+    assert a == b
