@@ -213,3 +213,66 @@ def bpe_token_count(
         # explicit null guard: size(NULL) is -1 under legacy configs
         F.when(F.col("tokens").isNull(), F.lit(None))
         .otherwise(F.size("tokens")).cast("bigint").alias("n_bpe_tokens"))
+
+
+def bpe_vocab(merges: Iterable[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic token→id map for a merge list: ids 0–255 are the
+    single bytes/chars (latin-1 order, the fixed base alphabet), then
+    one id per merge product in rank order — exactly how merge-based
+    vocabs are laid out in practice. Unknown non-latin-1 single chars
+    fall back at encode time to :data:`UNK_ID` (id 256; merge products
+    start at 257)."""
+    vocab = {chr(i): i for i in range(256)}
+    nxt = 257  # 256 is UNK
+    for a, b in merges:
+        tok = a + b
+        if tok not in vocab:
+            vocab[tok] = nxt
+            nxt += 1
+    return vocab
+
+
+UNK_ID = 256
+
+
+def bpe_encode_ids(
+    df: DataFrame,
+    merges: Iterable[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "token_ids",
+    lowercase: bool = True,
+) -> DataFrame:
+    """:func:`bpe_encode`, mapped through :func:`bpe_vocab` to int ids
+    (``array<int>``; unknown single chars → :data:`UNK_ID`). Same
+    mapInPandas batch shape — the id lookup is one dict get per token."""
+    merges = list(merges)
+    ranks = {tuple(p): i for i, p in enumerate(merges)}
+    vocab = bpe_vocab(merges)
+    schema = T.StructType([
+        df.schema[id_col],
+        T.StructField(out_col, T.ArrayType(T.IntegerType())),
+    ])
+    id_name, text_name = id_col, text_col
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cache: dict[str, list[str]] = {}
+
+        def enc(text):
+            if text is None:
+                return None
+            if lowercase:
+                text = text.lower()
+            out: list[int] = []
+            for w in _PRETOKEN_RE.findall(text):
+                out.extend(vocab.get(t, UNK_ID)
+                           for t in _encode_word(w, ranks, cache))
+            return out
+
+        for pdf in batches:
+            yield pd.DataFrame({
+                id_name: pdf[id_name],
+                out_col: pdf[text_name].map(enc),
+            })
+
+    return df.select(id_name, text_name).mapInPandas(run, schema)

@@ -92,3 +92,24 @@ def test_fewer_tokens_than_chars_on_real_corpus(spark, engine):
     a = sorted(map(tuple, bpe_encode(docs.limit(50), merges).collect()))
     b = sorted(map(tuple, bpe_encode(docs.limit(50), merges).collect()))
     assert a == b
+
+
+def test_encode_ids_roundtrip(spark):
+    from sql_to_ibis_spark.operators.tokenize import (UNK_ID, bpe_encode_ids,
+                                                      bpe_vocab)
+
+    merges = [("e", "s"), ("es", "t")]
+    vocab = bpe_vocab(merges)
+    assert vocab["es"] == 257 and vocab["est"] == 258
+    assert vocab["e"] == ord("e")
+    df = spark.createDataFrame([(1, "test"), (2, "café"), (3, None)],
+                               ["doc_id", "text"])
+    rows = {r["doc_id"]: r["token_ids"]
+            for r in bpe_encode_ids(df, merges).collect()}
+    assert rows[1] == [ord("t"), 258]           # t + est
+    # é is latin-1 (id 233); the word splits c,a,f,é — no merges apply
+    assert rows[2] == [ord("c"), ord("a"), ord("f"), 233]
+    assert rows[3] is None
+    # a genuinely non-latin-1 char maps to UNK
+    df2 = spark.createDataFrame([(1, "日")], ["doc_id", "text"])
+    assert bpe_encode_ids(df2, merges).collect()[0]["token_ids"] == [UNK_ID]
