@@ -113,3 +113,85 @@ def test_encode_ids_roundtrip(spark):
     # a genuinely non-latin-1 char maps to UNK
     df2 = spark.createDataFrame([(1, "日")], ["doc_id", "text"])
     assert bpe_encode_ids(df2, merges).collect()[0]["token_ids"] == [UNK_ID]
+
+
+# --- property: the incremental pair-index trainer must equal a naive
+# recompute-everything reference on arbitrary histograms ---------------
+
+def _train_naive(word_counts, num_merges):
+    words = {w: list(w) for w in word_counts if len(w) >= 2}
+    merges = []
+    for _ in range(num_merges):
+        from collections import Counter
+        pc = Counter()
+        for w, syms in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += word_counts[w]
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        joined = best[0] + best[1]
+        for w, syms in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == best:
+                    out.append(joined)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[w] = out
+    return merges
+
+
+def test_incremental_trainer_equals_naive():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=8)
+    hists = st.dictionaries(word, st.integers(1, 9), min_size=1,
+                            max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(hists, st.integers(0, 10))
+    def check(hist, n):
+        assert _train_from_histogram(dict(hist), n) == \
+            _train_naive(dict(hist), n)
+
+    check()
+
+
+def test_encode_word_equals_sequential_merge_replay():
+    # encoding by repeated lowest-rank merge == replaying the merges in
+    # training order over the word (the classic equivalence)
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=0, max_size=10)
+    hists = st.dictionaries(st.text(alphabet="abc", min_size=2,
+                                    max_size=6),
+                            st.integers(1, 9), min_size=1, max_size=8)
+
+    def replay(w, merges):
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and (syms[i], syms[i + 1]) == (a, b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    @settings(max_examples=200, deadline=None)
+    @given(hists, word)
+    def check(hist, w):
+        merges = _train_from_histogram(dict(hist), 6)
+        ranks = {m: i for i, m in enumerate(merges)}
+        assert _encode_word(w, ranks, {}) == replay(w, merges)
+
+    check()
