@@ -584,6 +584,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     partitions: int = 32,
+    counts_df: DataFrame | None = None,
 ) -> DataFrame:
     """Concat-and-chunk sequence packing (the standard GPT-pretraining
     layout): conceptually concatenate every document's tokens in ``id_col``
@@ -591,6 +592,12 @@ def pack_sequences(
     Emits per doc: ``n_tokens``, the first/last window index the doc's
     tokens land in, and the doc's starting offset inside its first window —
     enough for a loader to materialize any window from the source docs.
+
+    By default tokens are whitespace-counted from ``text_col``; pass
+    ``counts_df`` — an ``(id_col, n_tokens)`` frame, e.g.
+    ``tokenize.bpe_token_count(...)`` renamed — to pack on REAL
+    tokenizer counts (the pretraining composition; null counts pack as
+    0 exactly like null text).
 
     The interesting part at scale is the EXCLUSIVE PREFIX SUM of token
     counts in a global order, which a naive single ``ORDER BY`` window would
@@ -606,14 +613,23 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
-    t = normalized_text(F.col(text_col))
-    toks = df.select(
-        F.col(id_col),
-        # null text → 0 tokens (a bare size() would return null and poison
-        # the prefix sum all the way to the driver-side offset pass)
-        F.coalesce(F.size(F.split(t, " ")), F.lit(0))
-        .cast("bigint").alias("n_tokens"),
-    ).repartitionByRange(partitions, F.col(id_col))
+    if counts_df is not None:
+        # caller-supplied (id, n_tokens) — e.g. real BPE counts from
+        # tokenize.bpe_token_count; same null→0 guard, same scan shape
+        toks = counts_df.select(
+            F.col(id_col),
+            F.coalesce(F.col("n_tokens"), F.lit(0))
+            .cast("bigint").alias("n_tokens"),
+        ).repartitionByRange(partitions, F.col(id_col))
+    else:
+        t = normalized_text(F.col(text_col))
+        toks = df.select(
+            F.col(id_col),
+            # null text → 0 tokens (a bare size() would return null and
+            # poison the prefix sum to the driver-side offset pass)
+            F.coalesce(F.size(F.split(t, " ")), F.lit(0))
+            .cast("bigint").alias("n_tokens"),
+        ).repartitionByRange(partitions, F.col(id_col))
 
     part = toks.withColumn("__pid", F.spark_partition_id())
     w = (Window.partitionBy("__pid").orderBy(id_col)

@@ -195,3 +195,30 @@ def test_encode_word_equals_sequential_merge_replay():
         assert _encode_word(w, ranks, {}) == replay(w, merges)
 
     check()
+
+
+def test_pack_sequences_with_bpe_counts(spark, engine):
+    # the pretraining composition: real-BPE counts drive the packer;
+    # window math must match a driver-side prefix-sum recompute
+    from sql_to_ibis_spark.operators import text as text_ops
+
+    docs = (engine.catalog.get("documents").df
+            .filter(F.col("text").isNotNull())
+            .select("doc_id", "text").limit(100))
+    merges = train_bpe_merges(docs, num_merges=30, max_words=2000)
+    counts = (bpe_token_count(docs, merges)
+              .withColumnRenamed("n_bpe_tokens", "n_tokens"))
+    packed = {r["doc_id"]: r for r in text_ops.pack_sequences(
+        docs, ctx_tokens=64, counts_df=counts).collect()}
+
+    expected_counts = {r["doc_id"]: r["n_tokens"]
+                       for r in counts.collect()}
+    before = 0
+    for doc_id in sorted(expected_counts):
+        n = expected_counts[doc_id]
+        r = packed[doc_id]
+        assert r["n_tokens"] == n
+        assert r["start_window"] == before // 64
+        assert r["end_window"] == (before + n - 1) // 64
+        assert r["offset_in_window"] == before % 64
+        before += n
