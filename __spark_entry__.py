@@ -1345,10 +1345,15 @@ def _add_pipeline_operators(out: dict) -> None:
         return tokenize.word_histogram(_docs(spark, sf_dir))
 
     out["pipeline_bpe_word_histogram"] = bpe_histogram
-    _PIPELINE_ORACLES["pipeline_bpe_word_histogram"] = r"""
+    # the oracle regex is the ENGINE's pre-token pattern verbatim (an
+    # explicit Unicode-whitespace class, r15 — see tokenize._WS_CLASS):
+    # importing it here means Java, Python, and RE2 pre-tokenize the
+    # same stream by construction and the oracle can't drift
+    from sql_to_ibis_spark.operators.tokenize import _PRETOKEN_PATTERN
+    _PIPELINE_ORACLES["pipeline_bpe_word_histogram"] = f"""
         SELECT word, count(*) AS cnt FROM (
           SELECT unnest(regexp_extract_all(
-            lower(text), '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS word
+            lower(text), '{_PRETOKEN_PATTERN}')) AS word
           FROM documents WHERE text IS NOT NULL) t
         GROUP BY word
     """
@@ -1805,7 +1810,11 @@ def _add_pipeline_operators(out: dict) -> None:
         cands = dedup.against_index(new, index).select("id_a", "id_b")
         matched = (dedup.ngram_jaccard_verify(docs, cands, threshold=0.5)
                    .select(F.col("id_a").alias("doc_id")).distinct())
-        return (new.join(matched, on="doc_id", how="left_anti")
+        # matched ⊆ the shard's ids → bounded by shard size; the hint
+        # removes the survivor anti-join's SortMergeJoin (the suite's
+        # last SMJ at r14), mirroring streaming/ops.py's ingest path
+        return (new.join(F.broadcast(matched), on="doc_id",
+                         how="left_anti")
                 .select("doc_id"))
 
     out["pipeline_dedup_ingest_filter"] = dedup_ingest_filter

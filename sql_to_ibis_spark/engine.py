@@ -524,7 +524,12 @@ class SqlEngine:
                     else None
                 for _ in range(n):
                     bump_range(*a, qname, adm)
-                # subqueries inside WHERE (IN/EXISTS/scalar)
+            # subqueries inside WHERE (IN/EXISTS/scalar): walked exactly
+            # once per SelectNode — NOT per attributable range predicate
+            # (an r14 bug nested this in the local.items() loop, so
+            # subquery join/group keys were skipped when a query had no
+            # range predicate and multiply-counted otherwise)
+            if q.where is not None:
                 for x in _walk_where_subqueries(q.where):
                     walk_node(x, qname)
             for g in q.group_by:
@@ -758,6 +763,27 @@ class SqlEngine:
                         f"({row['n']} rows, {row['d']} distinct)")
             for cols, ref_name, ref_cols in entry.foreign_keys:
                 ref = self.catalog.get(ref_name)
+                # the declared contract is "matches exactly ONE ref row":
+                # ref-side uniqueness over ref_cols must hold regardless
+                # of whether ref_cols is the ref table's declared PK or
+                # whether that table is in this validation run — duplicate
+                # ref rows make the inner join row-multiplying, silently
+                # invalidating join elimination (r14 ADVICE)
+                nn = None
+                for c in ref_cols:
+                    piece = F.col(c).isNotNull()
+                    nn = piece if nn is None else (nn & piece)
+                rrow = ref.df.where(nn).agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.count_distinct(
+                        *[F.col(c) for c in ref_cols]).alias("d")
+                ).collect()[0]
+                if rrow["n"] != rrow["d"]:
+                    probs.append(
+                        f"foreign key {list(cols)} -> {ref_name}"
+                        f"{list(ref_cols)}: referenced columns not "
+                        f"unique ({rrow['n']} rows, {rrow['d']} "
+                        f"distinct) — join elimination unsound")
                 cond = None
                 for c in cols:
                     piece = F.col(c).isNull()

@@ -528,7 +528,15 @@ def against_index(
     side exchanges only its own banded rows (bands × shard rows). No
     all-pairs anywhere — cost is per-bucket, exactly like the
     self-dedup path. Verify candidates exactly with
-    :func:`ngram_jaccard_verify` over the union of both corpora."""
+    :func:`ngram_jaccard_verify` over the union of both corpora.
+
+    PRECONDITION: doc ids must be globally unique ACROSS the new shard
+    and the frozen corpus — the ``l.id != r.id`` guard exists only to
+    drop a doc matching its own index entry on re-ingest. If two
+    DISTINCT documents share an id across the two corpora, their
+    genuine cross-corpus candidacy is silently suppressed. Namespace
+    ids at ingest (e.g. prefix a source tag) if the corpora's id
+    spaces can collide."""
     probe = build_minhash_index(new_df, text_col=text_col, id_col=id_col,
                                 num_hashes=num_hashes, bands=bands,
                                 shingle_size=shingle_size)

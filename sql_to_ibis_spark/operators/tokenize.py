@@ -33,9 +33,20 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # the same pre-tokenizer family as text.bpe_ish_token_count: words /
-# number runs / punctuation runs (whitespace separates, never tokens)
-_PRETOKEN_RE = re.compile(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+")
-_PRETOKEN_SQL = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+# number runs / punctuation runs (whitespace separates, never tokens).
+# Whitespace is an EXPLICIT class (the Unicode White_Space set), not
+# `\s`: training pre-tokenizes on the JVM (Java regex, where \s is
+# ASCII-only) while encoding pre-tokenizes with Python re (unicode \s),
+# and the r14 ADVICE found the two split differently around e.g. U+00A0
+# — merges trained on one token stream, applied to another. One literal
+# class means Java, Python, and the DuckDB/RE2 oracle all agree by
+# construction.
+_WS_CLASS = ("\t\n\x0b\x0c\r \x85\xa0\u1680"
+             "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000")
+_PRETOKEN_PATTERN = (
+    f"[A-Za-z]+|[0-9]+|[^A-Za-z0-9{_WS_CLASS}]+")
+_PRETOKEN_RE = re.compile(_PRETOKEN_PATTERN)
+_PRETOKEN_SQL = _PRETOKEN_PATTERN
 
 
 def word_histogram(df: DataFrame, text_col: str = "text",
