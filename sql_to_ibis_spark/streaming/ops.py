@@ -241,6 +241,22 @@ def stream_to_parquet(
     return w.start()
 
 
+_OFFSET_UNIT_SECONDS = {
+    "millisecond": 0.001, "second": 1.0, "minute": 60.0,
+    "hour": 3600.0, "day": 86400.0, "week": 604800.0,
+}
+
+
+def _offset_seconds(offset: str) -> float:
+    """Parse a fixed-duration offset string ('-30 minutes', '1 hour')
+    to signed seconds. Only fixed-duration units — exactly the units a
+    stream-stream interval join's time bounds accept."""
+    s = offset.strip()
+    sign = -1.0 if s.startswith("-") else 1.0
+    num, unit = s.lstrip("-").split()
+    return sign * float(num) * _OFFSET_UNIT_SECONDS[unit.rstrip("s").lower()]
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,
@@ -251,6 +267,7 @@ def interval_join(
     upper_offset: str = "1 hour",
     watermark: str = "2 hours",
     prefix: str = "r_",
+    bin_join: bool | None = None,
 ) -> DataFrame:
     """Stream-stream (or batch) interval join: pair each left row with every
     right row sharing ``by`` whose ``right_ts`` falls in
@@ -267,6 +284,19 @@ def interval_join(
     Right columns are emitted with ``prefix`` (streaming joins reject
     ambiguous names). The equality key keeps the physical join an equi-join
     with a range residual — never a cross product.
+
+    Batch scale path (``bin_join``, default ON for batch×batch): keying
+    on ``by`` alone pairs EVERY left×right row of a key before the time
+    residual filters — per-key cost grows quadratically with events per
+    key (at sf10 the entry's 10M-event table makes 26.6M intermediate
+    pairs for 18k survivors). Instead the join key becomes
+    (``by``, time-bin): bins are interval-length-sized epoch buckets,
+    the left side explodes into the ~2 bins its window spans, the right
+    bins once, and the exact bounds run as the residual — identical
+    rows, intermediate pairs proportional to TRUE matches. Binning is
+    integer micros arithmetic (``unix_micros``), so bin assignment is
+    exact; streams keep Spark's watermarked-state join, whose state
+    eviction needs the raw range predicate.
     """
     lo = F.expr(f"INTERVAL {lower_offset.lstrip('-')}")
     lo_sign = -1 if lower_offset.strip().startswith("-") else 1
@@ -283,6 +313,33 @@ def interval_join(
     rts = r[f"{prefix}{right_ts}"]
     lower_bound = (lts - lo) if lo_sign < 0 else (lts + lo)
     upper_bound = (lts - hi) if hi_sign < 0 else (lts + hi)
+    both_batch = not left.isStreaming and not right.isStreaming
+    if both_batch and (bin_join or bin_join is None):
+        lo_us = int(round(_offset_seconds(lower_offset) * 1_000_000))
+        hi_us = int(round(_offset_seconds(upper_offset) * 1_000_000))
+        bin_us = max(hi_us - lo_us, 1_000_000)
+        lb = l.withColumn("__bin", F.explode(F.sequence(
+            F.floor((F.unix_micros(F.col(left_ts)) + F.lit(lo_us))
+                    / F.lit(bin_us)),
+            F.floor((F.unix_micros(F.col(left_ts)) + F.lit(hi_us))
+                    / F.lit(bin_us)))))
+        rb = r.withColumn(
+            "__bin",
+            F.floor(F.unix_micros(F.col(f"{prefix}{right_ts}"))
+                    / F.lit(bin_us)))
+        blts = lb[left_ts]
+        brts = rb[f"{prefix}{right_ts}"]
+        blo = (blts - lo) if lo_sign < 0 else (blts + lo)
+        bhi = (blts - hi) if hi_sign < 0 else (blts + hi)
+        cond = (
+            (lb[by] == rb[f"{prefix}{by}"])
+            & (lb["__bin"] == rb["__bin"])
+            & (brts >= blo)
+            & (brts <= bhi)
+        )
+        return lb.join(rb, cond, "inner").select(
+            *[lb[c] for c in left.columns],
+            *[rb[f"{prefix}{c}"] for c in right.columns])
     cond = (
         (l[by] == r[f"{prefix}{by}"])
         & (rts >= lower_bound)
