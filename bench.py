@@ -235,7 +235,14 @@ def main() -> None:
     LAYOUT_ENTRIES = ["subquery_correlated_scalar_q17",
                       "tpch_q18_large_volume_customer",
                       "tpch_q21_suppliers_kept_waiting",
-                      "pipeline_text_repetition_signals"]
+                      "pipeline_text_repetition_signals",
+                      # r15: tracked so the record certifies their
+                      # layout story per-round — r13 measured q10 −23%
+                      # bucketed, but the r13/r14 stock-plan rewrites
+                      # caught up (r15 interleaved: both neutral under
+                      # the orderkey layout; see r15_ab_records.md)
+                      "tpch_q10_returned_items",
+                      "tpch_q15_top_supplier"]
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):
