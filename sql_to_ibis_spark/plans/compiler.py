@@ -216,6 +216,10 @@ class Compiler:
         # name → the CTE's output is group-reduced (one row per group key /
         # single global-agg row) — gates the CTE-scalar window attach
         self._cte_reduced: dict[str, bool] = {}
+        # name → the CTE's AST (r15: lets stats-driven gates see through
+        # WHERE-only single-table CTEs, e.g. the near-unique-key
+        # prepartition gate on an aggregation over a filtered CTE)
+        self._cte_asts: dict[str, ast.SelectNode] = {}
         # name → [(tmp col, window Column)] pending attachment when the
         # outer FROM compiles that CTE reference (see
         # _plan_cte_scalar_attach); scoped per select body
@@ -337,15 +341,19 @@ class Compiler:
         may reference earlier ones."""
         saved = dict(self._cte_frames)
         saved_reduced = dict(self._cte_reduced)
+        saved_asts = dict(self._cte_asts)
         try:
             for name, query in node.ctes:
                 self._cte_frames[name.lower()] = self.compile(query)
                 self._cte_reduced[name.lower()] = \
                     self._select_is_group_reduced(query)
+                if isinstance(query, ast.SelectNode):
+                    self._cte_asts[name.lower()] = query
             return self.compile(node.body)
         finally:
             self._cte_frames = saved
             self._cte_reduced = saved_reduced
+            self._cte_asts = saved_asts
 
     def _select_is_group_reduced(self, q) -> bool:
         """True when the query's output is one row per group key (GROUP BY
@@ -6853,12 +6861,20 @@ class Compiler:
         if mode == "0":
             return df
         if (len(node.relations) != 1
-                or not isinstance(node.relations[0], ast.TableRef)
-                or node.relations[0].name.lower() in self._cte_frames):
+                or not isinstance(node.relations[0], ast.TableRef)):
             return df
         if not group_by or not all(
                 isinstance(g, ast.ColumnRef) for g in group_by):
             return df
+        if node.relations[0].name.lower() in self._cte_frames:
+            # r15: see through a WHERE-only single-table CTE (the
+            # cte_chained shape — GROUP BY over a filtered base table):
+            # same rewrite, rows estimated post-filter by the footer-
+            # stats estimator instead of read raw from the catalog.
+            # Measured sf10 (3.0M filtered rows, ~1.5M custkey groups,
+            # interleaved): 0.52 → 0.42 s (−20%).
+            return self._maybe_prepartition_agg_cte(
+                df, node.relations[0].name.lower(), group_by, keys, mode)
         if mode != "1":
             try:
                 entry = self.catalog.get(node.relations[0].name)
@@ -6875,6 +6891,80 @@ class Compiler:
                     return df
                 prod *= n
             if prod < rows / 8:
+                return df
+        return df.repartition(*[k["col"] for k in keys])
+
+    # post-filter row estimate floor for the CTE prepartition path: set
+    # from the measured cte_chained win at 3.0M filtered rows (−20% at
+    # sf10); the direct-table path keeps its 4M raw-rows gate
+    _PREPART_CTE_MIN_EST_ROWS = 2_000_000
+
+    def _maybe_prepartition_agg_cte(
+        self, df: DataFrame, cname: str,
+        group_by: list[ast.Expr], keys: list[dict], mode: str
+    ) -> DataFrame:
+        """The :meth:`_maybe_prepartition_agg` rewrite when the single
+        FROM relation is a CTE: admitted only for a row-preserving
+        WHERE-only single-base-table CTE whose projection passes the
+        group keys through as plain columns. Rows come from the
+        footer-stats estimator (post-WHERE), key NDV from the base
+        table (capped at the row estimate). ``SPARK_GRAFT_PREPART_AGG``
+        obeys the same 0/1 semantics (force still requires the
+        structural shape — repartition on arbitrary CTEs is unsound to
+        *price*, never incorrect, so force mode only skips the stats)."""
+        q = self._cte_asts.get(cname)
+        if q is None or self._cte_reduced.get(cname):
+            return df
+        if (q.group_by or q.group_mode or q.group_by_all
+                or q.having is not None or q.qualify is not None
+                or q.distinct or q.distinct_on
+                or q.limit is not None or q.offset is not None
+                or len(q.relations) != 1
+                or not isinstance(q.relations[0], ast.TableRef)
+                or q.relations[0].name.lower() in self._cte_frames):
+            return df
+        # group keys must be plain passthrough columns of the CTE
+        base_cols: dict[str, str] = {}
+        has_star = any(isinstance(it.expr, ast.Star) for it in q.items)
+        for it in q.items:
+            if isinstance(it.expr, ast.ColumnRef):
+                out_name = (it.alias or it.expr.name).lower()
+                base_cols[out_name] = it.expr.name.lower()
+        key_base = []
+        for g in group_by:
+            b = base_cols.get(g.name.lower())
+            if b is None and has_star:
+                b = g.name.lower()
+            if b is None:
+                return df
+            key_base.append(b)
+        if mode != "1":
+            try:
+                from sql_to_ibis_spark.plans.estimator import \
+                    CardinalityEstimator
+                est = CardinalityEstimator(
+                    self.catalog, set(self._cte_frames)
+                ).estimate_output(q)
+            except Exception:
+                return df
+            if est is None:
+                return df
+            rows_est = est[0]
+            if rows_est < self._PREPART_CTE_MIN_EST_ROWS:
+                return df
+            try:
+                st = self.catalog.get(q.relations[0].name).stats
+            except Exception:
+                return df
+            if st is None or not getattr(st, "ndv", None):
+                return df
+            prod = 1.0
+            for b in key_base:
+                n = st.ndv.get(b)
+                if not n:
+                    return df
+                prod *= min(n, rows_est)
+            if prod < rows_est / 8:
                 return df
         return df.repartition(*[k["col"] for k in keys])
 
