@@ -1073,70 +1073,65 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # (162 at r13; scripts/check_oracle.py, recorded per-round) is the
 # safety net for everything past position 50.
 _PRIORITY: list[str] = [
-    # --- driver window (50), r14 rotation ---
-    # plans r14 TOUCHED first (constraint flag rewrites: q3/q5/q8/q12/
-    # q14/q21/q11; shared-window decorrelation: q2; total-over-groups
-    # pin: q11/agg_share_of_total; repetition joinback variant), then
-    # the 15 remaining r10-stale entries, then the oldest r11 remainder
-    # alphabetically (recomputed from CORRECTNESS_r*.json at r14) —
-    # after this window no entry's latest driver record predates r11.
-    # Brand-new r14 entries first (no driver record exists yet):
-    "pipeline_dedup_against_index",
+    # --- driver window (50), r15 rotation ---
+    # The 23 entries whose latest driver record is r11 (the complete
+    # oldest tier — includes pipeline_streaming_interval_join and
+    # tpch_q15_top_supplier, both r15-touched), then the other five
+    # r15-touched plans (binned interval join rides the streaming
+    # entry; ingest broadcast anti-join; BPE unicode pre-tokenizer;
+    # cte_chained CTE-prepartition; q10 layout tracking), then the
+    # oldest r12 remainder alphabetically. After this window no
+    # entry's latest driver record predates r12.
+    "pipeline_dedup_ngram_jaccard",
+    "pipeline_dedup_simhash",
+    "pipeline_embedding_near_dup",
+    "pipeline_pack_sequences",
+    "pipeline_stateful_dedup",
+    "pipeline_streaming_interval_join",
+    "pipeline_streaming_sessionize",
+    "pipeline_streaming_sliding",
+    "pipeline_streaming_tumbling",
+    "pipeline_take_token_budget",
+    "pipeline_temporal_asof_join",
+    "pipeline_temporal_range_join",
+    "pipeline_text_bpe_tokens",
+    "pipeline_text_quality_score",
+    "pipeline_text_token_stats",
+    "pipeline_text_unigram_logprob",
+    "pivot_event_type",
+    "scalar_now_today_projection",
+    "scalar_today_pinned_filter",
+    "string_ansi_forms",
+    "string_functions",
+    "subquery_exists_in_select",
+    "tpch_q15_top_supplier",
     "pipeline_dedup_ingest_filter",
     "pipeline_bpe_word_histogram",
     "pipeline_bpe_token_count",
-    "tpch_q2_minimum_cost_supplier",
-    "tpch_q11_important_stock",
-    "tpch_q14_promo_effect",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q8_market_share",
-    "tpch_q12_shipmode_priority",
-    "tpch_q21_suppliers_kept_waiting",
-    "agg_share_of_total",
-    "pipeline_text_repetition_signals",
-    # latest record r10 (remaining 15)
-    "pipeline_text_chunk_documents",
-    "pipeline_text_language_id",
-    "pipeline_text_redact_pii",
-    "pipeline_text_term_frequencies",
-    "select_alias_expr",
-    "select_distinct",
-    "select_project",
-    "select_star",
-    "subquery_correlated_scalar_q17",
-    "subquery_scalar",
-    "top_k",
-    "tpch_q6_forecast_revenue",
-    "window_range_frame",
-    "window_range_interval",
-    "window_rows_frame",
-    # fill to 50 with the oldest remainder (latest record r11, alphabetical)
-    "agg_approx_count_distinct",
-    "agg_corr_regr",
-    "agg_group_by_ordinal",
-    "date_extract",
-    "date_functions",
-    "distinct_on_latest_event",
-    "embeddings_unnest_dims",
-    "events_tumbling_window",
-    "group_cube_grouping",
-    "group_grouping_sets",
-    "group_rollup",
-    "join_asof_sql",
-    "pipeline_ann_ivf",
-    "pipeline_ann_ivf_nprobe",
-    "pipeline_ann_lsh_bucketed",
-    "pipeline_containment",
-    "pipeline_curate_documents",
-    "pipeline_decontaminate",
-    "pipeline_dedup_exact",
-    "pipeline_dedup_lines",
-    "pipeline_dedup_minhash_lsh",
-    # (pipeline_dedup_ngram_jaccard / pipeline_dedup_simhash /
-    # pipeline_embedding_near_dup / pipeline_pack_sequences displaced
-    # to make room for the four new r14 entries — their latest record
-    # is r11, which the rotation invariant still covers)
+    "cte_chained",
+    "tpch_q10_returned_items",
+    "agg_count_star_distinct",
+    "agg_expression_mix",
+    "agg_extended_stats",
+    "agg_global",
+    "agg_group_by",
+    "agg_group_key_dropped",
+    "agg_groupby_no_agg_distinct",
+    "agg_having",
+    "agg_having_global",
+    "agg_having_hidden_agg",
+    "agg_left_fact_rollup",
+    "arithmetic",
+    "case_when",
+    "cast_types",
+    "coalesce_nullif",
+    "except_all",
+    "except_distinct",
+    "filter_between_in",
+    "filter_compare",
+    "filter_is_null",
+    "filter_like",
+    "group_by_all",
 ]
 
 
