@@ -1,0 +1,89 @@
+"""Certification-at-actual-HEAD (r15): run the full oracle sweep (and
+optionally the pytest suite) and write an artifact stamped with the
+exact commit it certifies. The r14 judging found "final-HEAD" sweeps
+that predated the final behavior-touching commit; this script makes
+that impossible:
+
+- refuses to START if the working tree is dirty (ignored files aside);
+- refuses to WRITE the artifact if HEAD moved or the tree became
+  dirty while the sweep ran;
+- the artifact carries the HEAD hash, so `git log -1 <hash>` proves
+  exactly what was certified.
+
+    python scripts/certify.py [sf_dir] [--tag rNN] [--with-pytest]
+
+Artifact: bench_results/certification_<tag>.txt
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(["git", *args], cwd=ROOT, text=True,
+                          capture_output=True, check=True).stdout.strip()
+
+
+def _tree_state() -> tuple[str, str]:
+    return _git("rev-parse", "HEAD"), _git("status", "--porcelain")
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    tag = "head"
+    if "--tag" in sys.argv:
+        tag = sys.argv[sys.argv.index("--tag") + 1]
+    with_pytest = "--with-pytest" in sys.argv
+
+    head0, dirty0 = _tree_state()
+    if dirty0:
+        sys.stderr.write(
+            "certify: refusing to start on a dirty tree:\n"
+            + dirty0 + "\n")
+        return 2
+
+    t0 = time.time()
+    sweep = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "scripts", "check_oracle.py"),
+         sf_dir], cwd=ROOT, text=True, capture_output=True)
+    sweep_tail = "\n".join(sweep.stdout.strip().splitlines()[-3:])
+    results = [f"oracle sweep ({sf_dir}): rc={sweep.returncode}",
+               sweep_tail]
+
+    if with_pytest:
+        py = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/", "-q"],
+            cwd=ROOT, text=True, capture_output=True)
+        results.append(
+            f"pytest: rc={py.returncode}\n"
+            + "\n".join(py.stdout.strip().splitlines()[-2:]))
+
+    head1, dirty1 = _tree_state()
+    if head1 != head0 or dirty1:
+        sys.stderr.write(
+            f"certify: tree changed while certifying "
+            f"(HEAD {head0[:9]} -> {head1[:9]}, dirty={bool(dirty1)}); "
+            "no artifact written\n")
+        return 3
+
+    ok = sweep.returncode == 0 and (not with_pytest or py.returncode == 0)
+    path = os.path.join(ROOT, "bench_results", f"certification_{tag}.txt")
+    with open(path, "w") as f:
+        f.write(f"HEAD: {head0}\n")
+        f.write(f"started: {time.strftime('%Y-%m-%dT%H:%M:%SZ', time.gmtime(t0))}\n")
+        f.write(f"wall: {time.time() - t0:.1f}s\n")
+        f.write(f"status: {'CERTIFIED' if ok else 'FAILED'}\n\n")
+        f.write("\n".join(results) + "\n")
+    print(f"{'CERTIFIED' if ok else 'FAILED'} at {head0[:9]} -> {path}")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
