@@ -248,7 +248,11 @@ def main() -> None:
                       # caught up (r15 interleaved: both neutral under
                       # the orderkey layout; see r15_ab_records.md)
                       "tpch_q10_returned_items",
-                      "tpch_q15_top_supplier"]
+                      "tpch_q15_top_supplier",
+                      # r15: first-ever q7 layout A/B — bucketed wins
+                      # every interleaved pair (sf10 best 3.07 → 2.13,
+                      # −31%; the lineitem⋈orders orderkey exchange)
+                      "tpch_q7_volume_shipping"]
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):
