@@ -61,9 +61,12 @@ def main() -> int:
         py = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/", "-q"],
             cwd=ROOT, text=True, capture_output=True)
+        lines = py.stdout.strip().splitlines()
+        summary = [l for l in lines
+                   if "passed" in l or "failed" in l or "error" in l]
         results.append(
             f"pytest: rc={py.returncode}\n"
-            + "\n".join(py.stdout.strip().splitlines()[-2:]))
+            + "\n".join(summary[-2:] or lines[-2:]))
 
     head1, dirty1 = _tree_state()
     if head1 != head0 or dirty1:
