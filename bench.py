@@ -252,7 +252,12 @@ def main() -> None:
                       # r15: first-ever q7 layout A/B — bucketed wins
                       # every interleaved pair (sf10 best 3.07 → 2.13,
                       # −31%; the lineitem⋈orders orderkey exchange)
-                      "tpch_q7_volume_shipping"]
+                      "tpch_q7_volume_shipping",
+                      # r15: q3/q8 had one-off r13 bucketed wins (−39%
+                      # / −18% at sf10) — tracked so the wins are
+                      # re-certified (or their decay caught) per round
+                      "tpch_q3_shipping_priority",
+                      "tpch_q8_market_share"]
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):
