@@ -7378,12 +7378,118 @@ class Compiler:
                     "columns or select aliases")
 
         on_cols = [_pre_projection(e) for e in node.distinct_on]
+        agg = self._distinct_on_aggregate(df, node, scope, on_cols,
+                                          _pre_projection)
+        if agg is not None:
+            return agg
         order_cols = [_directed(_pre_projection(item.expr), item)
                       for item in node.order_by]
         tag = f"__don_{next(self._tmp_counter)}"
         w = Window.partitionBy(*on_cols).orderBy(*order_cols)
         return (df.withColumn(tag, F.row_number().over(w))
                 .filter(F.col(tag) == 1).drop(tag))
+
+    def _distinct_on_aggregate(self, df, node, scope, on_cols,
+                               _pre_projection):
+        """Single-shuffle DISTINCT ON (r15, guide §2.3/§2.4): when the
+        residual ORDER BY — after dropping keys structurally equal to a
+        DISTINCT ON expr (constant within a group) — runs in ONE
+        direction, the kept row is ``min_by``/``max_by`` of the whole
+        row over the composite key: an aggregate whose map-side partial
+        combine ships ~|groups| rows per map partition, where the
+        ``row_number`` window shuffles and total-sorts EVERY input row.
+        (The struct-typed buffer keeps Spark on SortAggregate, so on
+        local[32] — where a shuffle is a memcpy — the win is modest:
+        measured sf10 events interleaved best-of-3, 1.89/2.39/1.98 s
+        window vs 1.84/2.15/1.81 s aggregate. The structural payoff is
+        the exchange: |groups|·width bytes instead of |rows|·width,
+        which is what survives at cluster scale where the exchange is
+        the network.)
+
+        NULL placement is preserved exactly by interleaving a
+        null-rank boolean before each key field in the ordering struct
+        — the boolean ranks null-key rows where the engine's NULLS
+        FIRST/LAST (default LAST) would put them, and because the
+        struct itself is never null, ``min_by``/``max_by`` still
+        return a row for all-null groups (a bare-key ordering would
+        return a null row instead). Tie groups under the residual
+        ordering are implementation-pick in BOTH forms (the window's
+        pick depends on partition layout), so the rewrite does not
+        change any determinism contract. Returns None (caller falls
+        back to the window form) when the residual ordering mixes
+        ASC and DESC (one struct comparison cannot flip direction per
+        field), the FROM clause has several relations (the struct
+        round-trip drops per-relation aliases, breaking qualified
+        select refs), or the input carries duplicate column names."""
+        if len(scope.relations) != 1:
+            return None
+        if len(set(c.lower() for c in df.columns)) != len(df.columns):
+            return None
+        try:
+            on_canon = {self._canon(e, scope) for e in node.distinct_on}
+            residual = [it for it in node.order_by
+                        if self._canon(it.expr, scope) not in on_canon]
+        except Exception:
+            return None
+        if not residual or len({it.ascending for it in residual}) != 1:
+            return None
+        if node.qualify is not None:
+            return None
+        # Catalyst cannot prune columns INTO the min_by/max_by struct
+        # (an opaque aggregate defeats the pruning the window form gets
+        # for free — guide §2.3), so ship only the columns the query
+        # references: measured sf10 on events, the full-row struct
+        # dragged the wide props column through the aggregate and LOST
+        # to the window (1.86 → 2.5 s) until pruned here.
+        refs: set[str] = set()
+
+        def _collect(e) -> bool:
+            # returns False when pruning must be abandoned: star items,
+            # or subquery-typed exprs whose bodies may carry correlated
+            # outer refs a _children walk does not see
+            if isinstance(e, (ast.Star, ast.InSubquery, ast.ExistsSubquery,
+                              ast.ScalarSubquery, ast.QuantifiedCompare,
+                              ast.GroupTotalSubquery, ast.ScalarRef,
+                              ast.ScalarSubqueryField)):
+                return False
+            if isinstance(e, ast.ColumnRef):
+                try:
+                    _, true = scope.resolve(e.name, e.table)
+                except Exception:
+                    return False
+                refs.add(true.lower())
+                return True
+            return all(_collect(c) for c in _children(e))
+
+        exprs = [it.expr for it in node.items] + list(node.distinct_on) \
+            + [it.expr for it in node.order_by]
+        if not all(_collect(e) for e in exprs):
+            return None
+        keep = [c for c in df.columns if c.lower() in refs]
+        if not keep:
+            return None
+        ascending = residual[0].ascending
+        fields: list[Column] = []
+        for i, item in enumerate(residual):
+            key = _pre_projection(item.expr)
+            nulls_first = item.nulls_first \
+                if item.nulls_first is not None else False
+            # boolean ranks null keys exactly where the window ordering
+            # would: false < true under both min and max
+            if ascending:
+                null_rank = key.isNotNull() if nulls_first else key.isNull()
+            else:
+                null_rank = key.isNull() if nulls_first else key.isNotNull()
+            fields.append(null_rank.alias(f"__nr{i}"))
+            fields.append(key.alias(f"__k{i}"))
+        ord_col = F.struct(*fields)
+        row = F.struct(*[F.col(_bq(c)).alias(c) for c in keep])
+        pick = (F.min_by(row, ord_col) if ascending
+                else F.max_by(row, ord_col)).alias("__row")
+        out = df.groupBy(*on_cols).agg(pick).select("__row.*")
+        # restore the relation alias the struct round-trip dropped, so
+        # qualified select-list refs (events.user_id) keep resolving
+        return out.alias(scope.relations[0].qualifier)
 
     def _apply_order_by(self, df: DataFrame, items: list[ast.OrderItem]) -> DataFrame:
         if not items:

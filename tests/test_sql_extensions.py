@@ -423,9 +423,28 @@ def test_distinct_on_single_shuffle_plan(engine):
         ORDER BY user_id, event_id
     """)
     plan = plan_of(df, "simple")
-    # row_number window (1 hash exchange) + final sort (1 range exchange);
-    # never an aggregation-join or per-group collect
+    # r15: uniform-direction residual ordering lowers to a min_by/max_by
+    # hash aggregate (map-side partial agg ships ~|groups| rows per map
+    # partition) + the final range sort — never a full-row window sort,
+    # an aggregation-join, or a per-group collect
     assert plan.count("Exchange") == 2
+    assert "Window" not in plan
+    assert "min_by" in plan or "max_by" in plan
+    assert "partial_min_by" in plan or "partial_max_by" in plan
+
+
+def test_distinct_on_mixed_direction_falls_back_to_window(engine, ddb):
+    from tests.conftest import compare_frames
+    from tests.test_plan_quality import plan_of
+    # ts DESC then event_id ASC cannot ride one struct comparison — the
+    # window form must still serve mixed-direction residual orderings
+    sql = """
+        SELECT DISTINCT ON (user_id) user_id, event_id, ts FROM events
+        ORDER BY user_id, ts DESC, event_id
+    """
+    df = engine.query(sql)
+    assert "Window" in plan_of(df, "simple")
+    compare_frames(df.toPandas(), ddb.execute(sql).fetchdf())
 
 
 class TestQuantifiedComparisons:
