@@ -1110,6 +1110,9 @@ _PRIORITY: list[str] = [
     "pipeline_bpe_token_count",
     "cte_chained",
     "tpch_q10_returned_items",
+    # r15 session-2: DISTINCT ON now lowers to a min_by/max_by aggregate
+    # (plan changed) — leads the window per the rotation policy
+    "distinct_on_latest_event",
     "agg_count_star_distinct",
     "agg_expression_mix",
     "agg_extended_stats",
@@ -1131,7 +1134,9 @@ _PRIORITY: list[str] = [
     "filter_compare",
     "filter_is_null",
     "filter_like",
-    "group_by_all",
+    # group_by_all rotated out for distinct_on_latest_event (its latest
+    # driver record is r12, so the no-entry-older-than-r12 invariant
+    # holds; the full local oracle sweep still covers it every round)
 ]
 
 
