@@ -628,6 +628,37 @@ def test_redact_pii_patterns(spark):
     assert got[2]["text_redacted"] == "nothing sensitive here"
 
 
+def test_redact_pii_gates_pass_through_near_misses(spark):
+    # rows that OPEN a substring gate but contain no actual match must come
+    # through byte-identical with zero redactions (the gates are an
+    # optimization, never a filter)
+    rows = [
+        (1, "version 2 of chapter 3 has 4 figures"),        # digits, no phone
+        (2, "a well-known hyphen-ated side-note"),          # dashes, no SSN
+        (3, "ssn-ish 123-45-678 and short call 55-123-4567"),  # near misses
+        (4, "at sign in email-less text @ large"),          # '@', no email
+        (5, "httpx is not a url scheme here: http"),        # 'http', no URL
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    for doc_id, original in rows:
+        assert got[doc_id]["n_redactions"] == 0
+        assert got[doc_id]["text_redacted"] == original
+
+
+def test_redact_pii_single_gate_char_still_matches(spark):
+    # each pattern must still fire when only its own gate chars appear
+    df = spark.createDataFrame(
+        [(1, "dial 555.123.4567 now"),      # digit gate, dot separators
+         (2, "id 987-65-4321 on file")],    # dash gate
+        ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert got[1]["text_redacted"] == "dial <PHONE> now"
+    assert got[1]["n_redactions"] == 1
+    assert got[2]["text_redacted"] == "id <SSN> on file"
+    assert got[2]["n_redactions"] == 1
+
+
 def test_repetition_signals_planted(spark):
     rows = [
         # "buy now" repeated 5× in 10 words → top bigram covers most chars
