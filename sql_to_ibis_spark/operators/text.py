@@ -518,6 +518,11 @@ def redact_pii(df: DataFrame, text_col: str = "text",
     for pattern, _, gates in _PII_PATTERNS:
         n = n + F.when(_gate(gates),
                        F.regexp_count(t, F.lit(pattern))).otherwise(F.lit(0))
+    # NULL text must yield NULL n_redactions (the ungated regexp_count
+    # null-propagated; a NULL gate falls into otherwise(0) and would
+    # silently turn NULL into 0, diverging from the DuckDB oracle's
+    # len(regexp_extract_all(NULL,...)) null-propagation — r15 ADVICE)
+    n = F.when(t.isNull(), F.lit(None)).otherwise(n)
     out = t
     for pattern, token, gates in _PII_PATTERNS:
         out = F.when(_gate(gates),

@@ -7452,6 +7452,12 @@ class Compiler:
                               ast.GroupTotalSubquery, ast.ScalarRef,
                               ast.ScalarSubqueryField)):
                 return False
+            if isinstance(e, ast.WindowFunc) and e.window.ref is not None:
+                # named-window reference: the WINDOW clause's partition/
+                # order columns are resolved later and invisible to
+                # _children, so pruning here would drop them (r15
+                # ADVICE) — abandon to the window fallback
+                return False
             if isinstance(e, ast.ColumnRef):
                 try:
                     _, true = scope.resolve(e.name, e.table)
@@ -8200,8 +8206,15 @@ def _children(node: object) -> list:
     if isinstance(node, ast.Cast):
         return [node.operand]
     if isinstance(node, ast.FuncCall):
-        return list(node.args)
+        # FILTER (WHERE cond) is a real child: analysis walks that skip
+        # it miss its column references (r15 ADVICE)
+        return list(node.args) + (
+            [node.filter_where] if node.filter_where is not None else [])
     if isinstance(node, ast.WindowFunc):
+        # NOTE: a named-window reference (window.ref) is resolved later
+        # against the WINDOW clause; its partition/order columns are NOT
+        # visible here — walks that must see every referenced column
+        # have to treat ref-carrying WindowFuncs as opaque.
         return [node.func, *node.window.partition_by,
                 *[o.expr for o in node.window.order_by]]
     return []
