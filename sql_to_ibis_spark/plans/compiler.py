@@ -248,6 +248,12 @@ class Compiler:
             if self._compile_depth == 0:
                 self.__dict__.pop("_in_keyset_cache", None)
                 self.__dict__.pop("_nx_window_filters", None)
+                # synthetic collapsed-frame CTE registrations are scoped
+                # to one top-level compile (names are unique, so this is
+                # a footprint bound, not a correctness need)
+                for nm in self.__dict__.pop("_nxc_frames", []):
+                    self._cte_frames.pop(nm, None)
+                    self._cte_reduced.pop(nm, None)
 
     def _pin(self, df: DataFrame) -> DataFrame:
         """Pin a bounded intermediate frame for reuse across plan branches.
@@ -427,6 +433,9 @@ class Compiler:
         if rewritten is not None:
             node = rewritten
         rewritten = self._try_parse_per_distinct(node)
+        if rewritten is not None:
+            node = rewritten
+        rewritten = self._try_neq_exists_collapse(node)
         if rewritten is not None:
             node = rewritten
         rewritten = self._try_eager_aggregation(node)
@@ -3610,6 +3619,15 @@ class Compiler:
         inner = ast.SelectNode(items=inner_items, relations=[tree],
                                where=inner_where, group_by=inner_group,
                                having=inner_having)
+        # NOT marked for runtime broadcast certification (r16, measured
+        # and rejected): pinning + counting the post-HAVING survivors and
+        # broadcast-hinting them under the keyset cap looked like the q18
+        # finishing move, but q18's `HAVING sum > 200` keeps 918k of 15M
+        # groups (~29 MB) — the broadcast build plus the serialized
+        # pin/count job cost MORE than the orders exchange they replace,
+        # which AQE overlaps with the aggregate's own stage anyway
+        # (sf10 interleaved: certify 8.58 s vs fold-as-is 6.06 s median,
+        # scripts/ab_q18_certify.py). The fold stays join-neutral.
 
         # ---- outer node: join dimensions to the partial, re-aggregate
         out_tree: ast.Relation = ast.SubqueryRef(query=inner, alias=ea_alias)
@@ -5942,6 +5960,486 @@ class Compiler:
                 drop += [cnt, mn, mx]
             df = df.drop(*drop)
         return df, remaining
+
+    # ------------------------------------ <>-EXISTS pinned group collapse
+
+    @staticmethod
+    def _nxc_fp(e: ast.Expr) -> str:
+        """Qualifier-insensitive structural fingerprint for comparing
+        fact-local predicates across scopes (the outer WHERE writes
+        ``l1.l_returnflag = 'R'``, the EXISTS local writes
+        ``l3.l_returnflag = 'R'`` — same predicate over the same table)."""
+        def tx(x: ast.Expr) -> ast.Expr:
+            if isinstance(x, ast.ColumnRef):
+                return ast.ColumnRef(name=x.name.lower(), table=None)
+            return x
+        return repr(_transform_expr(_copy_expr(e), tx))
+
+    def _try_neq_exists_collapse(
+        self, node: ast.SelectNode
+    ) -> "ast.SelectNode | None":
+        """Pinned GROUP COLLAPSE of the <>-correlated EXISTS family (the
+        TPC-H q21 shape) — the finishing move past the window rewrite
+        (``_plan_neq_exists_window``): when
+
+        * a NEGATED member's inner-local predicate set is implied by the
+          outer query's own fact-local filters (q21: the NOT EXISTS is
+          over ``l_returnflag = 'R'`` rows and the outer keeps exactly
+          those rows), every qualifying fact row of a correlation group
+          shares ONE ``s`` value — the single supplier the NOT EXISTS
+          permits — so the group's qualifying rows collapse to one row
+          (key, that supplier, row count) with NO loss;
+        * the fact's columns are referenced outside the EXISTS conjuncts
+          only through the correlation key(s), the <>-column, fact-local
+          filters, and ``COUNT(*)``,
+
+        the whole fact relation is replaced by a two-level hash
+        aggregate (one narrow exchange on the key — or zero on a
+        key-bucketed layout — instead of the window's wide
+        exchange + 60M-row sort), EXISTS tests become per-group
+        aggregate tests, and ``COUNT(*)`` becomes ``SUM`` of the
+        collapsed weights (join multiplicities against other relations
+        scale both identically). Level 1 groups by (key, s) computing
+        the outer-filter row count and one flag per member's local
+        predicate; level 2 groups by key computing, per member, the
+        count/min/max of distinct non-NULL ``s`` values holding that
+        member's property — the same count/min/max EXISTS test as
+        ``_apply_neq_exists_agg``, now evaluable at the single pinned
+        ``s`` with no join back to fact rows. The explicit repartition
+        on the key (skipped on a key-bucketed scan) lets BOTH aggregates
+        run in one post-shuffle stage (hash(key) satisfies the
+        (key, s) clustering requirement).
+
+        NULL soundness: requires (a) one POSITIVE member — a fact row
+        with a NULL correlation key fails its equi-correlation, so such
+        rows are dropped everywhere and the collapse may group them
+        away; (b) an inner equi-join between the fact's ``s`` and
+        another relation — NULL-``s`` rows are dropped by that join in
+        the original plan, so the collapsed weight counts only
+        non-NULL-``s`` rows. min/max/count ignore NULL ``s`` exactly as
+        the agg rewrite's conditional aggregates do.
+
+        Gate mirrors the window path: footer stats certify the fact
+        ≥ 1M rows; ``SPARK_GRAFT_NEQ_EXISTS_COLLAPSE=1`` forces, ``=0``
+        disables (falling back to the window/agg-join rewrites).
+        Measured sf10 (interleaved): see OPTIMIZATION_r16.md.
+        """
+        mode = os.environ.get("SPARK_GRAFT_NEQ_EXISTS_COLLAPSE", "")
+        if mode == "0" or node.where is None or not node.relations:
+            return None
+        if (node.group_mode is not None or node.group_by_all
+                or node.distinct or node.distinct_on
+                or node.qualify is not None or node.windows):
+            return None
+
+        # ---- flatten the outer FROM: inner-join tree of base tables ----
+        outer_refs: list[ast.TableRef] = []
+        join_conds: list[ast.Expr] = []
+
+        def flatten(rel: ast.Relation) -> bool:
+            if isinstance(rel, ast.TableRef):
+                if rel.name.lower() in self._cte_frames:
+                    return False
+                outer_refs.append(rel)
+                return True
+            if isinstance(rel, ast.Join) and rel.kind == "inner":
+                if not (flatten(rel.left) and flatten(rel.right)):
+                    return False
+                join_conds.extend(self._split_conjuncts(rel.condition))
+                return True
+            return False
+
+        for r in node.relations:
+            if not flatten(r):
+                return None
+        if len(outer_refs) < 2:
+            return None
+
+        infos: list[tuple[ast.TableRef, RelationInfo, str]] = []
+        for rel in outer_refs:
+            try:
+                entry = self.catalog.get(rel.name)
+            except Exception:
+                return None
+            info = RelationInfo(
+                qualifier=f"__nxcp_{next(self._rel_counter)}",
+                display=(rel.alias or entry.name),
+                columns=[f.name for f in entry.df.schema.fields],
+                types={f.name: f.dataType for f in entry.df.schema.fields})
+            infos.append((rel, info, rel.name.lower()))
+        pscope = Scope([i for _, i, _ in infos])
+        by_info = {id(i): (rel, tname) for rel, i, tname in infos}
+
+        # ---- split WHERE: EXISTS members / other conjuncts ----
+        members: list[tuple[dict, bool, ast.Expr]] = []  # spec, negated
+        other_conj: list[ast.Expr] = []
+        for conjunct in self._split_conjuncts(node.where):
+            negated = False
+            sub = conjunct
+            while isinstance(sub, ast.UnaryOp) and sub.op == "not" \
+                    and isinstance(sub.operand,
+                                   (ast.InSubquery, ast.ExistsSubquery)):
+                negated = not negated
+                sub = sub.operand
+            spec = None
+            if isinstance(sub, ast.ExistsSubquery):
+                try:
+                    spec = self._neq_exists_spec(sub.subquery, pscope)
+                except (AmbiguousColumnException, ColumnNotFoundError):
+                    spec = None
+            if spec is None:
+                other_conj.append(conjunct)
+            else:
+                members.append((spec, sub.negated ^ negated, conjunct))
+        if not members or not any(neg for _, neg, _ in members) \
+                or not any(not neg for _, neg, _ in members):
+            return None  # need ≥1 negated (pin candidate) and ≥1 positive
+        if mode != "1" and (members[0][0]["stats_rows"] is None
+                            or members[0][0]["stats_rows"] < 1_000_000):
+            return None
+
+        # ---- all members must target ONE outer self-table ref on the
+        # same key columns (window-path target detection) ----
+        target: ast.TableRef | None = None
+        keys: list[str] = []
+        sname: str | None = None
+        for spec, _neg, _c in members:
+            t_keys: list[str] = []
+            t_target: ast.TableRef | None = None
+            for c, o in spec["eq"]:
+                if not isinstance(o, ast.ColumnRef):
+                    return None
+                try:
+                    rinfo, true = pscope.resolve(o.name, o.table)
+                except (AmbiguousColumnException, ColumnNotFoundError):
+                    return None
+                owner = by_info.get(id(rinfo))
+                if owner is None or owner[1] != spec["rel"].name.lower() \
+                        or true.lower() != c.lower():
+                    return None
+                if t_target is None:
+                    t_target = owner[0]
+                elif t_target is not owner[0]:
+                    return None
+                t_keys.append(true)
+            if t_target is None:
+                return None
+            if target is None:
+                target, keys = t_target, t_keys
+            elif target is not t_target \
+                    or sorted(k.lower() for k in keys) \
+                    != sorted(k.lower() for k in t_keys):
+                return None
+            # the <>-column must be ONE column of the same fact, and the
+            # outer side of the <> must be that same fact column
+            so = spec["neq"][1]
+            if not isinstance(so, ast.ColumnRef):
+                return None
+            try:
+                rinfo, s_true = pscope.resolve(so.name, so.table)
+            except (AmbiguousColumnException, ColumnNotFoundError):
+                return None
+            if by_info.get(id(rinfo), (None,))[0] is not target \
+                    or s_true.lower() != spec["neq"][0].lower():
+                return None
+            if sname is None:
+                sname = s_true
+            elif sname.lower() != s_true.lower():
+                return None
+        if target is None or sname is None \
+                or sname.lower() in (k.lower() for k in keys):
+            return None
+        t_idx = next(i for i, (rel, _, _) in enumerate(infos)
+                     if rel is target)
+        t_info = infos[t_idx][1]
+        t_alias = target.alias or target.name
+        fact_cols = {k.lower() for k in keys} | {sname.lower()}
+
+        # ---- classify the remaining conjuncts ----
+        def fact_refs(e: ast.Expr) -> "set[str] | None":
+            """Lower-cased fact column names referenced by ``e``; None
+            when any reference fails to resolve (conservative bail)."""
+            out: set[str] = set()
+            for x in _walk_all(e):
+                if not isinstance(x, ast.ColumnRef):
+                    continue
+                try:
+                    rinfo, true = pscope.resolve(x.name, x.table)
+                except (AmbiguousColumnException, ColumnNotFoundError):
+                    return None
+                if rinfo is t_info:
+                    out.add(true.lower())
+            return out
+
+        def resolves_fact_only(e: ast.Expr) -> bool:
+            for x in _walk_all(e):
+                if isinstance(x, ast.ColumnRef):
+                    try:
+                        rinfo, _ = pscope.resolve(x.name, x.table)
+                    except (AmbiguousColumnException, ColumnNotFoundError):
+                        return False
+                    if rinfo is not t_info:
+                        return False
+            return True
+
+        wlocal: list[ast.Expr] = []
+        kept_where: list[ast.Expr] = []
+        for c in other_conj:
+            if self._contains_subquery(c) \
+                    or self._contains_nondeterministic(c):
+                return None
+            fr = fact_refs(c)
+            if fr is None:
+                return None
+            if not fr or fr <= fact_cols:
+                kept_where.append(c)
+            elif resolves_fact_only(c):
+                wlocal.append(c)
+            else:
+                return None
+
+        # ---- pin: a negated member whose locals the outer filters imply
+        wlocal_fps = {self._nxc_fp(c) for c in wlocal}
+        pin_idx = next(
+            (i for i, (spec, neg, _c) in enumerate(members)
+             if neg and {self._nxc_fp(lc)
+                         for lc in spec["local"]} <= wlocal_fps),
+            None)
+        if pin_idx is None:
+            return None
+
+        # ---- the fact's s must be inner-equi-joined to another relation
+        def is_s_join(c: ast.Expr) -> bool:
+            if not (isinstance(c, ast.BinaryOp) and c.op == "="
+                    and isinstance(c.left, ast.ColumnRef)
+                    and isinstance(c.right, ast.ColumnRef)):
+                return False
+            sides = []
+            for x in (c.left, c.right):
+                try:
+                    rinfo, true = pscope.resolve(x.name, x.table)
+                except (AmbiguousColumnException, ColumnNotFoundError):
+                    return False
+                sides.append((rinfo, true.lower()))
+            (la, lc_), (ra, rc_) = sides
+            return ((la is t_info and lc_ == sname.lower()
+                     and ra is not t_info)
+                    or (ra is t_info and rc_ == sname.lower()
+                        and la is not t_info))
+
+        if not any(is_s_join(c) for c in join_conds + kept_where):
+            return None
+
+        # join ON conjuncts stay in the tree untouched — they may only
+        # touch the fact through key/s columns
+        for c in join_conds:
+            fr = fact_refs(c)
+            if fr is None or not fr <= fact_cols:
+                return None
+
+        # ---- outer expression audit: fact refs only via key/s; every
+        # aggregate is a plain COUNT(*) ----
+        audit_exprs: list[ast.Expr] = [i.expr for i in node.items] \
+            + list(node.group_by) \
+            + ([node.having] if node.having is not None else []) \
+            + [o.expr for o in node.order_by]
+        has_count_star = [False]
+
+        def audit(e: object) -> bool:
+            for x in _walk_all(e):
+                if isinstance(x, ast.Star):
+                    return False
+                if isinstance(x, (ast.WindowFunc, ast.GroupTotalSubquery)):
+                    return False
+                if isinstance(x, ast.FuncCall) and (
+                        self._is_agg_name(x.name) or x.is_star):
+                    if not x.is_star or x.distinct \
+                            or x.filter_where is not None:
+                        return False
+                    has_count_star[0] = True
+                    continue
+                if isinstance(x, ast.ColumnRef):
+                    try:
+                        rinfo, true = pscope.resolve(x.name, x.table)
+                    except (AmbiguousColumnException, ColumnNotFoundError):
+                        continue  # output-alias refs (ORDER BY/HAVING)
+                    if rinfo is t_info and true.lower() not in fact_cols:
+                        return False
+            return True
+
+        for e in audit_exprs:
+            if self._contains_any_subquery(e):
+                return None
+            if not audit(e):
+                return None
+        def has_star_agg(e: ast.Expr) -> bool:
+            return any(isinstance(x, ast.FuncCall) and x.is_star
+                       for x in _walk_all(e))
+
+        for i in node.items:
+            # an unaliased COUNT(*) item's output NAME would change
+            # under the sum(weight) rewrite — require an explicit alias
+            if i.alias is None and has_star_agg(i.expr):
+                return None
+        # ORDER BY resolves post-projection in this engine: a COUNT(*)
+        # there must map onto a select-list output (the rewritten
+        # sum(weight) column is projected away). Map exact matches to
+        # the item's alias; bail on anything fancier.
+        item_fp = {self._nxc_fp(i.expr): i.alias for i in node.items
+                   if i.alias is not None}
+        order_out: list[ast.OrderItem] = []
+        for o in node.order_by:
+            if has_star_agg(o.expr):
+                alias = item_fp.get(self._nxc_fp(o.expr))
+                if alias is None:
+                    return None
+                order_out.append(ast.OrderItem(
+                    expr=ast.ColumnRef(name=alias, table=None),
+                    ascending=o.ascending, nulls_first=o.nulls_first))
+            else:
+                order_out.append(ast.OrderItem(
+                    expr=_copy_expr(o.expr), ascending=o.ascending,
+                    nulls_first=o.nulls_first))
+        if not has_count_star[0] and not node.group_by:
+            return None  # nothing aggregates — collapse would change rows
+        if not node.group_by and node.having is None \
+                and not any(self._contains_aggregate(i.expr)
+                            for i in node.items):
+            return None
+
+        # ---- build the collapsed frame ----
+        saved_semi = getattr(self, "_semi_plan", {})
+        saved_bcast = getattr(self, "_bcast_hints", {})
+        saved_nxw = getattr(self, "_nx_window_plan", {})
+        self._semi_plan, self._bcast_hints, self._nx_window_plan = {}, {}, {}
+        try:
+            rdf, rinfos = self._compile_relation(target, [])
+        finally:
+            self._semi_plan = saved_semi
+            self._bcast_hints = saved_bcast
+            self._nx_window_plan = saved_nxw
+        bscope = Scope(rinfos)
+
+        def bcol(name: str) -> Column:
+            return self.compile_expr(
+                ast.ColumnRef(name=name, table=None), bscope)
+
+        def conj_flag(conjs: list[ast.Expr]) -> Column:
+            cond: Column | None = None
+            for c in conjs:
+                # strip the OUTER alias qualifier: wlocal conjuncts are
+                # written against the outer alias (l1.*), the base scope
+                # exposes the bare fact columns
+                def tx(x: ast.Expr) -> ast.Expr:
+                    if isinstance(x, ast.ColumnRef) and x.table is not None:
+                        return ast.ColumnRef(name=x.name, table=None)
+                    return x
+                cc = self.compile_expr(
+                    _transform_expr(_copy_expr(c), tx), bscope)
+                cond = cc if cond is None else (cond & cc)
+            if cond is None:
+                return F.lit(1)
+            return F.when(cond, F.lit(1)).otherwise(F.lit(0))
+
+        # ONE aggregate over the key: no distinct-supplier counts needed —
+        # "exactly one property-p supplier" is mn_p = mx_p (min/max ignore
+        # NULL s), "some OTHER property-i supplier than s0" is
+        # mn_i non-null ∧ (mn_i ≠ s0 ∨ mx_i ≠ s0), the same row-level
+        # conditional min/max test _apply_neq_exists_agg uses. (A two-level
+        # (key,s)-then-key variant was measured and REJECTED: the (key,s)
+        # level barely collapses — ~55M pairs over 60M rows at sf10 — and
+        # its hash tables doubled the aggregate cost; sf10 interleaved
+        # 24.6 s vs the window's 14.4 s. This single-level form has
+        # |groups| = NDV(key).)
+        n = next(self._tmp_counter)
+        scol_raw = bcol(sname)
+        proj_cols = [bcol(k).alias(k) for k in keys] \
+            + [scol_raw.alias(sname),
+               F.when(scol_raw.isNotNull() & (conj_flag(wlocal) == 1),
+                      F.lit(1)).otherwise(F.lit(0)).alias("__nxc_wf")]
+        for i, (spec, _neg, _c) in enumerate(members):
+            proj_cols.append(conj_flag(spec["local"]).alias(f"__nxc_m{i}"))
+        proj = rdf.select(*proj_cols)
+        knn: Column | None = None
+        for k in keys:
+            piece = F.col(_bq(k)).isNotNull()
+            knn = piece if knn is None else (knn & piece)
+        proj = proj.filter(knn)
+        tdf = self.catalog.get(target.name).df
+        if not self._bucketed_on(tdf, keys):
+            # raw-row repartition mirrors _apply_neq_exists_agg's
+            # near-unique-key reasoning: |groups| ≈ rows/4 here, a
+            # map-side partial hash build buys little
+            proj = proj.repartition(*[F.col(_bq(k)) for k in keys])
+
+        scol = F.col(_bq(sname))
+        aggs = [F.sum(F.col("__nxc_wf")).alias("__nxc_w")]
+        for i in range(len(members)):
+            mi = F.col(f"__nxc_m{i}") == 1
+            aggs += [F.min(F.when(mi, scol)).alias(f"__nxc_mn{i}"),
+                     F.max(F.when(mi, scol)).alias(f"__nxc_mx{i}")]
+        lvl = proj.groupBy(*[F.col(_bq(k)) for k in keys]).agg(*aggs)
+
+        s0 = F.col(f"__nxc_mn{pin_idx}")
+        filt = (F.col("__nxc_w") >= 1) \
+            & s0.isNotNull() & (s0 == F.col(f"__nxc_mx{pin_idx}"))
+        for i, (_spec, neg, _c) in enumerate(members):
+            if i == pin_idx:
+                continue
+            test = F.col(f"__nxc_mn{i}").isNotNull() \
+                & ((F.col(f"__nxc_mn{i}") != s0)
+                   | (F.col(f"__nxc_mx{i}") != s0))
+            filt = filt & (~test if neg else test)
+        cdf = (lvl.filter(filt)
+               .select(*[F.col(_bq(k)).alias(k) for k in keys],
+                       s0.alias(sname),
+                       F.col("__nxc_w").alias("__nxc_w")))
+
+        # ---- register the collapsed frame and rewrite the node ----
+        cname = f"__nxc_{n}"
+        self._cte_frames[cname] = cdf
+        self._cte_reduced[cname] = True
+        self.__dict__.setdefault("_nxc_frames", []).append(cname)
+
+        new_ref = ast.TableRef(name=cname, alias=t_alias)
+
+        def swap(rel: ast.Relation) -> ast.Relation:
+            if rel is target:
+                return new_ref
+            if isinstance(rel, ast.Join):
+                return ast.Join(left=swap(rel.left), right=swap(rel.right),
+                                kind=rel.kind, condition=rel.condition)
+            return rel
+
+        def xf_count(e: ast.Expr) -> ast.Expr:
+            def rep(x: ast.Expr) -> ast.Expr:
+                if isinstance(x, ast.FuncCall) and x.is_star:
+                    # unqualified: __nxc_w is unique to the collapsed
+                    # frame, and the aggregate-output matcher that maps
+                    # HAVING/ORDER BY aggregates onto item outputs
+                    # compares post-projection, where the qualifier is
+                    # gone
+                    return ast.FuncCall(name="sum", args=[ast.ColumnRef(
+                        name="__nxc_w", table=None)])
+                return x
+            return _transform_expr(_copy_expr(e), rep)
+
+        new_where: ast.Expr | None = None
+        for c in kept_where:
+            new_where = c if new_where is None else ast.BinaryOp(
+                op="and", left=new_where, right=c)
+
+        return ast.SelectNode(
+            items=[ast.SelectItem(expr=xf_count(i.expr), alias=i.alias)
+                   for i in node.items],
+            relations=[swap(r) for r in node.relations],
+            where=new_where,
+            group_by=[_copy_expr(g) for g in node.group_by],
+            having=(None if node.having is None
+                    else xf_count(node.having)),
+            order_by=order_out,
+            limit=node.limit, offset=node.offset,
+        )
 
     # --------------------------------------- <>-EXISTS window self-rewrite
 

@@ -173,7 +173,10 @@ def test_window_local_filter_and_outer_expr(engine, ddb, monkeypatch):
                    ddb.execute(sql).fetchdf())
 
 
-def test_bucketed_on_key_prefers_agg_path(spark):
+def test_bucketed_on_key_prefers_agg_path(spark, monkeypatch):
+    # r16: the pinned group collapse outranks both paths when eligible;
+    # disable it here — this test pins the WINDOW-vs-AGG choice
+    monkeypatch.setenv("SPARK_GRAFT_NEQ_EXISTS_COLLAPSE", "0")
     # a lineitem snapshot bucketed on the correlation key reports
     # HashPartitioning(l_orderkey) at the scan: the agg-join path rides
     # the buckets with ZERO exchanges (partition-local groupBy +
@@ -196,7 +199,8 @@ def test_bucketed_on_key_prefers_agg_path(spark):
     assert "__nxk_" in plan, plan
 
 
-def test_sorted_bucketed_also_prefers_agg_path(spark):
+def test_sorted_bucketed_also_prefers_agg_path(spark, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_NEQ_EXISTS_COLLAPSE", "0")
     # SORTED buckets elide the window's sort (scan-reported ordering),
     # but WindowExec's per-GROUP buffering still degrades super-linearly
     # with rows-per-bucket — measured q21: sf10 window 1.78 s vs agg
