@@ -1073,70 +1073,68 @@ def _clock_pinned(sql: str) -> Callable[[SparkSession, str], DataFrame]:
 # (162 at r13; scripts/check_oracle.py, recorded per-round) is the
 # safety net for everything past position 50.
 _PRIORITY: list[str] = [
-    # --- driver window (50), r15 rotation ---
-    # The 23 entries whose latest driver record is r11 (the complete
-    # oldest tier — includes pipeline_streaming_interval_join and
-    # tpch_q15_top_supplier, both r15-touched), then the other five
-    # r15-touched plans (binned interval join rides the streaming
-    # entry; ingest broadcast anti-join; BPE unicode pre-tokenizer;
-    # cte_chained CTE-prepartition; q10 layout tracking), then the
-    # oldest r12 remainder alphabetically. After this window no
-    # entry's latest driver record predates r12.
-    "pipeline_dedup_ngram_jaccard",
-    "pipeline_dedup_simhash",
-    "pipeline_embedding_near_dup",
-    "pipeline_pack_sequences",
-    "pipeline_stateful_dedup",
-    "pipeline_streaming_interval_join",
-    "pipeline_streaming_sessionize",
-    "pipeline_streaming_sliding",
-    "pipeline_streaming_tumbling",
-    "pipeline_take_token_budget",
-    "pipeline_temporal_asof_join",
-    "pipeline_temporal_range_join",
-    "pipeline_text_bpe_tokens",
-    "pipeline_text_quality_score",
-    "pipeline_text_token_stats",
-    "pipeline_text_unigram_logprob",
-    "pivot_event_type",
-    "scalar_now_today_projection",
-    "scalar_today_pinned_filter",
-    "string_ansi_forms",
-    "string_functions",
-    "subquery_exists_in_select",
-    "tpch_q15_top_supplier",
-    "pipeline_dedup_ingest_filter",
-    "pipeline_bpe_word_histogram",
-    "pipeline_bpe_token_count",
-    "cte_chained",
-    "tpch_q10_returned_items",
-    # r15 session-2: DISTINCT ON now lowers to a min_by/max_by aggregate
-    # (plan changed) — leads the window per the rotation policy
-    "distinct_on_latest_event",
-    "agg_count_star_distinct",
-    "agg_expression_mix",
-    "agg_extended_stats",
-    "agg_global",
-    "agg_group_by",
-    "agg_group_key_dropped",
-    "agg_groupby_no_agg_distinct",
-    "agg_having",
-    "agg_having_global",
-    "agg_having_hidden_agg",
-    "agg_left_fact_rollup",
-    "arithmetic",
-    "case_when",
-    "cast_types",
-    "coalesce_nullif",
-    "except_all",
-    "except_distinct",
-    "filter_between_in",
-    "filter_compare",
-    "filter_is_null",
-    "filter_like",
-    # group_by_all rotated out for distinct_on_latest_event (its latest
-    # driver record is r12, so the no-entry-older-than-r12 invariant
-    # holds; the full local oracle sweep still covers it every round)
+    # --- driver window (50), r16 rotation ---
+    # Leads with the one r16-touched plan (tpch_q21: the <>-EXISTS
+    # pinned group collapse — the new path gates at ≥1M footer rows, so
+    # the driver SFs exercise the unchanged window/stock plans, but the
+    # rotation policy still fronts every touched entry), then the
+    # COMPLETE r12 tier (23 entries — the oldest latest-record tier
+    # after r15, including group_by_all which r15 rotated out and
+    # VERDICT r15 item 8 asked to lead with), then the r13 tier
+    # alphabetically up to 50. After this window no entry's latest
+    # driver record predates r13 (the two-tier staleness invariant:
+    # window round minus 3).
+    "tpch_q21_suppliers_kept_waiting",
+    "group_by_all",
+    "intersect",
+    "intersect_all",
+    "pipeline_multimodal_decode_images",
+    "pipeline_multimodal_decode_jpeg",
+    "pipeline_multimodal_decode_jpeg_cmyk",
+    "pipeline_multimodal_decode_jpeg_color",
+    "pipeline_multimodal_decode_jpeg_lossless",
+    "pipeline_multimodal_decode_jpeg_progressive",
+    "subquery_from_nested",
+    "subquery_join",
+    "subquery_quantified_all_correlated",
+    "subquery_quantified_any_grouped",
+    "tpch_q18_large_volume_customer",
+    "tpch_q22_global_sales_opportunity",
+    "tpch_q7_volume_shipping",
+    "tpch_q9_product_profit",
+    "unpivot_order_measures",
+    "window_named",
+    "window_ntile",
+    "window_qualify_topn",
+    "window_rank_dense_rank",
+    "window_row_number",
+    # r13 tier, alphabetical fill to 50
+    "agg_percentile",
+    "events_funnel_share",
+    "events_json_extract",
+    "events_user_daily",
+    "join_anti_not_in_subquery",
+    "join_comma_implicit_cross",
+    "join_cross",
+    "join_full_outer",
+    "join_inner",
+    "join_left",
+    "join_multiway",
+    "join_right",
+    "join_semi_in_subquery",
+    "join_theta",
+    "limit_offset",
+    "order_by_multi_key",
+    "pipeline_ann_cosine_topk",
+    "pipeline_dedup_clusters",
+    "pipeline_doc_fingerprint",
+    "pipeline_multimodal_audio_rms",
+    "pipeline_multimodal_blob_dedup",
+    "pipeline_multimodal_blob_metadata",
+    "pipeline_multimodal_decode_bmp",
+    "pipeline_multimodal_decode_error_accounting",
+    "pipeline_multimodal_decode_stub",
+    "pipeline_sample_stratified",
 ]
 
 

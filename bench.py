@@ -279,7 +279,12 @@ def main() -> None:
                       # / −18% at sf10) — tracked so the wins are
                       # re-certified (or their decay caught) per round
                       "tpch_q3_shipping_priority",
-                      "tpch_q8_market_share"]
+                      "tpch_q8_market_share",
+                      # r16: first-ever q5 layout A/B — bucketed wins
+                      # every interleaved pair (sf10 2.60 → 1.80,
+                      # −31%; its one SHJ is orders⋈lineitem ON
+                      # orderkey, both exchanges elided by the buckets)
+                      "tpch_q5_local_supplier_volume"]
     layouts: dict[str, dict[str, float]] = {}
     if not subset and os.environ.get("SPARK_GRAFT_SKIP_LAYOUTS") != "1" \
             and all(q in qs for q in LAYOUT_ENTRIES):

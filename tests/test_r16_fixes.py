@@ -61,3 +61,29 @@ def test_redact_pii_null_text_propagates_null(spark):
     assert out[2]["n_redactions"] is None
     assert out[2]["text_redacted"] is None
     assert out[3]["n_redactions"] == 0
+
+
+# ---- DISTINCT ON aggregate arm: heap-pressure gate (r16) -----------------
+
+def test_distinct_on_agg_heap_gate(spark, monkeypatch):
+    """Footer stats certifying an oversized per-task SortAggregate buffer
+    must push DISTINCT ON back to the window form (graceful spill); small
+    inputs keep the single-shuffle aggregate."""
+    from sql_to_ibis_spark import SqlEngine
+
+    eng = SqlEngine(spark)
+    eng.register_dir("/root/testdata/sf0.001", ["events"])
+    eng.analyze()
+    sql = ("SELECT DISTINCT ON (user_id) user_id, event_id "
+           "FROM events ORDER BY user_id, ts DESC")
+    plan = eng.query(sql)._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" in plan, plan
+    # inflate rows so rows*width/partitions exceeds any sane budget
+    st = eng.catalog.get("events").stats
+    st.rows = 100_000_000_000
+    plan = eng.query(sql)._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" not in plan and "row_number" in plan, plan
+    # explicit budget override re-opens the gate
+    monkeypatch.setenv("SPARK_GRAFT_DISTINCT_ON_AGG_MAX_TASK_BYTES", "1e18")
+    plan = eng.query(sql)._jdf.queryExecution().optimizedPlan().toString()
+    assert "max_by" in plan, plan
